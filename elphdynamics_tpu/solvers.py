@@ -1,0 +1,362 @@
+"""Iterative linear solvers as on-device ``lax.while_loop`` programs.
+
+Reference: IterativeSolvers.jl. Differences forced by the TPU execution
+model:
+
+* **Batched right-hand sides.** The reference solves one system at a time
+  (e.g. the Green's-function estimator does nᵥ serial CG solves,
+  GreensFunctions.jl:209-231). Here every solver accepts fields shaped
+  ``[..., N, Lτ]`` with arbitrary leading batch axes; all batch elements
+  iterate together with *masked updates* once individually converged, so a
+  batch of solves costs max(iters) rather than sum(iters).
+* **Value-encoded control flow.** Convergence, the κ-bound early abort
+  (IterativeSolvers.jl:198-231) and the residual-verification + retry ladder
+  of ``Models.ldiv!`` (Models.jl:74-186) are masks/flags carried through the
+  loop state rather than Python control flow.
+
+All reductions are performed in :func:`accum_dtype` (f64 under x64).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _dot(a, b):
+    """Batched real inner product over the trailing two axes."""
+    return jnp.sum(a * b, axis=(-2, -1))
+
+
+def _norm(a):
+    return jnp.sqrt(_dot(a, a))
+
+
+def _bc(s, like):
+    """Broadcast a batch-shaped scalar against a field array."""
+    return s[..., None, None]
+
+
+class CGResult(NamedTuple):
+    x: jnp.ndarray
+    iters: jnp.ndarray      # per-batch iteration count
+    converged: jnp.ndarray  # per-batch bool (tolerance reached)
+
+
+def cg(
+    apply_A: Callable,
+    b,
+    x0=None,
+    *,
+    apply_P: Callable | None = None,
+    tol: float = 1e-5,
+    maxiter: int = 1000,
+    kappa_max: float = 1e12,
+    active0=None,
+):
+    """Preconditioned conjugate gradient (IterativeSolvers.jl:153-234).
+
+    Solves ``A·x = b`` for SPD ``A``; ``apply_P`` applies ``P⁻¹``. Residual
+    tolerance is relative to ``|b|``; iteration also stops for a batch
+    element when the running condition-number lower bound ``κmin =
+    (2j/log(2ε₀/ε))²`` exceeds ``kappa_max`` (the reference's early-abort,
+    IterativeSolvers.jl:214-218). ``active0`` optionally masks out batch
+    elements that should not be solved at all (used by the fallback ladder).
+    """
+    b = jnp.asarray(b)
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    P = apply_P if apply_P is not None else (lambda v: v)
+
+    normb = _norm(b)
+    safe_normb = jnp.where(normb > 0, normb, 1.0)
+    r0 = b - apply_A(x0)
+    z0 = P(r0)
+    rdotz0 = _dot(r0, z0)
+    eps0 = _norm(r0) / safe_normb
+
+    if active0 is None:
+        active0 = jnp.ones(b.shape[:-2], dtype=bool)
+    else:
+        active0 = jnp.asarray(active0)
+    # elements already at tolerance never iterate
+    active0 = active0 & (eps0 >= tol)
+
+    def cond(state):
+        j, x, r, z, p, rdotz, kmin, iters, active, conv = state
+        return (j < maxiter) & jnp.any(active)
+
+    def body(state):
+        j, x, r, z, p, rdotz, kmin, iters, active, conv = state
+        Ap = apply_A(p)
+        pAp = _dot(p, Ap)
+        safe_pAp = jnp.where(pAp != 0, pAp, 1.0)
+        alpha = rdotz / safe_pAp
+        x_new = x + _bc(alpha, x) * p
+        r_new = r - _bc(alpha, r) * Ap
+        eps = _norm(r_new) / safe_normb
+        # κmin update (guard the log against eps >= 2·eps0)
+        ratio = jnp.clip(2.0 * eps0 / jnp.where(eps > 0, eps, 1e-300), 1.0 + 1e-12, None)
+        kmin_new = jnp.maximum(kmin, (2.0 * (j + 1) / jnp.log(ratio)) ** 2)
+        done = (eps < tol) | (kmin_new > kappa_max)
+        z_new = P(r_new)
+        rdotz_new = _dot(r_new, z_new)
+        beta = rdotz_new / jnp.where(rdotz != 0, rdotz, 1.0)
+        p_new = z_new + _bc(beta, p) * p
+
+        m = _bc(active, x)
+        x = jnp.where(m, x_new, x)
+        r = jnp.where(m, r_new, r)
+        z = jnp.where(m, z_new, z)
+        p = jnp.where(m, p_new, p)
+        rdotz = jnp.where(active, rdotz_new, rdotz)
+        kmin = jnp.where(active, kmin_new, kmin)
+        iters = iters + active.astype(iters.dtype)
+        conv = conv | (active & (eps < tol))
+        active = active & ~done
+        return (j + 1, x, r, z, p, rdotz, kmin, iters, active, conv)
+
+    batch_shape = b.shape[:-2]
+    state0 = (
+        jnp.asarray(0),
+        x0,
+        r0,
+        z0,
+        z0,
+        rdotz0,
+        jnp.zeros(batch_shape, dtype=normb.dtype),
+        jnp.zeros(batch_shape, dtype=jnp.int32),
+        active0,
+        (eps0 < tol),
+    )
+    _, x, r, _, _, _, _, iters, _, conv = lax.while_loop(cond, body, state0)
+    return CGResult(x=x, iters=iters, converged=conv)
+
+
+class SolveResult(NamedTuple):
+    x: jnp.ndarray
+    iters: jnp.ndarray
+    residual: jnp.ndarray
+    flag: jnp.ndarray  # 0 ok / 1 hit maxiter / 2 false convergence (Models.jl:95-134)
+
+
+def solve_checked(
+    apply_A: Callable,
+    b,
+    *,
+    apply_P: Callable | None = None,
+    tol: float = 1e-5,
+    maxiter: int = 1000,
+    kappa_max: float = 1e12,
+    fallback: bool = True,
+):
+    """CG solve with residual verification and retry ladder (Models.jl:74-186).
+
+    After a preconditioned solve the true residual ``|A·x−b|/|b|`` is
+    recomputed; elements with residual > √tol are flagged (1 = hit maxiter,
+    2 = false convergence), zeroed, and re-solved *unpreconditioned* with
+    10× the iteration budget — as masked members of a second while_loop that
+    exits immediately if nothing failed.
+    """
+    res1 = cg(apply_A, b, apply_P=apply_P, tol=tol, maxiter=maxiter, kappa_max=kappa_max)
+    normb = _norm(b)
+    safe_normb = jnp.where(normb > 0, normb, 1.0)
+    err = _norm(apply_A(res1.x) - b) / safe_normb
+    bad = err > jnp.sqrt(tol)
+    flag = jnp.where(bad, jnp.where(res1.iters >= maxiter, 1, 2), 0)
+
+    if apply_P is None or not fallback:
+        return SolveResult(x=res1.x, iters=res1.iters, residual=err, flag=flag)
+
+    x_start = jnp.where(_bc(bad, res1.x), 0.0, res1.x)
+    res2 = cg(apply_A, b, x0=x_start, tol=tol, maxiter=10 * maxiter,
+              kappa_max=kappa_max, active0=bad)
+    x = jnp.where(_bc(bad, res1.x), res2.x, res1.x)
+    err2 = _norm(apply_A(x) - b) / safe_normb
+    iters = res1.iters + res2.iters
+    still_bad = bad & (err2 > jnp.sqrt(tol))
+    flag = jnp.where(still_bad, flag, 0)
+    return SolveResult(x=x, iters=iters, residual=err2, flag=flag)
+
+
+# ---------------------------------------------------------------------------
+# BiCGStab (IterativeSolvers.jl:323-417) — for non-symmetric M solves
+# ---------------------------------------------------------------------------
+
+def bicgstab(
+    apply_A: Callable,
+    b,
+    x0=None,
+    *,
+    apply_P: Callable | None = None,
+    tol: float = 1e-5,
+    maxiter: int = 1000,
+):
+    """Preconditioned BiCGStab with batched RHS and masked convergence."""
+    b = jnp.asarray(b)
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    P = apply_P if apply_P is not None else (lambda v: v)
+
+    normb = _norm(b)
+    safe_normb = jnp.where(normb > 0, normb, 1.0)
+    r0 = b - apply_A(x0)
+    rt = r0
+    batch_shape = b.shape[:-2]
+    zero = jnp.zeros(batch_shape, dtype=normb.dtype)
+
+    def cond(state):
+        j, x, r, pvec, v, rho, alpha, omega, iters, active, conv = state
+        return (j < maxiter) & jnp.any(active)
+
+    def body(state):
+        j, x, r, pvec, v, rho_old, alpha, omega, iters, active, conv = state
+        rho = _dot(rt, r)
+        breakdown = rho == 0
+        beta = (rho / jnp.where(rho_old != 0, rho_old, 1.0)) * (alpha / jnp.where(omega != 0, omega, 1.0))
+        p_new = r + _bc(beta, r) * (pvec - _bc(omega, v) * v)
+        phat = P(p_new)
+        v_new = apply_A(phat)
+        rtv = _dot(rt, v_new)
+        alpha_new = rho / jnp.where(rtv != 0, rtv, 1.0)
+        s = r - _bc(alpha_new, r) * v_new
+        eps_s = _norm(s) / safe_normb
+        early = eps_s < tol
+        shat = P(s)
+        t = apply_A(shat)
+        tt = _dot(t, t)
+        omega_new = _dot(t, s) / jnp.where(tt != 0, tt, 1.0)
+        x_full = x + _bc(alpha_new, x) * phat + _bc(omega_new, x) * shat
+        x_early = x + _bc(alpha_new, x) * phat
+        r_new = s - _bc(omega_new, r) * t
+        eps = _norm(r_new) / safe_normb
+        done = early | (eps < tol) | breakdown | (omega_new == 0)
+
+        m = _bc(active, x)
+        x = jnp.where(m, jnp.where(_bc(early, x), x_early, x_full), x)
+        r = jnp.where(m, r_new, r)
+        pvec = jnp.where(m, p_new, pvec)
+        v = jnp.where(m, v_new, v)
+        rho_old = jnp.where(active, rho, rho_old)
+        alpha = jnp.where(active, alpha_new, alpha)
+        omega = jnp.where(active, omega_new, omega)
+        iters = iters + active.astype(iters.dtype)
+        conv = conv | (active & (early | (eps < tol)))
+        active = active & ~done
+        return (j + 1, x, r, pvec, v, rho_old, alpha, omega, iters, active, conv)
+
+    eps0 = _norm(r0) / safe_normb
+    state0 = (
+        jnp.asarray(0), x0, r0, jnp.zeros_like(b), jnp.zeros_like(b),
+        zero + 1.0, zero, zero + 1.0,
+        jnp.zeros(batch_shape, dtype=jnp.int32), eps0 >= tol, eps0 < tol,
+    )
+    _, x, _, _, _, _, _, _, iters, _, conv = lax.while_loop(cond, body, state0)
+    return CGResult(x=x, iters=iters, converged=conv)
+
+
+# ---------------------------------------------------------------------------
+# restarted GMRES (IterativeSolvers.jl:427-550)
+# ---------------------------------------------------------------------------
+
+def gmres(
+    apply_A: Callable,
+    b,
+    x0=None,
+    *,
+    apply_P: Callable | None = None,
+    tol: float = 1e-5,
+    maxiter: int = 1000,
+    restart: int = 20,
+):
+    """Left-preconditioned restarted GMRES with Givens rotations.
+
+    Unbatched (no leading batch axes) — GMRES is not on the hot path in any
+    stock configuration (CG is the default everywhere); kept for solver
+    parity. Field shape [N, Lτ].
+    """
+    b = jnp.asarray(b)
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    P = apply_P if apply_P is not None else (lambda v: v)
+    n_outer = max(1, -(-maxiter // restart))
+    m = restart
+
+    pb = P(b)
+    normb = jnp.sqrt(jnp.sum(pb * pb))
+    normb = jnp.where(normb > 0, normb, 1.0)
+
+    def arnoldi_iter(carry, i):
+        V, H, cs, sn, s, x, done, iters = carry
+        w = P(apply_A(V[i]))
+        # modified Gram-Schmidt against all columns, masked to k <= i
+        def mgs(carry_w, k):
+            w = carry_w
+            hk = jnp.where(k <= i, jnp.sum(V[k] * w), 0.0)
+            w = w - hk * V[k]
+            return w, hk
+        w, hcol = lax.scan(mgs, w, jnp.arange(m + 1))
+        hip = jnp.sqrt(jnp.sum(w * w))
+        V = V.at[i + 1].set(jnp.where(hip > 0, w / jnp.where(hip > 0, hip, 1.0), w))
+        # apply previous Givens rotations to the new column
+        def rot(carry_col, k):
+            col = carry_col
+            hk = col[k]
+            hk1 = col[k + 1]
+            new_k = jnp.where(k < i, cs[k] * hk + sn[k] * hk1, hk)
+            new_k1 = jnp.where(k < i, -sn[k] * hk + cs[k] * hk1, hk1)
+            col = col.at[k].set(new_k).at[k + 1].set(new_k1)
+            return col, None
+        col = hcol.at[i + 1].set(hip)
+        col, _ = lax.scan(rot, col, jnp.arange(m))
+        # new rotation
+        denom = jnp.sqrt(col[i] ** 2 + col[i + 1] ** 2)
+        ci = jnp.where(denom > 0, col[i] / jnp.where(denom > 0, denom, 1.0), 1.0)
+        si = jnp.where(denom > 0, col[i + 1] / jnp.where(denom > 0, denom, 1.0), 0.0)
+        col = col.at[i].set(ci * col[i] + si * col[i + 1]).at[i + 1].set(0.0)
+        cs = cs.at[i].set(ci)
+        sn = sn.at[i].set(si)
+        s_i = s[i]
+        s = s.at[i].set(ci * s_i).at[i + 1].set(-si * s_i)
+        H = H.at[:, i].set(col)
+        eps = jnp.abs(s[i + 1]) / normb
+        iters = iters + jnp.where(done, 0, 1)
+        done = done | (eps < tol)
+        return (V, H, cs, sn, s, x, done, iters), None
+
+    def outer(carry, _):
+        x, iters, done_all = carry
+        r = P(b - apply_A(x))
+        beta = jnp.sqrt(jnp.sum(r * r))
+        V = jnp.zeros((m + 1,) + b.shape, dtype=b.dtype)
+        V = V.at[0].set(r / jnp.where(beta > 0, beta, 1.0))
+        H = jnp.zeros((m + 1, m), dtype=b.dtype)
+        cs = jnp.zeros(m, dtype=b.dtype)
+        sn = jnp.zeros(m, dtype=b.dtype)
+        s = jnp.zeros(m + 1, dtype=b.dtype).at[0].set(beta)
+        done0 = done_all | (beta / normb < tol)
+        (V, H, cs, sn, s, _, done, iters), _ = lax.scan(
+            arnoldi_iter, (V, H, cs, sn, s, x, done0, iters), jnp.arange(m)
+        )
+        # back-substitution y = H[:m,:m]^-1 s[:m] (upper triangular)
+        def back(carry_y, idx):
+            y = carry_y
+            k = m - 1 - idx
+            hkk = H[k, k]
+            val = (s[k] - jnp.sum(H[k] * y)) / jnp.where(hkk != 0, hkk, 1.0)
+            y = y.at[k].set(val)
+            return y, None
+        y, _ = lax.scan(back, jnp.zeros(m, dtype=b.dtype), jnp.arange(m))
+        dx = jnp.tensordot(y, V[:m], axes=1)
+        x = jnp.where(done_all, x, x + dx)
+        return (x, iters, done), None
+
+    (x, iters, _), _ = lax.scan(
+        outer, (x0, jnp.zeros((), jnp.int32), jnp.asarray(False)), None, length=n_outer
+    )
+    err = _norm(apply_A(x) - b) / jnp.where(_norm(b) > 0, _norm(b), 1.0)
+    return CGResult(x=x, iters=iters, converged=err < jnp.sqrt(tol))

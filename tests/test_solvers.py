@@ -1,0 +1,98 @@
+import jax.numpy as jnp
+import numpy as np
+
+from elphdynamics_tpu import solvers
+from elphdynamics_tpu.lattice import Lattice, UnitCell
+from elphdynamics_tpu.models import holstein as H
+
+
+def spd_problem(n=24, batch=(), seed=0, cond=50.0):
+    rng = np.random.default_rng(seed)
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    eigs = np.linspace(1.0, cond, n)
+    A = Q @ np.diag(eigs) @ Q.T
+    b = rng.standard_normal(batch + (n, 1))
+    return jnp.asarray(A), jnp.asarray(b)
+
+
+def test_cg_dense_spd():
+    A, b = spd_problem()
+    res = solvers.cg(lambda v: A @ v, b, tol=1e-10, maxiter=500)
+    x = np.asarray(res.x)
+    assert np.allclose(A @ x, b, atol=1e-7)
+    assert bool(res.converged)
+
+
+def test_cg_batched_masked_iteration_counts():
+    A, b = spd_problem(batch=(4,))
+    res = solvers.cg(lambda v: A @ v, b, tol=1e-10, maxiter=500)
+    assert res.x.shape == b.shape
+    for i in range(4):
+        assert np.allclose(A @ np.asarray(res.x[i]), b[i], atol=1e-7)
+    assert np.all(np.asarray(res.converged))
+
+
+def test_cg_preconditioned_fewer_iters():
+    A, b = spd_problem(cond=500.0)
+    dinv = 1.0 / jnp.diag(A)[:, None]
+    plain = solvers.cg(lambda v: A @ v, b, tol=1e-10, maxiter=1000)
+    pre = solvers.cg(lambda v: A @ v, b, apply_P=lambda v: dinv * v, tol=1e-10, maxiter=1000)
+    assert np.allclose(np.asarray(pre.x), np.asarray(plain.x), atol=1e-6)
+    assert int(pre.iters) <= int(plain.iters) + 2
+
+
+def test_solve_checked_flags_ok():
+    A, b = spd_problem()
+    res = solvers.solve_checked(lambda v: A @ v, b, apply_P=lambda v: v, tol=1e-8, maxiter=500)
+    assert int(res.flag) == 0
+    assert float(res.residual) < 1e-4
+
+
+def test_solve_checked_fallback_recovers():
+    """A bad preconditioner triggers the retry-without-preconditioner path."""
+    A, b = spd_problem(cond=100.0)
+    rng = np.random.default_rng(5)
+    bad = jnp.asarray(rng.standard_normal((24, 24)))
+
+    res = solvers.solve_checked(
+        lambda v: A @ v, b, apply_P=lambda v: bad @ v, tol=1e-8, maxiter=30,
+    )
+    # fallback must produce an accurate solution regardless
+    assert np.allclose(A @ np.asarray(res.x), b, atol=1e-3)
+
+
+def test_bicgstab_nonsymmetric():
+    rng = np.random.default_rng(2)
+    n = 24
+    A = np.eye(n) + 0.3 * rng.standard_normal((n, n)) / np.sqrt(n)
+    b = rng.standard_normal((n, 1))
+    res = solvers.bicgstab(lambda v: jnp.asarray(A) @ v, jnp.asarray(b), tol=1e-10, maxiter=200)
+    assert np.allclose(A @ np.asarray(res.x), b, atol=1e-6)
+
+
+def test_gmres_nonsymmetric():
+    rng = np.random.default_rng(3)
+    n = 24
+    A = np.eye(n) + 0.3 * rng.standard_normal((n, n)) / np.sqrt(n)
+    b = rng.standard_normal((n, 1))
+    res = solvers.gmres(lambda v: jnp.asarray(A) @ v, jnp.asarray(b), tol=1e-10, maxiter=200, restart=10)
+    assert np.allclose(A @ np.asarray(res.x), b, atol=1e-6)
+
+
+def test_cg_on_MTM_fermion_system():
+    """Solve MᵀM x = Mᵀ b on a real Holstein operator and verify M x ≈ b."""
+    uc = UnitCell.create(2, 1, [[1.0, 0.0], [0.0, 1.0]], [[0.0, 0.0]])
+    lat = Lattice.create(uc, 3)
+    spec, params = H.build_holstein(
+        lat, beta=0.4, dtau=0.1,
+        t_assignments=[(1.0, 0.0, 0, 0, (1, 0, 0)), (1.0, 0.0, 0, 0, (0, 1, 0))],
+        omega=1.0, lam=0.5,
+    )
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(0.2 * rng.standard_normal((spec.Nph, spec.Ltau)))
+    env = H.expnV(spec, params, x)
+    b = jnp.asarray(rng.standard_normal((spec.Nsites, spec.Ltau)))
+    rhs = H.mulMT(spec, params, env, b)
+    res = solvers.cg(lambda v: H.mulMTM(spec, params, env, v), rhs, tol=1e-10, maxiter=2000)
+    got = np.asarray(H.mulM(spec, params, env, res.x))
+    assert np.allclose(got, np.asarray(b), atol=1e-6)
