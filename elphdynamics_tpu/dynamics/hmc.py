@@ -1,0 +1,250 @@
+"""Hybrid Monte Carlo over the phonon fields.
+
+Reference: HMC.jl. One update = refresh momenta and auxiliary fields, run a
+leapfrog (or multi-timestep) trajectory with Fourier-accelerated mass matrix,
+Metropolis accept/reject:
+
+* momenta:  v = α·v + √(1−α²)·M^(−1/2)·R        (partial refresh, HMC.jl:648-660)
+* aux field: φ± = Λ⁻¹·Mᵀ·R±  per spin            (HMC.jl:666-692)
+* fermionic action: S_f = Σ± (Λφ±)ᵀ·O⁻¹·(Λφ±)/2 with O = MᵀM, evaluated with
+  tol² solves at trajectory endpoints and tol¹ inside (HMC.jl:820-915)
+* forces: dS_f/dx = Σ± [−(Mz±)ᵀ·∂M/∂x·z± + φ±ᵀ·∂Λᵀ/∂x·z±],  z± = O⁻¹Λφ±
+  (HMC.jl:790-814), plus the bosonic dSb/dx
+* Λ is the Holstein exponential-shift operator (HMC.jl:921-1030); for SSH the
+  φ-variable is MᵀR directly (the reference's Λ fallbacks are no-ops)
+* multi-timestep integrator: Nb bosonic substeps per fermionic step
+  (HMC.jl:479-638)
+* solver failure at any point aborts the trajectory and auto-rejects
+  (HMC.jl:410-412,453), encoded here as a flag mask that deactivates the
+  remaining (masked) CG iterations rather than branching.
+
+TPU shape conventions: x, v are [Nph, Lτ]; the two spin systems are stacked
+on a leading axis and solved as ONE batched CG (the reference solves them
+serially, HMC.jl:851-903). Chains vmap over the whole step.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from elphdynamics_tpu import solvers
+from elphdynamics_tpu.dynamics.force import SolverConfig
+from elphdynamics_tpu.models.adapter import ModelOps
+from elphdynamics_tpu.ops.fourier_accel import accelerate
+
+
+class HMCConfig(NamedTuple):
+    dt: float
+    trajectory_time: float
+    alpha: float = 0.0       # partial momentum refresh fraction
+    Nb: int = 1              # bosonic substeps per fermionic step
+    tol: float = 1e-5
+    maxiter: int = 1000
+    kappa_max: float = 1e12
+
+    @property
+    def Nt(self) -> int:
+        return max(1, round(self.trajectory_time / self.dt))
+
+    @property
+    def dt_b(self) -> float:
+        return self.dt / self.Nb
+
+
+class HMCState(NamedTuple):
+    x: jnp.ndarray
+    v: jnp.ndarray
+
+
+class HMCStats(NamedTuple):
+    accepted: jnp.ndarray
+    iters: jnp.ndarray       # mean CG iters per solve (reference convention HMC.jl:456)
+    flag: jnp.ndarray
+    delta_H: jnp.ndarray
+
+
+def _spin_stack(a, b):
+    return jnp.stack([a, b], axis=0)
+
+
+def make_hmc_step(
+    ops: ModelOps,
+    mass_table,
+    cfg: HMCConfig,
+    precond: Callable | None = None,
+    precond_setup: Callable | None = None,
+):
+    """Build the jittable HMC update ``(params, state, key) -> (state, stats, key)``.
+
+    ``mass_table`` is the [Nph, Lτ] dynamical-mass spectrum (``use_mass``
+    convention). ``precond``, if given, maps ``(params, x) -> apply_fn`` where
+    ``apply_fn`` applies the (spin-batched) preconditioner; ``precond_setup``
+    optionally returns per-x preconditioner state folded into ``precond``.
+    """
+    mass = jnp.asarray(mass_table)
+    has_lambda = ops.calc_Lambda is not None
+
+    def P_of(params, x):
+        if precond is None:
+            return None
+        return precond(params, x)
+
+    def lam_phi(params, x, phi):
+        """Λ(x)·φ per spin-stacked φ (identity structure for SSH)."""
+        if has_lambda:
+            Lam = ops.calc_Lambda(params, x)
+            return ops.mulLambda(Lam, phi), Lam
+        return phi, None
+
+    def solve_O(params, x, derived, Lphi, tol, active):
+        """Batched-over-spin solve of O·z = Λφ (HMC.jl:820-915)."""
+        P = P_of(params, x)
+        res = solvers.solve_checked(
+            lambda w: ops.mulMTM(params, derived, w),
+            Lphi,
+            apply_P=P,
+            tol=tol,
+            maxiter=cfg.maxiter,
+            kappa_max=cfg.kappa_max,
+        )
+        # spin axis is leading: reduce iters (avg, reference's cld(sum,2)) & flag
+        iters = (jnp.sum(res.iters, axis=0) + 1) // 2
+        flag = jnp.max(res.flag, axis=0)
+        return res.x, iters, flag
+
+    def fermionic_forces(params, x, derived, phi, z):
+        """dS_f/dx = −Σ±[(Mz)ᵀ·∂M/∂x·z] + Σ±[φᵀ·∂Λᵀ/∂x·z] (HMC.jl:790-814).
+        Spin-stacked inputs φ, z of shape [2, N, Lτ]."""
+        Mz = ops.mulM(params, derived, z)
+        dmdx = ops.muldMdx(params, derived, x, Mz, z)  # batched over spin
+        dSf = -jnp.sum(dmdx, axis=0)
+        if has_lambda:
+            Lam = ops.calc_Lambda(params, x)
+            dl = ops.muldLambdadx(params, x, Lam, phi, z)
+            dSf = dSf + jnp.sum(dl, axis=0)
+        return dSf
+
+    def forces(params, x, derived, phi, z):
+        """Outer-step force: full dS/dx for the plain leapfrog, fermionic-only
+        for the multi-timestep integrator (the bosonic force is integrated by
+        the Nb substeps, HMC.jl:524,581)."""
+        dSf = fermionic_forces(params, x, derived, phi, z)
+        if cfg.Nb == 1:
+            return dSf + ops.calc_dSbdx(params, x, False)
+        return dSf
+
+    def calc_K(v):
+        """K = vᵀ·M·v/2 via the mass table (HMC.jl:711-739); SSH counts
+        primary fields only."""
+        mv = accelerate(mass, v, 1.0)
+        if not ops.is_holstein:
+            import numpy as _np
+            prim_mask = jnp.asarray(
+                (ops.spec.primary_phonon == _np.arange(ops.Nph)), v.dtype
+            )[:, None]
+            return jnp.sum(prim_mask * v * mv, axis=(-2, -1)) / 2
+        return jnp.sum(v * mv, axis=(-2, -1)) / 2
+
+    def calc_S(params, x, Lphi, z):
+        """S = Sb + Σ± (Λφ±)ᵀz±/2 (HMC.jl:743-783)."""
+        Sf = jnp.sum(Lphi * z, axis=(0, -2, -1)) / 2
+        return Sf + ops.calc_Sb(params, x, False)
+
+    tol1 = cfg.tol
+    tol2 = cfg.tol ** 2
+
+    def step(params, state: HMCState, key):
+        x0, v_in = state.x, state.v
+        key, k_v, k_p, k_acc = jax.random.split(key, 4)
+
+        # --- refresh momenta (partial, HMC.jl:648-660)
+        R = ops.tie(jax.random.normal(k_v, x0.shape, dtype=x0.dtype))
+        v0 = cfg.alpha * v_in + jnp.sqrt(1.0 - cfg.alpha ** 2) * accelerate(mass, R, -0.5)
+
+        # --- refresh φ per spin (HMC.jl:666-692)
+        Rpm = jax.random.normal(k_p, (2, ops.Nsites, ops.Ltau), dtype=x0.dtype)
+        derived0 = ops.derived(params, x0)
+        MtR = ops.mulMT(params, derived0, Rpm)
+        if has_lambda:
+            Lam0 = ops.calc_Lambda(params, x0)
+            phi = ops.mulLambdaInv(Lam0, MtR)
+        else:
+            phi = MtR
+
+        # --- initial endpoint solve (tol², HMC.jl:374)
+        Lphi0, _ = lam_phi(params, x0, phi)
+        z0, it0, flag0 = solve_O(params, x0, derived0, Lphi0, tol2, None)
+        H0 = calc_S(params, x0, Lphi0, z0) + calc_K(v0)
+
+        dSdx0 = forces(params, x0, derived0, phi, z0)
+        QdSdx0 = accelerate(mass, dSdx0, -1.0)
+
+        # --- trajectory (leapfrog / multi-timestep)
+        def qf(xx):
+            return accelerate(mass, xx, -1.0)
+
+        def boson_substeps(x, v):
+            """Nb small steps driven by the bosonic force (HMC.jl:535-565)."""
+            dSb = ops.calc_dSbdx(params, x, False)
+            QdSb = qf(dSb)
+
+            def sub(carry, _):
+                x, v, QdSb = carry
+                v = v - cfg.dt_b / 2 * QdSb
+                x = x + cfg.dt_b * v
+                QdSb2 = qf(ops.calc_dSbdx(params, x, False))
+                v = v - cfg.dt_b / 2 * QdSb2
+                return (x, v, QdSb2), None
+
+            (x, v, _), _ = lax.scan(sub, (x, v, QdSb), None, length=cfg.Nb)
+            return x, v
+
+        def body(carry, _):
+            x, v, QdSdx, iters, flag = carry
+            ok = flag == 0
+            v1 = v - cfg.dt / 2 * QdSdx
+            if cfg.Nb == 1:
+                x1 = x + cfg.dt * v1
+            else:
+                x1, v1 = boson_substeps(x, v1)
+            d1 = ops.derived(params, x1)
+            Lphi1, _ = lam_phi(params, x1, phi)
+            z1, it1, fl1 = solve_O(params, x1, d1, Lphi1, tol1, None)
+            dS1 = forces(params, x1, d1, phi, z1)
+            Qd1 = qf(dS1)
+            v1 = v1 - cfg.dt / 2 * Qd1
+            # masked commit: trajectories that have failed stop evolving
+            x = jnp.where(ok, x1, x)
+            v = jnp.where(ok, v1, v)
+            QdSdx = jnp.where(ok, Qd1, QdSdx)
+            iters = iters + jnp.where(ok, it1, 0)
+            flag = jnp.maximum(flag, jnp.where(ok, fl1, 0))
+            return (x, v, QdSdx, iters, flag), None
+
+        (x1, v1, _, iters, flag), _ = lax.scan(
+            body, (x0, v0, QdSdx0, it0, flag0), None, length=cfg.Nt
+        )
+
+        # --- final endpoint solve (tol²) + Metropolis (HMC.jl:431-472)
+        d1 = ops.derived(params, x1)
+        Lphi1, _ = lam_phi(params, x1, phi)
+        z1, it2, fl2 = solve_O(params, x1, d1, Lphi1, tol2, None)
+        iters = iters + it2
+        flag = jnp.maximum(flag, fl2)
+        H1 = calc_S(params, x1, Lphi1, z1) + calc_K(v1)
+        dH = H1 - H0
+        P = jnp.minimum(1.0, jnp.exp(-dH))
+        u = jax.random.uniform(k_acc, P.shape, dtype=P.dtype)
+        accept = (u < P) & (flag == 0)
+
+        x_new = jnp.where(accept, x1, x0)
+        v_new = jnp.where(accept, v1, -v0)
+        mean_iters = (iters + cfg.Nt + 1) // (cfg.Nt + 2)
+        stats = HMCStats(accepted=accept, iters=mean_iters, flag=flag, delta_H=dH)
+        return HMCState(x=x_new, v=v_new), stats, key
+
+    return step

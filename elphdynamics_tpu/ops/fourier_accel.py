@@ -1,0 +1,67 @@
+"""Fourier acceleration: diagonal-in-(phonon, ω) mass matrices applied by FFT.
+
+Reference: FourierAcceleration.jl. Two conventions coexist:
+
+* ``Q`` (Langevin, FourierAcceleration.jl:213-217):
+    Q[k] = (m² + Δτω² + 4/Δτ) / (m² + Δτω² + (2−2cos(2πk/L))/Δτ)
+* ``M`` (HMC dynamical mass, FourierAcceleration.jl:260-266), with an
+  optional Gaussian k-damped mass m(k) = m₀·exp(−(c·k′/L)²):
+    M[k] = Δτ·(m(k)² + ω² + (2−2cos(2πk′/L))/Δτ²) / (m(k)² + ω²)
+
+Both are per-phonon ``[Nph, Lτ]`` tables precomputed on the host; application
+is ``ifft(table^power · fft(v))`` along the τ axis, real part taken
+(FourierAcceleration.jl:91-143). Rows default to 1 (identity) for phonons not
+covered by any ``[[fourier_acceleration]]`` block.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_Q(omega: np.ndarray, dtau: float, Ltau: int, blocks) -> np.ndarray:
+    """Langevin-convention acceleration table.
+
+    ``blocks`` is an iterable of dicts with keys ``omega_min, omega_max,
+    mass`` (ProcessInputFile.jl:524-533 applies each block to phonons whose
+    frequency lies in the open interval).
+    """
+    omega = np.asarray(omega, dtype=np.float64)
+    Nph = omega.shape[0]
+    k = np.arange(Ltau)
+    Q = np.ones((Nph, Ltau))
+    for blk in blocks:
+        m = float(blk["mass"])
+        sel = (omega > blk["omega_min"]) & (omega < blk["omega_max"])
+        om2 = (omega[sel] ** 2)[:, None]
+        num = m ** 2 + dtau * om2 + 4.0 / dtau
+        den = m ** 2 + dtau * om2 + (2.0 - 2.0 * np.cos(2 * np.pi * k / Ltau))[None, :] / dtau
+        Q[sel] = num / den
+    return Q
+
+
+def build_mass(omega: np.ndarray, dtau: float, Ltau: int, blocks) -> np.ndarray:
+    """HMC-convention dynamical-mass table (``use_mass=true`` path)."""
+    omega = np.asarray(omega, dtype=np.float64)
+    Nph = omega.shape[0]
+    k = np.arange(Ltau)
+    kp = np.minimum(k, Ltau - k)
+    M = np.ones((Nph, Ltau))
+    for blk in blocks:
+        m0 = float(blk["mass"])
+        c = float(blk.get("c", 0.0))
+        sel = (omega > blk["omega_min"]) & (omega < blk["omega_max"])
+        om2 = (omega[sel] ** 2)[:, None]
+        mk = m0 * np.exp(-((c * kp / Ltau) ** 2))[None, :]
+        num = dtau * (mk ** 2 + om2 + (2.0 - 2.0 * np.cos(2 * np.pi * kp / Ltau))[None, :] / dtau ** 2)
+        den = mk ** 2 + om2
+        M[sel] = num / den
+    return M
+
+
+def accelerate(table, v, power):
+    """v' = F⁻¹ · table^power · F · v along the τ (last) axis; real output."""
+    vw = jnp.fft.fft(v, axis=-1)
+    vw = vw * (jnp.asarray(table, vw.real.dtype) ** power)
+    return jnp.real(jnp.fft.ifft(vw, axis=-1)).astype(v.dtype)

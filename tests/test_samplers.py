@@ -1,0 +1,158 @@
+"""End-to-end sampler tests on the exactly solvable single-site Holstein model.
+
+Mirrors the reference's de-facto integration test strategy (SURVEY.md §4):
+its single-site example is exactly diagonalizable, so phonon moments from the
+samplers must agree with ED up to Trotter (O(Δτ²)) + statistical error.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from elphdynamics_tpu.dynamics.force import SolverConfig
+from elphdynamics_tpu.dynamics.hmc import HMCConfig, HMCState, make_hmc_step
+from elphdynamics_tpu.dynamics.init_phonons import init_phonons_half_filled
+from elphdynamics_tpu.dynamics.langevin import make_langevin_step
+from elphdynamics_tpu.lattice import Lattice, UnitCell
+from elphdynamics_tpu.models import holstein as H
+from elphdynamics_tpu.models.adapter import make_model_ops
+from elphdynamics_tpu.ops.fourier_accel import build_Q, build_mass
+from ed_reference import single_site_holstein_ed
+
+BETA, DTAU, OMEGA, LAM, MU = 2.0, 0.1, 1.0, 1.0, -0.5
+FA_BLOCKS = [dict(omega_min=0.0, omega_max=10.0, mass=1.0)]
+
+
+def single_site_model():
+    uc = UnitCell.create(1, 1, [[1.0]], [[0.0]])
+    lat = Lattice.create(uc, 1)
+    spec, params = H.build_holstein(lat, beta=BETA, dtau=DTAU, omega=OMEGA, lam=LAM, mu=MU)
+    return make_model_ops(spec), params
+
+
+def run_chains_hmc(ops, params, cfg, n_chains=48, burnin=80, nsteps=300, seed=0):
+    mass = build_mass(np.asarray(params.omega), ops.dtau, ops.Ltau, FA_BLOCKS)
+    step = make_hmc_step(ops, mass, cfg)
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_chains)
+    xs = []
+    for i in range(n_chains):
+        x, _ = init_phonons_half_filled(ops, params, keys[i])
+        xs.append(x)
+    x = jnp.stack(xs)
+    v = jnp.zeros_like(x)
+    state = HMCState(x=x, v=v)
+    vstep = jax.jit(jax.vmap(lambda s, k: step(params, s, k)))
+
+    def multi(state, keys, n):
+        def body(carry, _):
+            state, keys = carry
+            state, stats, keys = vstep(state, keys)
+            return (state, keys), (stats.accepted, state.x)
+        (state, keys), (acc, xhist) = jax.lax.scan(body, (state, keys), None, length=n)
+        return state, keys, acc, xhist
+
+    multi = jax.jit(multi, static_argnums=2)
+    state, keys, _, _ = multi(state, keys, burnin)
+    state, keys, acc, xhist = multi(state, keys, nsteps)
+    return np.asarray(xhist), np.asarray(acc)
+
+
+def test_hmc_single_site_matches_ed():
+    ops, params = single_site_model()
+    cfg = HMCConfig(dt=0.05, trajectory_time=1.0, Nb=4, tol=1e-6, maxiter=500)
+    xh, acc = run_chains_hmc(ops, params, cfg)
+    assert acc.mean() > 0.6, f"HMC acceptance too low: {acc.mean()}"
+    ed = single_site_holstein_ed(BETA, OMEGA, LAM, MU)
+    x_mean = xh.mean()
+    x2_mean = (xh ** 2).mean()
+    assert abs(x_mean - ed["x"]) < 0.05, (x_mean, ed["x"])
+    assert abs(x2_mean - ed["x2"]) < 0.06, (x2_mean, ed["x2"])
+
+
+def test_hmc_energy_conservation_small_dt():
+    """ΔH must be tiny for a fine integrator (validates force vs action)."""
+    ops, params = single_site_model()
+    mass = build_mass(np.asarray(params.omega), ops.dtau, ops.Ltau, FA_BLOCKS)
+    cfg = HMCConfig(dt=0.002, trajectory_time=0.02, Nb=1, tol=1e-10, maxiter=2000)
+    step = make_hmc_step(ops, mass, cfg)
+    key = jax.random.PRNGKey(1)
+    x, key = init_phonons_half_filled(ops, params, key)
+    state = HMCState(x=x, v=jnp.zeros_like(x))
+    for _ in range(3):
+        state, stats, key = jax.jit(lambda p, s, k: step(p, s, k))(params, state, key)
+        assert abs(float(stats.delta_H)) < 1e-4, float(stats.delta_H)
+        assert bool(stats.accepted)
+
+
+def test_hmc_exact_discretized_weight_Ltau2():
+    """Single site, Lτ=2: the sampled ensemble must match 2-D quadrature of
+    the exact discretized weight e^{−Sb}·(det M)²·e^{Δτ·λ·Σx} — a direct
+    detailed-balance check, free of Trotter error."""
+    beta, dtau, omega, lam, mu = 0.2, 0.1, 1.0, 1.2, -0.4
+    uc = UnitCell.create(1, 1, [[1.0]], [[0.0]])
+    lat = Lattice.create(uc, 1)
+    spec, params = H.build_holstein(lat, beta=beta, dtau=dtau, omega=omega, lam=lam, mu=mu)
+    ops = make_model_ops(spec)
+
+    # quadrature ground truth
+    grid = np.linspace(-12, 12, 401)
+    X0, X1 = np.meshgrid(grid, grid, indexing="ij")
+    Sb = dtau * (omega ** 2 * (X0 ** 2 + X1 ** 2) / 2 + ((X0 - X1) ** 2 + (X1 - X0) ** 2) / (2 * dtau ** 2))
+    detM = 1.0 + np.exp(-dtau * (lam * (X0 + X1) - 2 * mu))
+    w = np.exp(-Sb + dtau * lam * (X0 + X1)) * detM ** 2
+    Z = w.sum()
+    x_mean_exact = (w * X0).sum() / Z
+    x2_mean_exact = (w * X0 ** 2).sum() / Z
+
+    cfg = HMCConfig(dt=0.05, trajectory_time=1.0, Nb=4, tol=1e-8, maxiter=500)
+    mass = build_mass(np.asarray(params.omega), dtau, spec.Ltau, FA_BLOCKS)
+    step = make_hmc_step(ops, mass, cfg)
+    n_chains = 64
+    keys = jax.random.split(jax.random.PRNGKey(3), n_chains)
+    x = jnp.stack([init_phonons_half_filled(ops, params, k)[0] for k in keys])
+    state = HMCState(x=x, v=jnp.zeros_like(x))
+    vstep = jax.vmap(lambda s, k: step(params, s, k))
+
+    def multi(state, keys, n):
+        def body(carry, _):
+            state, keys = carry
+            state, stats, keys = vstep(state, keys)
+            return (state, keys), state.x
+        return jax.lax.scan(body, (state, keys), None, length=n)
+
+    multi = jax.jit(multi, static_argnums=2)
+    (state, keys), _ = multi(state, keys, 100)
+    (state, keys), xhist = multi(state, keys, 500)
+    xh = np.asarray(xhist)
+    assert abs(xh.mean() - x_mean_exact) < 0.05, (xh.mean(), x_mean_exact)
+    assert abs((xh ** 2).mean() - x2_mean_exact) < 0.08, ((xh ** 2).mean(), x2_mean_exact)
+
+
+def test_langevin_single_site_matches_ed():
+    ops, params = single_site_model()
+    Q = build_Q(np.asarray(params.omega), ops.dtau, ops.Ltau, FA_BLOCKS)
+    step = make_langevin_step(ops, Q, dt=0.02, method="rk",
+                              scfg=SolverConfig(tol=1e-7, maxiter=500))
+    n_chains = 64
+    keys = jax.random.split(jax.random.PRNGKey(2), n_chains)
+    xs = [init_phonons_half_filled(ops, params, k)[0] for k in keys]
+    x = jnp.stack(xs)
+    vstep = jax.vmap(lambda x, k: step(params, x, k)[0::2], in_axes=(0, 0))
+
+    def multi(x, keys, n):
+        def body(carry, _):
+            x, keys = carry
+            x, keys = vstep(x, keys)
+            return (x, keys), x
+        (x, keys), xhist = jax.lax.scan(body, (x, keys), None, length=n)
+        return x, keys, xhist
+
+    multi = jax.jit(multi, static_argnums=2)
+    x, keys, _ = multi(x, keys, 500)          # burn-in
+    x, keys, xhist = multi(x, keys, 1500)
+    xh = np.asarray(xhist)
+    ed = single_site_holstein_ed(BETA, OMEGA, LAM, MU)
+    assert abs(xh.mean() - ed["x"]) < 0.1, (xh.mean(), ed["x"])
+    assert abs((xh ** 2).mean() - ed["x2"]) < 0.1, ((xh ** 2).mean(), ed["x2"])
