@@ -31,6 +31,17 @@ class ForceResult(NamedTuple):
     flag: jnp.ndarray
 
 
+def _apply_P(precond, params, x):
+    """Resolve a (setup_fn, apply_fn) preconditioner pair into an apply
+    closure for the current phonon configuration (reference cadence:
+    ``setup!`` before every force solve, LangevinDynamics.jl:364)."""
+    if precond is None:
+        return None
+    setup_fn, apply_fn = precond
+    st = setup_fn(params, x)
+    return lambda v: apply_fn(st, v)
+
+
 def fermionic_force(
     ops: ModelOps,
     params,
@@ -38,7 +49,7 @@ def fermionic_force(
     derived,
     g,
     scfg: SolverConfig,
-    precond: Callable | None = None,
+    apply_P: Callable | None = None,
 ):
     """−2·gᵀ·[∂M/∂x]·M⁻¹g given the Gaussian vector ``g``
     (LangevinDynamics.jl:350-384, CG branch)."""
@@ -46,7 +57,7 @@ def fermionic_force(
     sol = solvers.solve_checked(
         lambda v: ops.mulMTM(params, derived, v),
         rhs,
-        apply_P=precond,
+        apply_P=apply_P,
         tol=scfg.tol,
         maxiter=scfg.maxiter,
         kappa_max=scfg.kappa_max,
@@ -61,14 +72,14 @@ def total_force(
     x,
     key,
     scfg: SolverConfig,
-    precond: Callable | None = None,
+    precond=None,
     shifted: bool = True,
 ):
     """∂S/∂x = ∂Sb/∂x − 2gᵀ[∂M/∂x]M⁻¹g with a fresh Gaussian g
-    (LangevinDynamics.jl:334-345)."""
+    (LangevinDynamics.jl:334-345). ``precond`` is a (setup, apply) pair."""
     derived = ops.derived(params, x)
     key, kg = jax.random.split(key)
     g = jax.random.normal(kg, x.shape[:-2] + (ops.Nsites, ops.Ltau), dtype=x.dtype)
-    fres = fermionic_force(ops, params, x, derived, g, scfg, precond)
+    fres = fermionic_force(ops, params, x, derived, g, scfg, _apply_P(precond, params, x))
     dSdx = fres.dSdx + ops.calc_dSbdx(params, x, shifted)
     return ForceResult(dSdx=dSdx, iters=fres.iters, flag=fres.flag), key

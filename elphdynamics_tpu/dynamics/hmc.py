@@ -75,15 +75,15 @@ def make_hmc_step(
     ops: ModelOps,
     mass_table,
     cfg: HMCConfig,
-    precond: Callable | None = None,
-    precond_setup: Callable | None = None,
+    precond: tuple[Callable, Callable] | None = None,
 ):
     """Build the jittable HMC update ``(params, state, key) -> (state, stats, key)``.
 
     ``mass_table`` is the [Nph, Lτ] dynamical-mass spectrum (``use_mass``
-    convention). ``precond``, if given, maps ``(params, x) -> apply_fn`` where
-    ``apply_fn`` applies the (spin-batched) preconditioner; ``precond_setup``
-    optionally returns per-x preconditioner state folded into ``precond``.
+    convention). ``precond``, if given, is a ``(setup_fn, apply_fn)`` pair
+    (e.g. from :func:`elphdynamics_tpu.ops.kpm.make_symmetric_precond`);
+    setup runs before every batch of solves, matching the reference's
+    ``setup!`` cadence (HMC.jl:834).
     """
     mass = jnp.asarray(mass_table)
     has_lambda = ops.calc_Lambda is not None
@@ -91,7 +91,9 @@ def make_hmc_step(
     def P_of(params, x):
         if precond is None:
             return None
-        return precond(params, x)
+        setup_fn, apply_fn = precond
+        st = setup_fn(params, x)
+        return lambda v: apply_fn(st, v)
 
     def lam_phi(params, x, phi):
         """Λ(x)·φ per spin-stacked φ (identity structure for SSH)."""

@@ -1,0 +1,188 @@
+"""Stochastic Green's-function estimation.
+
+Reference: GreensFunctions.jl. Per measurement step, nᵥ Gaussian vectors R
+and their solutions M⁻¹R estimate the single-particle Green's function; all
+pairwise combinations (i, j) of vectors build translation-averaged two-point
+and four-point tensors via space-time FFT convolution with antiperiodic
+doubling of the τ axis (GreensFunctions.jl:239-288,351-439).
+
+TPU-native restructuring:
+
+* the nᵥ linear systems are solved as ONE batched CG (the reference does nᵥ
+  serial solves, GreensFunctions.jl:209-231);
+* the C(nᵥ,2) pair convolutions are batched over a pair axis and only their
+  *pair sums* are materialised (every downstream measurement is linear in the
+  per-pair tensors, Measurements.jl:545-566);
+* the two-point GΔ0 sum uses the bilinearity identity
+  Σ_{i<j} conv(aᵢ+aⱼ, bᵢ+bⱼ)/2 = [(nᵥ−2)·Σᵢconv(aᵢ,bᵢ) + conv(Σa, Σb)]/2,
+  reducing nᵥ(nᵥ−1)/2 convolutions to nᵥ+1.
+
+Layouts: M-space fields are [nᵥ, N, Lτ]; cell layout is
+[nₒ, L1, L2, L3, Lτ·(2)] with the FFT axes innermost. Tensor index
+convention matches the reference accessors (GreensFunctions.jl:293-329):
+``G[o₂, o₁, l1, l2, l3, τ]`` is ⟨T c_{i+r,o₂}(τ) c⁺_{i,o₁}(0)⟩-type averages.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from elphdynamics_tpu import solvers
+from elphdynamics_tpu.dynamics.force import SolverConfig, _apply_P
+from elphdynamics_tpu.models.adapter import ModelOps
+
+
+class GreensData(NamedTuple):
+    R: jnp.ndarray       # [nv, N, Ltau]
+    MinvR: jnp.ndarray   # [nv, N, Ltau]
+    iters: jnp.ndarray   # scalar (mean per solve)
+    flag: jnp.ndarray
+
+
+def sample_greens(ops: ModelOps, params, x, key, nv: int,
+                  scfg: SolverConfig, precond=None):
+    """Draw nᵥ random vectors and solve MᵀM·z = Mᵀ·r for all of them at once
+    (GreensFunctions.jl:201-234)."""
+    derived = ops.derived(params, x)
+    key, kr = jax.random.split(key)
+    R = jax.random.normal(kr, (nv, ops.Nsites, ops.Ltau), dtype=jnp.asarray(x).dtype)
+    rhs = ops.mulMT(params, derived, R)
+    sol = solvers.solve_checked(
+        lambda v: ops.mulMTM(params, derived, v),
+        rhs,
+        apply_P=_apply_P(precond, params, x),
+        tol=scfg.tol,
+        maxiter=scfg.maxiter,
+        kappa_max=scfg.kappa_max,
+    )
+    iters = jnp.sum(sol.iters) // nv
+    return GreensData(R=R, MinvR=sol.x, iters=iters, flag=jnp.max(sol.flag)), key
+
+
+# ---------------------------------------------------------------------------
+# layout helpers
+# ---------------------------------------------------------------------------
+
+def to_cell_layout(lattice, v):
+    """[..., N, T] -> [..., nₒ, L1, L2, L3, T].
+
+    Site ordering is orbit-fastest then l1, l2, l3 (Lattices.jl:83-104).
+    """
+    no = lattice.unit_cell.norbits
+    L1, L2, L3 = lattice.L1, lattice.L2, lattice.L3
+    lead = v.shape[:-2]
+    T = v.shape[-1]
+    v = v.reshape(lead + (L3, L2, L1, no, T))
+    ndim = v.ndim
+    perm = tuple(range(ndim - 5)) + (ndim - 2, ndim - 3, ndim - 4, ndim - 5, ndim - 1)
+    return jnp.transpose(v, perm)
+
+
+def antiperiodic_double(v):
+    """τ axis L → 2L with a sign flip (GreensFunctions.jl:406-418)."""
+    return jnp.concatenate([v, -v], axis=-1)
+
+
+def periodic_double(v):
+    """τ axis L → 2L by repetition (GreensFunctions.jl:424-439)."""
+    return jnp.concatenate([v, v], axis=-1)
+
+
+def _neg_index(A, axes):
+    """A[-k mod L] along the given axes: reverse + roll by one."""
+    for ax in axes:
+        A = jnp.roll(jnp.flip(A, axis=ax), 1, axis=ax)
+    return A
+
+
+def convolve(a, b, V):
+    """Translation-averaged outer-orbital convolution
+    (GreensFunctions.jl:351-400).
+
+    a, b: [..., nₒ, L1, L2, L3, T]. Returns [..., nₒ(a), nₒ(b), L1, L2, L3, T]
+    where result[s₂, s₁, Δ] = Σ_i a[s₂, i+Δ]·b[s₁, i] / V.
+    """
+    A = jnp.fft.fftn(a, axes=(-4, -3, -2, -1))
+    B = jnp.fft.fftn(b, axes=(-4, -3, -2, -1))
+    Bneg = _neg_index(B, (-4, -3, -2, -1))
+    prod = A[..., :, None, :, :, :, :] * Bneg[..., None, :, :, :, :, :] / V
+    return jnp.fft.ifftn(prod, axes=(-4, -3, -2, -1))
+
+
+def translational_average(f, g):
+    """fg(Δ) = (1/V)·Σᵢ f(i+Δ)·g(i) over all axes of f (Utilities.jl:49-60).
+
+    f, g: [..., L1, L2, L3, T]; average over the trailing 4 axes.
+    """
+    F = jnp.fft.fftn(f, axes=(-4, -3, -2, -1))
+    G = jnp.fft.fftn(g, axes=(-4, -3, -2, -1))
+    V = f.shape[-1] * f.shape[-2] * f.shape[-3] * f.shape[-4]
+    prod = F * _neg_index(G, (-4, -3, -2, -1)) / V
+    return jnp.fft.ifftn(prod, axes=(-4, -3, -2, -1))
+
+
+# ---------------------------------------------------------------------------
+# pair tensors
+# ---------------------------------------------------------------------------
+
+class PairTensors(NamedTuple):
+    """Pair-SUMMED estimator tensors [nₒ, nₒ, L1, L2, L3, 2Lτ] (complex) —
+    sums over the C(nᵥ,2) unordered pairs, matching the accumulate-then-
+    normalise convention of the reference container (Measurements.jl:590-629)."""
+
+    G: jnp.ndarray          # GΔ0
+    GG: jnp.ndarray         # GΔ0·GΔ0
+    GDD_G00: jnp.ndarray    # GΔΔ·G00
+    G0D_GD0: jnp.ndarray    # GΔ0·G0Δ
+    n_pairs: int
+
+
+def pair_indices(nv: int):
+    iu, ju = np.triu_indices(nv, k=1)
+    return iu, ju
+
+
+def pair_tensor_sums(lattice, R, MinvR) -> PairTensors:
+    """Build the four pair-summed tensors from [nv, N, Lτ] fields
+    (GreensFunctions.jl:239-288, batched over pairs)."""
+    nv = R.shape[0]
+    Ltau = R.shape[-1]
+    no = lattice.unit_cell.norbits
+    ncells = lattice.ncells
+    V = 2 * Ltau * ncells
+
+    Rc = to_cell_layout(lattice, R)          # [nv, no, L1, L2, L3, L]
+    Mc = to_cell_layout(lattice, MinvR)
+
+    Ra = antiperiodic_double(Rc)             # [nv, no, ..., 2L]
+    Ma = antiperiodic_double(Mc)
+
+    # --- GΔ0 via the bilinearity identity: (nv−2)/2·Σdiag + conv(Σ,Σ)/2
+    diag = convolve(Ma, Ra, V)               # [nv, no, no, ...]
+    diag_sum = jnp.sum(diag, axis=0)
+    tot = convolve(jnp.sum(Ma, axis=0), jnp.sum(Ra, axis=0), V)
+    G = ((nv - 2) * diag_sum + tot) / 2.0
+
+    # --- product tensors, batched over pairs
+    iu, ju = pair_indices(nv)
+    Mi, Mj = Mc[iu], Mc[ju]
+    Ri, Rj = Rc[iu], Rc[ju]
+
+    MiMj = periodic_double(Mi * Mj)
+    RiRj = periodic_double(Ri * Rj)
+    GG = jnp.sum(convolve(MiMj, RiRj, V), axis=0)
+
+    MjRj = periodic_double(Mj * Rj)
+    MiRi = periodic_double(Mi * Ri)
+    GDD_G00 = jnp.sum(convolve(MjRj, MiRi, V), axis=0)
+
+    MiRj = periodic_double(Mi * Rj)
+    MjRi = periodic_double(Mj * Ri)
+    G0D_GD0 = jnp.sum(convolve(MiRj, MjRi, V), axis=0)
+
+    return PairTensors(G=G, GG=GG, GDD_G00=GDD_G00, G0D_GD0=G0D_GD0,
+                       n_pairs=len(iu))

@@ -49,6 +49,7 @@ class HolsteinParams(NamedTuple):
     cosht: jnp.ndarray   # [Nbonds] cosh(Δτ·t), checkerboard order
     sinht: jnp.ndarray   # [Nbonds] sinh(Δτ·t), checkerboard order
     wij: jnp.ndarray     # [Nwij] dispersive phonon coupling ωᵢⱼ (may be empty)
+    t: jnp.ndarray = None  # [Nbonds] bare hoppings, original bond order
 
 
 @dataclass(frozen=True)
@@ -68,6 +69,12 @@ class HolsteinSpec:
     # dispersive phonon coupling ωᵢⱼ(xᵢ ± xⱼ)² tables (may be empty)
     wij_table: np.ndarray = field(default_factory=lambda: np.zeros((2, 0), dtype=np.int64))
     wij_sign: np.ndarray = field(default_factory=lambda: np.zeros(0, dtype=np.int64))
+    # bond bookkeeping for measurements (original bond order = appended
+    # per definition, Models.jl:32-56)
+    bond_defs: tuple = ()                    # ((o1, o2, (dL1,dL2,dL3)), ...)
+    bond_def_of_bond: np.ndarray = field(default_factory=lambda: np.zeros(0, dtype=np.int64))
+    ckb_to_bond: np.ndarray = field(default_factory=lambda: np.zeros(0, dtype=np.int64))
+    bond_to_ckb: np.ndarray = field(default_factory=lambda: np.zeros(0, dtype=np.int64))
 
     def __hash__(self):
         return hash((self.Nsites, self.Ltau, self.Nbonds, round(self.beta, 12), round(self.dtau, 12)))
@@ -129,13 +136,17 @@ def build_holstein(
     # hopping bonds (HolsteinModels.jl:418-444)
     tables = []
     tvals = []
-    for (tval, tstd, o1, o2, dL) in t_assignments:
+    bond_defs = []
+    bond_def_of_bond = []
+    for idef, (tval, tstd, o1, o2, dL) in enumerate(t_assignments):
         tb = lattice.calc_neighbor_table(o1, o2, dL)
         nnew = tb.shape[1]
         phase = np.sign(tval) if tval != 0 else 1.0
         tv = phase * (abs(tval) + (tstd * rng.standard_normal(nnew) if tstd else 0.0))
         tables.append(tb)
         tvals.append(np.broadcast_to(tv, (nnew,)).astype(np.float64))
+        bond_defs.append((o1, o2, tuple(dL)))
+        bond_def_of_bond.extend([idef] * nnew)
     if tables:
         table = np.concatenate(tables, axis=1)
         t = np.concatenate(tvals)
@@ -146,6 +157,8 @@ def build_holstein(
     t_sorted = t[perm]
     ckb = build_checkerboard_spec(N, table_sorted)
     t_ckb = t_sorted[ckb.order]
+    ckb_to_bond = perm[ckb.order] if table.shape[1] else np.zeros(0, dtype=np.int64)
+    bond_to_ckb = np.argsort(ckb_to_bond) if table.shape[1] else np.zeros(0, dtype=np.int64)
 
     # dispersive phonon couplings (HolsteinModels.jl:449-471)
     wtabs, wvals, wsigns = [], [], []
@@ -177,6 +190,10 @@ def build_holstein(
         ckb=ckb,
         wij_table=wij_table,
         wij_sign=wij_sign,
+        bond_defs=tuple(bond_defs),
+        bond_def_of_bond=np.asarray(bond_def_of_bond, dtype=np.int64),
+        ckb_to_bond=ckb_to_bond,
+        bond_to_ckb=bond_to_ckb,
     )
     params = HolsteinParams(
         mu=jnp.asarray(mu_v, dtype),
@@ -187,6 +204,7 @@ def build_holstein(
         cosht=jnp.asarray(np.cosh(dtau * t_ckb), dtype),
         sinht=jnp.asarray(np.sinh(dtau * t_ckb), dtype),
         wij=jnp.asarray(wij, dtype),
+        t=jnp.asarray(t, dtype),
     )
     return spec, params
 

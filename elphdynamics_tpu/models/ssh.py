@@ -69,6 +69,7 @@ class SSHSpec:
     phonon_to_bond: np.ndarray   # [Nph]
     primary_phonon: np.ndarray   # [Nph] phonon -> its primary alias
     bond_to_definition: np.ndarray  # [Nbonds] bond -> bond-definition index
+    bond_defs: tuple = ()        # ((o1, o2, (dL...), has_phonon), ...)
 
     def __hash__(self):
         return hash((self.Nsites, self.Ltau, self.Nbonds, self.Nph,
@@ -200,6 +201,11 @@ def build_ssh(
         phonon_to_bond=phonon_to_bond,
         primary_phonon=primary,
         bond_to_definition=np.asarray(bond_defs, dtype=np.int64),
+        bond_defs=tuple(
+            (h["o1"], h["o2"], tuple(h["dL"]),
+             (h.get("omega", 0.0) != 0.0) or (h.get("omega_std", 0.0) != 0.0))
+            for h in hoppings
+        ),
     )
     params = SSHParams(
         mu=jnp.asarray(mu_v, dtype),

@@ -1,0 +1,245 @@
+"""KPM (Chebyshev) preconditioner for the fermion-matrix solves.
+
+Reference: KPMPreconditioners.jl. In the Θ-twisted frequency basis the
+fermion matrix is block diagonal, M[ω,ω] = I − e^{−iφ(ω)}·Ā with
+φ(ω) = 2π(ω+1/2)/Lτ and Ā the *time-averaged* single-slice propagator
+Ā = exp(−Δτ·K̄)·exp(−Δτ·V̄) (KPMPreconditioners.jl:332-381,944-951). The
+preconditioner approximates M⁻¹[ω,ω] by a Chebyshev expansion of
+f(z) = (1 − e^{−iφ}z)⁻¹ over the (estimated) spectral interval of Ā.
+
+TPU-native restructuring vs the reference:
+
+* the reference loops frequencies serially, each its own N-dim recurrence
+  (KPMPreconditioners.jl:449-467); here ALL ⌈Lτ/2⌉ frequencies form the
+  columns of one [N, Lω] block and the recurrence runs batched — each step is
+  a single-slice checkerboard application on the whole block;
+* the data-dependent per-ω expansion orders (:301-307) are kept jit-static by
+  computing coefficients at a static ``max_order`` and zero-masking each ω
+  beyond its dynamic order (a zero Chebyshev coefficient is a no-op);
+* coefficients come from a Gauss-Chebyshev quadrature matmul at a static node
+  count (2·max_order) instead of a resized FFTW DCT (:789-839) — same
+  integrals, MXU-friendly;
+* spectral bounds use on-device power iteration on Ā and Ā⁻¹ in place of
+  host Arnoldi + dense eigvals (:845-942); the ``buf`` inflation (:283-284)
+  absorbs the estimate error, and the same validity window (:280) gates
+  self-deactivation.
+
+Setup is performed once per sampler update (the reference re-runs it before
+every solve but internally skips recomputation unless the bounds moved by
+more than ``buf``, :288-308 — the operator drifts slowly along a trajectory).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from elphdynamics_tpu.models.adapter import ModelOps
+from elphdynamics_tpu.ops import checkerboard as ckb
+from elphdynamics_tpu.ops.timefreqfft import omega_to_tau, tau_to_omega
+
+
+@dataclass(frozen=True)
+class KPMConfig:
+    n_power: int = 20        # power-iteration steps for the spectral bounds
+    buf: float = 0.05        # spectral buffer (KPMPreconditioners.jl:283-284)
+    c1: float = 1.0          # order = (λhi−λlo)·(c1/φ + c2) (:301)
+    c2: float = 1.0
+    max_order: int = 64      # static cap on the expansion order
+
+    def __hash__(self):
+        return hash((self.n_power, self.buf, self.c1, self.c2, self.max_order))
+
+
+class KPMState(NamedTuple):
+    """Per-configuration preconditioner state (pytree of device arrays)."""
+
+    expnV_bar: jnp.ndarray   # [N] time-averaged exp(−Δτ·V̄)
+    cosh_bar: jnp.ndarray    # [Nbonds] time-averaged checkerboard coefficients
+    sinh_bar: jnp.ndarray
+    lam_avg: jnp.ndarray     # (λhi+λlo)/2
+    lam_mag: jnp.ndarray     # (λhi−λlo)/2
+    coeff: jnp.ndarray       # [max_order, Lω] complex Chebyshev coefficients
+    active: jnp.ndarray      # scalar bool
+
+
+def _avg_operator(ops: ModelOps, params, derived):
+    """Time-averaged Ā pieces (KPMPreconditioners.jl:332-381)."""
+    if ops.is_holstein:
+        env = derived                      # [.., N, Lτ]
+        expnV_bar = jnp.mean(env, axis=-1)
+        cosh_bar = params.cosht
+        sinh_bar = params.sinht
+    else:
+        cosh_b, sinh_b = derived           # [Nbonds, Lτ]
+        cosh_bar = jnp.mean(cosh_b, axis=-1)
+        sinh_bar = jnp.mean(sinh_b, axis=-1)
+        expnV_bar = jnp.exp(ops.spec.dtau * params.mu)  # exp(+Δτμ) (SSH convention)
+    return expnV_bar, cosh_bar, sinh_bar
+
+
+def _mulA(spec_ckb, expnV_bar, cosh_bar, sinh_bar, v):
+    """Ā·v = exp(−Δτ·K̄)·exp(−Δτ·V̄)·v on [..., N, K] single-slice blocks."""
+    return ckb.ckb_mul(spec_ckb, cosh_bar, sinh_bar, expnV_bar[:, None] * v)
+
+
+def _mulA_T(spec_ckb, expnV_bar, cosh_bar, sinh_bar, v):
+    """Āᵀ·v (KPMPreconditioners.jl:737-752)."""
+    return expnV_bar[:, None] * ckb.ckb_transpose_mul(spec_ckb, cosh_bar, sinh_bar, v)
+
+
+def _mulA_inv(spec_ckb, expnV_bar, cosh_bar, sinh_bar, v):
+    """Ā⁻¹·v (KPMPreconditioners.jl:406-420)."""
+    return ckb.ckb_inverse_mul(spec_ckb, cosh_bar, sinh_bar, v) / expnV_bar[:, None]
+
+
+def _spectral_radius(apply_fn, n_site, n_iter, key, dtype):
+    """Power-iteration estimate of the dominant |eigenvalue|."""
+    v = jax.random.normal(key, (n_site, 1), dtype=dtype)
+    v = v / jnp.linalg.norm(v)
+
+    def body(_, carry):
+        v, lam = carry
+        w = apply_fn(v)
+        nw = jnp.linalg.norm(w)
+        safe = jnp.where(nw > 0, nw, 1.0)
+        return w / safe, nw
+
+    v, lam = jax.lax.fori_loop(0, n_iter, body, (v, jnp.asarray(1.0, dtype)))
+    return lam
+
+
+def setup(ops: ModelOps, params, x, cfg: KPMConfig, key) -> KPMState:
+    """Build the KPM state for the current phonon configuration
+    (the role of ``setup!``, KPMPreconditioners.jl:269-321)."""
+    derived = ops.derived(params, x)
+    expnV_bar, cosh_bar, sinh_bar = _avg_operator(ops, params, derived)
+    sc = ops.spec.ckb
+    dtype = expnV_bar.dtype
+
+    k1, k2 = jax.random.split(key)
+    e_max = _spectral_radius(
+        lambda v: _mulA(sc, expnV_bar, cosh_bar, sinh_bar, v), ops.Nsites, cfg.n_power, k1, dtype
+    )
+    e_min = 1.0 / _spectral_radius(
+        lambda v: _mulA_inv(sc, expnV_bar, cosh_bar, sinh_bar, v), ops.Nsites, cfg.n_power, k2, dtype
+    )
+    active = (e_min > 0.0) & (e_min < 1.0) & (e_max > 1.0) & ((e_max - e_min) < 2.0)
+
+    lam_lo = jnp.maximum(0.0, (1.0 - 2.0 * cfg.buf) * e_min)
+    lam_hi = (1.0 + 2.0 * cfg.buf) * e_max
+    lam_avg = (lam_hi + lam_lo) / 2
+    lam_mag = (lam_hi - lam_lo) / 2
+
+    # Chebyshev coefficients for every frequency at once.
+    Ltau = ops.Ltau
+    Lw = (Ltau + 1) // 2
+    phis = jnp.asarray(2.0 * np.pi / Ltau * (np.arange(Lw) + 0.5), dtype)
+    M = cfg.max_order
+    NM = 2 * M
+    theta_n = (np.arange(NM) + 0.5) * np.pi / NM
+    nodes = jnp.asarray(np.cos(theta_n), dtype)              # [NM]
+    xs = lam_mag * nodes + lam_avg                           # [NM]
+    f = 1.0 / (1.0 - jnp.exp(-1j * phis)[None, :] * xs[:, None])   # [NM, Lw]
+    cosmat = jnp.asarray(np.cos(np.outer(np.arange(M), theta_n)), dtype)  # [M, NM]
+    scale = jnp.asarray(np.where(np.arange(M) == 0, 1.0, 2.0), dtype)[:, None] / NM
+    coeff = scale * (cosmat @ f)                             # [M, Lw]
+
+    # zero-mask beyond each ω's dynamic order (:301-307)
+    order = jnp.floor((lam_hi - lam_lo) * (cfg.c1 / phis + cfg.c2))
+    order = jnp.clip(order, 1, M)
+    morder = jnp.arange(M)[:, None] < order[None, :]
+    coeff = jnp.where(morder, coeff, 0.0)
+
+    return KPMState(
+        expnV_bar=expnV_bar,
+        cosh_bar=cosh_bar,
+        sinh_bar=sinh_bar,
+        lam_avg=lam_avg,
+        lam_mag=lam_mag,
+        coeff=coeff,
+        active=active,
+    )
+
+
+def _chebyshev_apply(ops: ModelOps, st: KPMState, u, coeff, transposed: bool):
+    """Σₘ c_m(ω)·T_m(Ā′)·u on the [.., N, Lω] frequency block, where
+    Ā′ = (Ā − λavg)/λmag (KPMPreconditioners.jl:514-554,685-693)."""
+    sc = ops.spec.ckb
+    mul = _mulA_T if transposed else _mulA
+
+    def Ap(v):
+        av = mul(sc, st.expnV_bar, st.cosh_bar, st.sinh_bar, v)
+        return av / st.lam_mag - (st.lam_avg / st.lam_mag) * v
+
+    out = coeff[0] * u
+    u_nm1 = u
+    u_n = Ap(u)
+
+    def body(m, carry):
+        out, u_nm1, u_n = carry
+        out = out + coeff[m] * u_n
+        u_np1 = 2.0 * Ap(u_n) - u_nm1
+        return (out, u_n, u_np1)
+
+    M = coeff.shape[0]
+    out, _, _ = jax.lax.fori_loop(1, M, body, (out, u_nm1, u_n))
+    return out
+
+
+def apply_symmetric(ops: ModelOps, st: KPMState, v):
+    """Apply the symmetric preconditioner P⁻¹ ≈ (MᵀM)⁻¹ to a real [.., N, Lτ]
+    field (the CG path, KPMPreconditioners.jl:426-481,606-679):
+    τ→ω, per-ω [M⁻ᵀ·M⁻¹] Chebyshev pair on the half spectrum, conjugate
+    symmetry for the rest, ω→τ."""
+    Ltau = ops.Ltau
+    Lw = (Ltau + 1) // 2
+    vw = tau_to_omega(v)                       # [.., N, Lτ] complex
+    u = vw[..., :Lw]
+    u = _chebyshev_apply(ops, st, u, jnp.conj(st.coeff), transposed=True)
+    u = _chebyshev_apply(ops, st, u, st.coeff, transposed=False)
+    # conjugate-symmetry completion: out[.., Lτ−1−ω] = conj(out[.., ω])
+    full = jnp.concatenate([u, jnp.flip(jnp.conj(u), axis=-1)[..., (2 * Lw - Ltau):]], axis=-1)
+    out = omega_to_tau(full, real=True).astype(v.dtype)
+    return jnp.where(st.active, out, v)
+
+
+def make_symmetric_precond(ops: ModelOps, cfg: KPMConfig, seed: int = 1234):
+    """(setup_fn, apply_fn) pair for the samplers: setup once per phonon
+    configuration, apply inside the CG loop."""
+    key = jax.random.PRNGKey(seed)
+
+    def setup_fn(params, x):
+        return setup(ops, params, x, cfg, key)
+
+    def apply_fn(st, v):
+        return apply_symmetric(ops, st, v)
+
+    return setup_fn, apply_fn
+
+
+def apply_left(ops: ModelOps, st: KPMState, v):
+    """P⁻¹ ≈ M⁻¹ (GMRES/BiCGStab left preconditioner,
+    KPMPreconditioners.jl:514-554)."""
+    Ltau = ops.Ltau
+    Lw = (Ltau + 1) // 2
+    vw = tau_to_omega(v)
+    u = _chebyshev_apply(ops, st, vw[..., :Lw], st.coeff, transposed=False)
+    full = jnp.concatenate([u, jnp.flip(jnp.conj(u), axis=-1)[..., (2 * Lw - Ltau):]], axis=-1)
+    out = omega_to_tau(full, real=True).astype(v.dtype)
+    return jnp.where(st.active, out, v)
+
+
+def apply_right(ops: ModelOps, st: KPMState, v):
+    """P⁻¹ ≈ M⁻ᵀ (KPMPreconditioners.jl:560-600)."""
+    Ltau = ops.Ltau
+    Lw = (Ltau + 1) // 2
+    vw = tau_to_omega(v)
+    u = _chebyshev_apply(ops, st, vw[..., :Lw], jnp.conj(st.coeff), transposed=True)
+    full = jnp.concatenate([u, jnp.flip(jnp.conj(u), axis=-1)[..., (2 * Lw - Ltau):]], axis=-1)
+    out = omega_to_tau(full, real=True).astype(v.dtype)
+    return jnp.where(st.active, out, v)

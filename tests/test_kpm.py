@@ -1,0 +1,81 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from elphdynamics_tpu import solvers
+from elphdynamics_tpu.lattice import Lattice, UnitCell
+from elphdynamics_tpu.models import holstein as H
+from elphdynamics_tpu.models.adapter import make_model_ops
+from elphdynamics_tpu.ops import kpm
+from elphdynamics_tpu.ops.timefreqfft import omega_to_tau, tau_to_omega
+from dense_reference import dense_expK, dense_M
+
+
+def make_model(L=4, beta=2.0, lam=0.6, seed=0, x_scale=0.3):
+    uc = UnitCell.create(2, 1, [[1.0, 0.0], [0.0, 1.0]], [[0.0, 0.0]])
+    lat = Lattice.create(uc, L)
+    spec, params = H.build_holstein(
+        lat, beta=beta, dtau=0.1,
+        t_assignments=[(1.0, 0.0, 0, 0, (1, 0, 0)), (1.0, 0.0, 0, 0, (0, 1, 0))],
+        omega=1.0, lam=lam, mu=-lam ** 2,
+    )
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(x_scale * rng.standard_normal((spec.Nph, spec.Ltau)))
+    return make_model_ops(spec), params, x
+
+
+def test_tau_omega_roundtrip():
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.standard_normal((5, 7, 12)))
+    w = tau_to_omega(v)
+    back = omega_to_tau(w)
+    assert np.allclose(back, v, atol=1e-12)
+
+
+def test_kpm_exact_for_time_independent_field():
+    """With x ≡ 0 the averaged operator Ā equals every B(τ), so the KPM
+    block-diagonal inverse is exact: apply_left ≈ M⁻¹ at high order."""
+    ops, params, _ = make_model(x_scale=0.0)
+    x = jnp.zeros((ops.Nph, ops.Ltau))
+    st = kpm.setup(ops, params, x, kpm.KPMConfig(max_order=96, c1=8.0, c2=8.0),
+                   jax.random.PRNGKey(0))
+    assert bool(st.active)
+    env = H.expnV(ops.spec, params, x)
+    expK = dense_expK(ops.Nsites, ops.spec.ckb.neighbor_table, ops.spec.ckb.groups,
+                      np.asarray(params.cosht), np.asarray(params.sinht))
+    M = dense_M([expK @ np.diag(np.asarray(env)[:, t]) for t in range(ops.Ltau)])
+    rng = np.random.default_rng(1)
+    v = rng.standard_normal((ops.Nsites, ops.Ltau))
+    got = np.asarray(kpm.apply_left(ops, st, jnp.asarray(v))).reshape(-1)
+    want = np.linalg.solve(M, v.reshape(-1))
+    assert np.max(np.abs(got - want)) < 1e-4, np.max(np.abs(got - want))
+
+
+def test_kpm_symmetric_reduces_cg_iterations():
+    ops, params, x = make_model()
+    env = ops.derived(params, x)
+    st = kpm.setup(ops, params, x, kpm.KPMConfig(), jax.random.PRNGKey(0))
+    assert bool(st.active)
+    rng = np.random.default_rng(2)
+    b = jnp.asarray(rng.standard_normal((ops.Nsites, ops.Ltau)))
+    rhs = ops.mulMT(params, env, b)
+    A = lambda v: ops.mulMTM(params, env, v)
+    plain = solvers.cg(A, rhs, tol=1e-8, maxiter=4000)
+    pre = solvers.cg(A, rhs, apply_P=lambda v: kpm.apply_symmetric(ops, st, v),
+                     tol=1e-8, maxiter=4000)
+    # solutions agree
+    assert np.allclose(np.asarray(plain.x), np.asarray(pre.x), atol=1e-4)
+    # and the preconditioner meaningfully cuts iterations
+    assert int(pre.iters) < int(plain.iters), (int(pre.iters), int(plain.iters))
+    assert int(pre.iters) <= int(plain.iters) * 0.7, (int(pre.iters), int(plain.iters))
+
+
+def test_kpm_spin_batched():
+    ops, params, x = make_model()
+    st = kpm.setup(ops, params, x, kpm.KPMConfig(), jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    v = jnp.asarray(rng.standard_normal((2, ops.Nsites, ops.Ltau)))
+    out = np.asarray(kpm.apply_symmetric(ops, st, v))
+    for s in range(2):
+        ref = np.asarray(kpm.apply_symmetric(ops, st, v[s]))
+        assert np.allclose(out[s], ref, atol=1e-12)

@@ -1,0 +1,178 @@
+"""Validate the stochastic estimator and measurement assembly against dense
+M⁻¹ expectations on a small fixed phonon configuration.
+
+The random-vector estimators are unbiased: E[(M⁻¹r)_a r_b] = M⁻¹[a,b] and
+cross-pair products factorise, so with many vectors the measured quantities
+must converge to values computed directly from the dense inverse.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from elphdynamics_tpu.dynamics.force import SolverConfig
+from elphdynamics_tpu.lattice import Lattice, UnitCell
+from elphdynamics_tpu.measure import greens as GR
+from elphdynamics_tpu.measure.measurements import (
+    MeasurementSpec, make_measurement_step, zero_container, process_bin,
+)
+from elphdynamics_tpu.models import holstein as H
+from elphdynamics_tpu.models.adapter import make_model_ops
+from dense_reference import dense_expK, dense_M
+
+
+def make_model(L=3, Ltau=4, lam=0.5, mu=-0.2, seed=0):
+    uc = UnitCell.create(1, 1, [[1.0]], [[0.0]])
+    lat = Lattice.create(uc, L)
+    spec, params = H.build_holstein(
+        lat, beta=Ltau * 0.1, dtau=0.1,
+        t_assignments=[(1.0, 0.0, 0, 0, (1, 0, 0))],
+        omega=1.0, lam=lam, mu=mu,
+    )
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(0.3 * rng.standard_normal((spec.Nph, spec.Ltau)))
+    return make_model_ops(spec), spec, params, x
+
+
+def dense_Minv(spec, params, x):
+    env = np.asarray(H.expnV(spec, params, x))
+    expK = dense_expK(spec.Nsites, spec.ckb.neighbor_table, spec.ckb.groups,
+                      np.asarray(params.cosht), np.asarray(params.sinht))
+    M = dense_M([expK @ np.diag(env[:, t]) for t in range(spec.Ltau)])
+    return np.linalg.inv(M)
+
+
+def greens_expectation_tensor(spec, Minv):
+    """Exact E[conv(Ma, Ra)] with antiperiodic doubling: the translation-
+    averaged time-ordered Green's function on the doubled τ axis."""
+    N, L = spec.Nsites, spec.Ltau
+    lat = spec.lattice
+    ncells = lat.ncells
+    no = lat.unit_cell.norbits
+    Minv4 = Minv.reshape(N, L, N, L)
+    # antiperiodic extension in both time arguments
+    sgn = np.concatenate([np.ones(L), -np.ones(L)])
+    ext = (sgn[None, :, None, None] * sgn[None, None, None, :]
+           * Minv4[:, np.concatenate([np.arange(L)] * 2)][:, :, :, np.concatenate([np.arange(L)] * 2)])
+    V = 2 * L * ncells
+    out = np.zeros((no, no, lat.L1, lat.L2, lat.L3, 2 * L), dtype=complex)
+    for i in range(N):
+        for dl1 in range(lat.L1):
+            for dl2 in range(lat.L2):
+                for dl3 in range(lat.L3):
+                    j = lat.site_to_site(i, (dl1, dl2, dl3), lat.site_to_orbit[i])
+                    # only norbits=1 here
+                    for t in range(2 * L):
+                        for t0 in range(2 * L):
+                            out[0, 0, dl1, dl2, dl3, t] += ext[j, (t0 + t) % (2 * L), i, t0]
+    return out / V
+
+
+def test_greens_pair_tensor_unbiased():
+    ops, spec, params, x = make_model()
+    Minv = dense_Minv(spec, params, x)
+    want = greens_expectation_tensor(spec, Minv)
+
+    nv = 400
+    gd, _ = GR.sample_greens(ops, params, x, jax.random.PRNGKey(0), nv,
+                             SolverConfig(tol=1e-10, maxiter=3000))
+    pt = GR.pair_tensor_sums(spec.lattice, gd.R, gd.MinvR)
+    got = np.asarray(pt.G) / pt.n_pairs
+    err = np.max(np.abs(got - want))
+    assert err < 0.05, err
+
+
+def test_density_and_doubleocc_unbiased():
+    ops, spec, params, x = make_model()
+    Minv = dense_Minv(spec, params, x)
+    N, L = spec.Nsites, spec.Ltau
+    G_diag = np.diagonal(Minv).reshape(N, L)     # ⟨c c†⟩ on the diagonal
+    density_exact = 2.0 * (1.0 - G_diag.mean())
+    docc_exact = ((1.0 - G_diag) ** 2).mean()
+
+    mspec = MeasurementSpec(nv=100, onsite_corr=(), intersite_corr=())
+    step = make_measurement_step(ops, mspec, SolverConfig(tol=1e-10, maxiter=3000))
+    # average over several independent measurement sweeps
+    key = jax.random.PRNGKey(1)
+    acc = zero_container(ops, mspec)
+    nsweeps = 10
+    for _ in range(nsweeps):
+        inc, stats, key = step(params, x, key)
+        acc = jax.tree.map(lambda a, b: a + b, acc,
+                           {k: inc[k] for k in acc})
+    res = process_bin(ops, mspec, acc, bin_size=nsweeps)
+    # per-vector σ of the trace estimator is O(0.5); 1000 samples → σ≈0.02
+    assert abs(float(res["global"]["density"]) - density_exact) < 0.06
+    assert abs(float(res["onsite"]["density"][0]) - density_exact) < 0.06
+    assert abs(float(res["onsite"]["double_occ"][0]) - docc_exact) < 0.08
+    assert abs(float(res["onsite"]["x"][0]) - float(jnp.mean(x))) < 1e-9
+    assert abs(float(res["global"]["mu"]) - float(jnp.mean(params.mu))) < 1e-12
+
+
+def test_el_ke_unbiased():
+    ops, spec, params, x = make_model()
+    Minv = dense_Minv(spec, params, x)
+    N, L = spec.Nsites, spec.Ltau
+    Minv4 = Minv.reshape(N, L, N, L)
+    # exact per-pair expectation of −t·h with h = −(G↑₁₂+G↑₂₁+G↓₁₂+G↓₂₁):
+    # both spins contribute an identical dense-G term (factor 2)
+    want = 0.0
+    for b in range(spec.Nbonds):
+        n = spec.bond_to_ckb[b]
+        s1, s2 = spec.ckb.neighbor_table[:, n]
+        t = float(np.asarray(params.t)[b])
+        for tau in range(L):
+            g12 = Minv4[s1, tau, s2, tau]
+            g21 = Minv4[s2, tau, s1, tau]
+            want += -t * (-2.0 * (g12 + g21))
+    want /= spec.lattice.ncells * L
+
+    mspec = MeasurementSpec(nv=40)
+    step = make_measurement_step(ops, mspec, SolverConfig(tol=1e-10, maxiter=3000))
+    key = jax.random.PRNGKey(2)
+    acc = zero_container(ops, mspec)
+    nsweeps = 6
+    for _ in range(nsweeps):
+        inc, stats, key = step(params, x, key)
+        acc = jax.tree.map(lambda a, b: a + b, acc, {k: inc[k] for k in acc})
+    res = process_bin(ops, mspec, acc, bin_size=nsweeps)
+    assert abs(float(res["intersite"]["el_ke"][0]) - want) < 0.1, (
+        float(res["intersite"]["el_ke"][0]), want)
+
+
+def test_correlation_containers_and_susceptibility_shapes():
+    ops, spec, params, x = make_model()
+    mspec = MeasurementSpec(
+        nv=6,
+        onsite_corr=(("Greens", True), ("DenDen", True), ("SpinSpin", True),
+                     ("PairGreens", True), ("PhononGreens", True)),
+    )
+    step = make_measurement_step(ops, mspec, SolverConfig(tol=1e-8, maxiter=2000))
+    inc, stats, _ = step(params, x, jax.random.PRNGKey(3))
+    L1, Lt = spec.lattice.L1, spec.Ltau
+    for kind in ("Greens", "DenDen", "SpinSpin", "PairGreens", "PhononGreens"):
+        assert inc["onsite_corr"][kind].shape == (1, L1, 1, 1, Lt + 1), kind
+    res = process_bin(ops, mspec, inc, bin_size=1)
+    for s in ("PairSusc", "ChargeSusc", "SpinSusc"):
+        assert res["onsite_susc"][s]["position"].shape == (1, L1, 1, 1)
+    # Greens τ=β identity: G(β, r) = δᵣ − G(0, r)
+    g = np.asarray(res["onsite_corr"]["Greens"]["position"])[0]
+    npairs = 6 * 5 // 2
+    delta = np.zeros((L1, 1, 1))
+    delta[0, 0, 0] = 1.0
+    assert np.allclose(g[..., Lt], delta - g[..., 0], atol=1e-10)
+
+
+def test_greens_correlation_matches_exact():
+    ops, spec, params, x = make_model()
+    Minv = dense_Minv(spec, params, x)
+    want6 = greens_expectation_tensor(spec, Minv)  # [no,no,L1,L2,L3,2L]
+
+    mspec = MeasurementSpec(nv=200, onsite_corr=(("Greens", True),))
+    step = make_measurement_step(ops, mspec, SolverConfig(tol=1e-10, maxiter=3000))
+    inc, stats, _ = step(params, x, jax.random.PRNGKey(4))
+    res = process_bin(ops, mspec, inc, bin_size=1)
+    got = np.asarray(res["onsite_corr"]["Greens"]["position"])[0]  # [L1,1,1,Lt+1]
+    want = want6[0, 0][..., :spec.Ltau]
+    err = np.max(np.abs(got[..., :spec.Ltau] - want))
+    assert err < 0.05, err
