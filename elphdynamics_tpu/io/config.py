@@ -1,0 +1,281 @@
+"""TOML configuration ingestion — schema-compatible with the reference.
+
+Reference: ProcessInputFile.jl + SimulationParams.jl. The same input files
+(`examples/*.toml` of the reference) drive this framework: [lattice],
+[holstein]⊻[ssh], [[fourier_acceleration]], [hmc]⊻[langevin] (+ burnin
+overrides, reflection/swap updates), [simulation], [solver]
+(+ [solver.preconditioner]), [tune_density], [measurements].
+
+Orbit indices are 1-based in the files (Julia convention) and converted to
+0-based here.
+"""
+
+from __future__ import annotations
+
+import tomllib
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+
+from elphdynamics_tpu.dynamics.force import SolverConfig
+from elphdynamics_tpu.dynamics.hmc import HMCConfig
+from elphdynamics_tpu.dynamics.special_updates import SpecialUpdateConfig
+from elphdynamics_tpu.lattice import Lattice, UnitCell
+from elphdynamics_tpu.measure.measurements import MeasurementSpec
+from elphdynamics_tpu.models.adapter import make_model_ops
+from elphdynamics_tpu.models.holstein import build_holstein
+from elphdynamics_tpu.models.ssh import build_ssh
+from elphdynamics_tpu.ops.fourier_accel import build_Q, build_mass
+from elphdynamics_tpu.ops.kpm import KPMConfig
+
+
+@dataclass
+class SimulationParams:
+    """Immutable run parameters (SimulationParams.jl:5-63)."""
+
+    burnin: int
+    nsteps: int
+    meas_freq: int
+    num_bins: int
+    bin_size: int
+    chckpnt_freq_s: float
+    filepath: str
+    foldername: str
+    datafolder: str
+    write_M_matrix: bool = False
+    random_seed: int = 0
+
+    def __post_init__(self):
+        assert self.nsteps % self.meas_freq == 0
+        n_meas = self.nsteps // self.meas_freq
+        assert n_meas % self.num_bins == 0, (n_meas, self.num_bins)
+
+
+@dataclass
+class SimulationSetup:
+    """Everything needed to run: the output of config processing
+    (ProcessInputFile.jl:34-120)."""
+
+    ops: Any
+    params: Any
+    sim_params: SimulationParams
+    model_type: str           # "holstein" | "ssh"
+    dynamics_type: str        # "hmc" | "langevin"
+    hmc_cfg: HMCConfig | None
+    hmc_burnin_cfg: HMCConfig | None
+    langevin_dt: float | None
+    langevin_method: str | None
+    fa_Q: np.ndarray
+    fa_mass: np.ndarray
+    solver_cfg: SolverConfig
+    kpm_cfg: KPMConfig | None
+    mspec: MeasurementSpec
+    reflect_cfg: SpecialUpdateConfig
+    swap_cfg: SpecialUpdateConfig
+    tune_density: dict | None
+    snapshots: tuple
+    read_phonon_config: str | None
+    config: dict
+
+
+def load_toml(path: str) -> dict:
+    with open(path, "rb") as f:
+        return tomllib.load(f)
+
+
+def _build_lattice(cfg: dict) -> Lattice:
+    lat = cfg["lattice"]
+    uc = UnitCell.create(lat["ndim"], lat["norbits"],
+                         lat["lattice_vectors"], lat["basis_vectors"])
+    return Lattice.create(uc, lat["L"])
+
+
+def _per_orbit(blocks):
+    out = {}
+    for d in blocks:
+        std = d.get("stddev", 0.0)
+        for orbit in d["orbit"]:
+            out[orbit - 1] = (d["val"], std)
+    return out
+
+
+def _build_model(cfg: dict, rng: np.random.Generator, dtype):
+    lattice = _build_lattice(cfg)
+    if "holstein" in cfg:
+        h = cfg["holstein"]
+        t_assign = [
+            (d["val"], d.get("stddev", 0.0), d["orbit"][0] - 1, d["orbit"][1] - 1,
+             tuple(list(d["dL"]) + [0] * (3 - len(d["dL"]))))
+            for d in h.get("t", [])
+        ]
+        per_orbit = {
+            name: _per_orbit(h.get(key, []))
+            for name, key in (("omega", "omega"), ("mu", "mu"), ("lambda", "lambda"),
+                              ("lambda2", "lambda2"), ("omega4", "omega4"))
+        }
+        spec, params = build_holstein(
+            lattice, h["beta"], h["dtau"],
+            t_assignments=t_assign,
+            per_orbit={k: v for k, v in per_orbit.items() if v},
+            rng=rng, dtype=dtype,
+        )
+        return "holstein", spec, params
+    s = cfg["ssh"]
+    hoppings = []
+    for d in s.get("hopping", []):
+        dL = list(d["dL"]) + [0] * (3 - len(d["dL"]))
+        hoppings.append(dict(
+            t=d.get("t_avg", 0.0), t_std=d.get("t_std", 0.0),
+            alpha=d.get("alpha_avg", 0.0), alpha_std=d.get("alpha_std", 0.0),
+            alpha2=d.get("alpha2_avg", 0.0), alpha2_std=d.get("alpha2_std", 0.0),
+            omega=d.get("omega_avg", 0.0), omega_std=d.get("omega_std", 0.0),
+            omega4=d.get("omega4_avg", 0.0), omega4_std=d.get("omega4_std", 0.0),
+            o1=d["orbits"][0] - 1, o2=d["orbits"][1] - 1, dL=tuple(dL),
+            name=d.get("name", ""),
+        ))
+    mu_assign = []
+    for d in s.get("mu", []):
+        std = d.get("stddev", 0.0)
+        for orbit in d["orbit"]:
+            mu_assign.append((d["val"], std, orbit - 1))
+    spec, params = build_ssh(lattice, s["beta"], s["dtau"],
+                             hoppings=hoppings, mu_assignments=mu_assign,
+                             rng=rng, dtype=dtype)
+    return "ssh", spec, params
+
+
+def _measurement_spec(cfg: dict, model_type: str) -> tuple[MeasurementSpec, tuple]:
+    m = cfg.get("measurements", {})
+    nv = m.get("num_random_vectors", 10)
+
+    def corr_list(kinds):
+        out = []
+        for kind in kinds:
+            info = m.get(kind)
+            if info and info.get("measure", False):
+                out.append((kind, bool(info.get("time_dependent", False))))
+        return tuple(out)
+
+    # PhononGreens is on-site for Holstein (site phonons) but inter-site for
+    # SSH (bond phonons) — Measurements.jl:881-882 vs :901-902
+    onsite_kinds = ["Greens", "DenDen", "SpinSpin", "PairGreens"]
+    inter_kinds = ["BondBond", "CurrentCurrent", "BondPairGreens"]
+    (onsite_kinds if model_type == "holstein" else inter_kinds).append("PhononGreens")
+    onsite = corr_list(tuple(onsite_kinds))
+    inter = corr_list(tuple(inter_kinds))
+    snaps = tuple(k for k, v in m.get("Snapshots", {}).items() if v)
+    return MeasurementSpec(nv=nv, onsite_corr=onsite, intersite_corr=inter,
+                           snapshots=snaps), snaps
+
+
+def build_setup(cfg: dict, datafolder: str, dtype=None) -> SimulationSetup:
+    """Construct all simulation objects from a parsed config dict
+    (the role of ``process_input_file``, ProcessInputFile.jl:34-120)."""
+    import jax.numpy as jnp
+
+    if dtype is None:
+        import jax
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    assert ("hmc" in cfg) != ("langevin" in cfg), "need exactly one of [hmc]/[langevin]"
+    assert ("holstein" in cfg) != ("ssh" in cfg), "need exactly one of [holstein]/[ssh]"
+
+    sim = cfg["simulation"]
+    seed = sim.get("random_seed", np.random.SeedSequence().entropy % (2 ** 31))
+    rng = np.random.default_rng(seed)
+
+    model_type, spec, params = _build_model(cfg, rng, dtype)
+    ops = make_model_ops(spec)
+
+    # run parameters (ProcessInputFile.jl:541-567)
+    if "hmc" in cfg:
+        meas_freq = cfg["hmc"]["meas_freq"]
+        nsteps = cfg["hmc"]["simulation_updates"]
+        burnin = cfg["hmc"]["burnin_updates"]
+    else:
+        meas_freq = cfg["langevin"]["meas_freq"]
+        nsteps = cfg["langevin"]["simulation_timesteps"]
+        burnin = cfg["langevin"]["burnin_timesteps"]
+    num_bins = sim["num_bins"]
+    bin_size = (nsteps // meas_freq) // num_bins
+    sim_params = SimulationParams(
+        burnin=burnin, nsteps=nsteps, meas_freq=meas_freq, num_bins=num_bins,
+        bin_size=bin_size,
+        chckpnt_freq_s=60.0 * sim.get("checkpoint_freq", 10),
+        filepath=sim.get("filepath", "."),
+        foldername=sim.get("foldername", "run"),
+        datafolder=datafolder,
+        write_M_matrix=sim.get("write_M_matrix", False),
+        random_seed=int(seed),
+    )
+
+    # solver (+ preconditioner)
+    sol = cfg["solver"]
+    solver_cfg = SolverConfig(tol=sol.get("tol", 1e-5),
+                              maxiter=sol.get("maxiter", 1000))
+    kpm_cfg = None
+    if "preconditioner" in sol:
+        p = sol["preconditioner"]
+        kpm_cfg = KPMConfig(n_power=p.get("n", 20), buf=p.get("buf", 0.05),
+                            c1=p.get("c1", 1.0), c2=p.get("c2", 1.0))
+
+    # Fourier acceleration tables
+    fa_blocks = cfg.get("fourier_acceleration", [])
+    omega = np.asarray(params.omega) if spec.Nph > 0 else np.zeros(0)
+    fa_Q = build_Q(omega, spec.dtau, spec.Ltau, fa_blocks)
+    fa_mass = build_mass(omega, spec.dtau, spec.Ltau, fa_blocks)
+
+    # dynamics (ProcessInputFile.jl:629-704)
+    hmc_cfg = hmc_burnin_cfg = None
+    langevin_dt = langevin_method = None
+    reflect_cfg = SpecialUpdateConfig(freq=0, n_moves=0)
+    swap_cfg = SpecialUpdateConfig(freq=0, n_moves=0)
+    if "hmc" in cfg:
+        h = cfg["hmc"]
+        dynamics_type = "hmc"
+        hmc_cfg = HMCConfig(dt=h["dt"], trajectory_time=h["trajectory_time"],
+                            alpha=h.get("momentum_conservation_fraction", 0.0),
+                            Nb=h.get("num_multitimesteps", 1),
+                            tol=solver_cfg.tol, maxiter=solver_cfg.maxiter)
+        b = h.get("burnin", {})
+        hmc_burnin_cfg = HMCConfig(
+            dt=b.get("dt", h["dt"]),
+            trajectory_time=b.get("trajectory_time", h["trajectory_time"]),
+            alpha=b.get("momentum_conservation_fraction",
+                        h.get("momentum_conservation_fraction", 0.0)),
+            Nb=b.get("num_multitimesteps", h.get("num_multitimesteps", 1)),
+            tol=solver_cfg.tol, maxiter=solver_cfg.maxiter)
+        if "reflection_update" in h and model_type == "holstein":
+            reflect_cfg = SpecialUpdateConfig(
+                freq=h["reflection_update"]["freq"],
+                n_moves=h["reflection_update"]["nsites"],
+                tol=solver_cfg.tol, maxiter=solver_cfg.maxiter)
+        if "swap_update" in h:
+            swap_cfg = SpecialUpdateConfig(
+                freq=h["swap_update"]["freq"],
+                n_moves=h["swap_update"]["nbonds"],
+                tol=solver_cfg.tol, maxiter=solver_cfg.maxiter)
+    else:
+        dynamics_type = "langevin"
+        langevin_dt = cfg["langevin"]["dt"]
+        langevin_method = {1: "euler", 2: "rk", 3: "heun"}[
+            cfg["langevin"].get("update_method", 1)]
+
+    mspec, snapshots = _measurement_spec(cfg, model_type)
+
+    tune = cfg.get("tune_density")
+
+    model_cfg = cfg.get("holstein", cfg.get("ssh", {}))
+    read_phonons = (model_cfg.get("phonon_config_file")
+                    if model_cfg.get("read_phonon_config", False) else None)
+
+    return SimulationSetup(
+        ops=ops, params=params, sim_params=sim_params, model_type=model_type,
+        dynamics_type=dynamics_type, hmc_cfg=hmc_cfg, hmc_burnin_cfg=hmc_burnin_cfg,
+        langevin_dt=langevin_dt, langevin_method=langevin_method,
+        fa_Q=fa_Q, fa_mass=fa_mass, solver_cfg=solver_cfg, kpm_cfg=kpm_cfg,
+        mspec=mspec, reflect_cfg=reflect_cfg, swap_cfg=swap_cfg,
+        tune_density=tune, snapshots=snapshots, read_phonon_config=read_phonons,
+        config=cfg,
+    )

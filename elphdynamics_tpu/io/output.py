@@ -1,0 +1,167 @@
+"""Datafolder output: per-bin measurement files, phonon configs, M matrix.
+
+Mirrors the reference's datafolder layout (Measurements.jl:343-540,1175-1274):
+one folder per measurement with per-bin text files, `*_key.out` index files,
+phonon-config text dumps (HolsteinModels.jl:764-853, SSHModels.jl:838-913)
+and the optional dense-M dump (Models.jl:347-367).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from elphdynamics_tpu.models.adapter import ModelOps
+
+
+def init_measurement_folders(datafolder: str, container: dict, snapshots=()):
+    """Create the per-measurement folder tree (Measurements.jl:343-540)."""
+    os.makedirs(datafolder, exist_ok=True)
+    for name in ("global_measurements_f", "onsite_measurements_f",
+                 "intersite_measurements_f"):
+        os.makedirs(os.path.join(datafolder, name), exist_ok=True)
+    for group in ("onsite_corr", "intersite_corr"):
+        for kind in container[group]:
+            for space in ("position", "momentum"):
+                os.makedirs(os.path.join(datafolder, f"{kind}_{space}_f"), exist_ok=True)
+    susc_map = {"PairGreens": "PairSusc", "DenDen": "ChargeSusc",
+                "SpinSpin": "SpinSusc", "BondPairGreens": "BondPairSusc"}
+    for group in ("onsite_corr", "intersite_corr"):
+        for kind in container[group]:
+            if kind in susc_map and container[group][kind].shape[-1] > 1:
+                for space in ("position", "momentum"):
+                    os.makedirs(os.path.join(datafolder, f"{susc_map[kind]}_{space}_f"),
+                                exist_ok=True)
+    for snap in snapshots:
+        os.makedirs(os.path.join(datafolder, f"{snap}_snapshots_f"), exist_ok=True)
+
+
+def _flatten_reference_order(arr: np.ndarray) -> np.ndarray:
+    """[p, L1, L2, L3, T] -> flat with T fastest, then L1, L2, L3, p —
+    the reference's column-major (T,L1,L2,L3,p) iteration order
+    (Measurements.jl:1266-1271)."""
+    return np.transpose(arr, (0, 3, 2, 1, 4)).reshape(-1)
+
+
+def write_bin(datafolder: str, processed: dict, bin_index: int, model_ops: ModelOps):
+    """Write one bin of processed measurements (Measurements.jl:681-693)."""
+    b = bin_index
+    path = os.path.join(datafolder, "global_measurements_f",
+                        f"global_measurements_{b:05d}.out")
+    with open(path, "w") as f:
+        for k, v in processed["global"].items():
+            f.write(f"{k} {float(np.real(v)):.8f}\n")
+
+    path = os.path.join(datafolder, "onsite_measurements_f",
+                        f"onsite_measurements_{b:05d}.out")
+    with open(path, "w") as f:
+        f.write("measurement orbit value\n")
+        for k, v in processed["onsite"].items():
+            for o, val in enumerate(np.asarray(v)):
+                f.write(f"{k} {o + 1} {float(np.real(val)):.8f}\n")
+
+    path = os.path.join(datafolder, "intersite_measurements_f",
+                        f"intersite_measurements_{b:05d}.out")
+    with open(path, "w") as f:
+        f.write("measurement bond value\n")
+        for k, v in processed["intersite"].items():
+            for o, val in enumerate(np.asarray(v)):
+                f.write(f"{k} {o + 1} {float(np.real(val)):.8f}\n")
+
+    for group in ("onsite_corr", "intersite_corr", "onsite_susc", "intersite_susc"):
+        for kind, spaces in processed.get(group, {}).items():
+            for space, arr in spaces.items():
+                name = f"{kind}_{space}"
+                path = os.path.join(datafolder, f"{name}_f", f"{name}_{b:05d}.out")
+                a = np.asarray(arr)
+                if a.ndim == 4:  # susceptibility: [p, L1, L2, L3]
+                    flat = np.transpose(a, (0, 3, 2, 1)).reshape(-1)
+                else:
+                    flat = _flatten_reference_order(a)
+                with open(path, "w") as f:
+                    f.write(f"index {name}_real {name}_imag\n")
+                    for i, val in enumerate(flat):
+                        f.write(f"{i + 1} {val.real:.8f} {val.imag:.8f}\n")
+
+
+def write_snapshot(datafolder: str, name: str, values: np.ndarray, nmeas: int):
+    """Per-measurement snapshot dump (Measurements.jl:1349-1460)."""
+    path = os.path.join(datafolder, f"{name}_snapshots_f",
+                        f"{name}_snapshot_{nmeas:06d}.out")
+    with open(path, "w") as f:
+        f.write(f"{name}\n")
+        for v in np.asarray(values).reshape(-1):
+            f.write(f"{float(v):.8f}\n")
+
+
+# ---------------------------------------------------------------------------
+# phonon-field text IO
+# ---------------------------------------------------------------------------
+
+def write_phonons(ops: ModelOps, x, filename: str):
+    """Holstein format: 'L3 L2 L1 orbit tau x' (HolsteinModels.jl:764-808);
+    SSH format: 'type loc tau x' (SSHModels.jl:838-871)."""
+    x = np.asarray(x)
+    if ops.is_holstein:
+        lat = ops.spec.lattice
+        no = lat.unit_cell.norbits
+        with open(filename, "w") as f:
+            f.write("L3 L2 L1 orbit tau x\n")
+            for l3 in range(lat.L3):
+                for l2 in range(lat.L2):
+                    for l1 in range(lat.L1):
+                        for orbit in range(no):
+                            site = lat.loc_to_site(orbit, l1, l2, l3)
+                            for tau in range(ops.Ltau):
+                                f.write(f"{l3} {l2} {l1} {orbit + 1} {tau + 1} "
+                                        f"{x[site, tau]:.6f}\n")
+    else:
+        nph_types = max(len([d for d in ops.spec.bond_defs if d[3]]), 1)
+        per_type = ops.Nph // nph_types if ops.Nph else 0
+        with open(filename, "w") as f:
+            f.write("type loc tau x\n")
+            for ptype in range(nph_types):
+                for i in range(per_type):
+                    ph = ptype * per_type + i
+                    for tau in range(ops.Ltau):
+                        f.write(f"{ptype + 1} {i + 1} {tau + 1} {x[ph, tau]:.6f}\n")
+
+
+def read_phonons(ops: ModelOps, filename: str) -> np.ndarray:
+    """Inverse of :func:`write_phonons` (HolsteinModels.jl:813-853,
+    SSHModels.jl:876-913)."""
+    x = np.zeros((ops.Nph, ops.Ltau))
+    with open(filename) as f:
+        header = f.readline()
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if ops.is_holstein:
+                l3, l2, l1, orbit, tau = (int(p) for p in parts[:5])
+                site = ops.spec.lattice.loc_to_site(orbit - 1, l1, l2, l3)
+                x[site, tau - 1] = float(parts[5])
+            else:
+                ptype, loc, tau = (int(p) for p in parts[:3])
+                nph_types = max(len([d for d in ops.spec.bond_defs if d[3]]), 1)
+                per_type = ops.Nph // nph_types
+                x[(ptype - 1) * per_type + (loc - 1), tau - 1] = float(parts[3])
+    return x
+
+
+def write_M_matrix(ops: ModelOps, params, x, filename: str, threshold=1e-10):
+    """Densify M column-by-column and write nonzeros (Models.jl:300-367)."""
+    import jax.numpy as jnp
+
+    derived = ops.derived(params, x)
+    N, L = ops.Nsites, ops.Ltau
+    eye = jnp.eye(N * L).reshape(N * L, N, L)
+    cols = np.asarray(ops.mulM(params, derived, eye)).reshape(N * L, N * L)
+    with open(filename, "w") as f:
+        f.write("col row real imag\n")
+        for col in range(N * L):
+            colv = cols[col]
+            nz = np.nonzero(np.abs(colv) > threshold)[0]
+            for row in nz:
+                f.write(f"{col + 1} {row + 1} {colv[row]:.10f} {0.0:.10f}\n")

@@ -58,10 +58,11 @@ class MeasurementSpec:
     intersite_corr: tuple = ()
     onsite_pairs: tuple | None = None      # orbital pairs; None = all
     intersite_pairs: tuple | None = None   # bond-definition pairs; None = all
+    snapshots: tuple = ()        # subset of (density, double_occupancy, phonon_position)
 
     def __hash__(self):
         return hash((self.nv, self.onsite_corr, self.intersite_corr,
-                     self.onsite_pairs, self.intersite_pairs))
+                     self.onsite_pairs, self.intersite_pairs, self.snapshots))
 
 
 def _corr_pairs(n, explicit):
@@ -98,10 +99,15 @@ def _container_shapes(ops: ModelOps, mspec: MeasurementSpec):
         for kind, td in mspec.onsite_corr
     }
     ip = _corr_pairs(ndefs, mspec.intersite_pairs)
-    shapes["intersite_corr"] = {
-        kind: (len(ip), L1, L2, L3, (Lt + 1) if td else 1)
-        for kind, td in mspec.intersite_corr
-    }
+    shapes["intersite_corr"] = {}
+    for kind, td in mspec.intersite_corr:
+        if kind == "PhononGreens":
+            # SSH bond phonons: pairs over phonon types (Measurements.jl:2497)
+            ntypes = max(sum(1 for d in ops.spec.bond_defs if d[3]), 1)
+            npair = len(_corr_pairs(ntypes, None))
+        else:
+            npair = len(ip)
+        shapes["intersite_corr"][kind] = (npair, L1, L2, L3, (Lt + 1) if td else 1)
     return shapes
 
 
@@ -326,12 +332,48 @@ def make_measurement_step(ops: ModelOps, mspec: MeasurementSpec,
 
         # ---- inter-site correlations (:1656-2541)
         if inter_kinds:
-            inter = _intersite_correlations(
-                ops, params, x, R, MinvR, pt, inter_kinds, inter_pairs)
+            inter = {}
+            if "PhononGreens" in inter_kinds and not ops.is_holstein:
+                # SSH bond-phonon Green's function (:2488-2541)
+                td = inter_kinds["PhononGreens"]
+                ntypes = max(sum(1 for d in spec.bond_defs if d[3]), 1)
+                per_type = ops.Nph // ntypes
+                L1, L2, L3 = lat.L1, lat.L2, lat.L3
+                if per_type != lat.ncells:
+                    raise ValueError(
+                        "SSH PhononGreens needs one phonon per unit cell per "
+                        "type (bond dedup on tiny lattices breaks this — same "
+                        "contract as the reference, Measurements.jl:2508)")
+                xt = x.reshape(ntypes, per_type, Lt)
+                xt = xt.reshape(ntypes, L3, L2, L1, Lt).transpose(0, 3, 2, 1, 4)
+                ppairs = _corr_pairs(ntypes, None)
+                x1 = xt[ppairs[:, 0]].astype(jnp.complex128)
+                x2 = xt[ppairs[:, 1]].astype(jnp.complex128)
+                xx = n_pairs * G.translational_average(x2, x1)
+                if td:
+                    xx = jnp.concatenate([xx, xx[..., :1]], axis=-1)
+                else:
+                    xx = xx[..., :1]
+                inter["PhononGreens"] = xx
+            rest = {k: v for k, v in inter_kinds.items()
+                    if k != "PhononGreens" or ops.is_holstein}
+            if rest:
+                inter.update(_intersite_correlations(
+                    ops, params, x, R, MinvR, pt, rest, inter_pairs))
             out["intersite_corr"] = inter
 
+        # ---- snapshots (:1349-1460): per-site instantaneous estimates
+        snaps = {}
+        if "density" in mspec.snapshots or "double_occupancy" in mspec.snapshots:
+            Gsite = jnp.mean(Gdiag, axis=(0, -1))      # per-site ⟨c c†⟩
+            if "density" in mspec.snapshots:
+                snaps["density"] = 2.0 * (1.0 - Gsite)
+            if "double_occupancy" in mspec.snapshots:
+                snaps["double_occupancy"] = (1.0 - Gsite) ** 2
+        if "phonon_position" in mspec.snapshots:
+            snaps["phonon_position"] = jnp.mean(x, axis=-1)
         stats = {"iters": gd.iters, "flag": gd.flag}
-        return out, stats, key
+        return out, stats, snaps, key
 
     return step
 

@@ -310,10 +310,13 @@ def muldMdx(spec: SSHSpec, p: SSHParams, coeffs, x, u, v):
     """
     cosh_b, sinh_b = coeffs
     x = jnp.asarray(x)
+    u = jnp.asarray(u)
+    v = jnp.asarray(v)
     b = exp_mu(spec, p) * jnp.roll(v, 1, axis=-1)
     c = ckb_transpose_mul(spec.ckb, cosh_b, sinh_b, u)
 
-    out = jnp.zeros(x.shape[:-2] + (spec.Nph, spec.Ltau), dtype=x.dtype)
+    batch = jnp.broadcast_shapes(x.shape[:-2], u.shape[:-2], v.shape[:-2])
+    out = jnp.zeros(batch + (spec.Nph, spec.Ltau), dtype=x.dtype)
     sgn = -_tau_sign_first(spec.Ltau, x.dtype)
     ckb = spec.ckb
     for g in range(ckb.ngroups):

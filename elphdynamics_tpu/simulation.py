@@ -1,0 +1,336 @@
+"""Top-level simulation driver.
+
+Reference: ElPhDynamics.jl (``simulate``, :71-136) + RunSimulation.jl. One
+call runs: config → datafolder naming (auto-incrementing ``-<id>`` suffix,
+:166-186) → new-run vs resume dispatch (:102) → thermalize → sample →
+measure → bin → write, with wall-clock checkpointing and timing stats →
+summary.
+
+Differences from the reference forced by the TPU execution model:
+
+* the sampler update, measurement sweep, special updates and bin
+  post-processing are each ONE jitted program; the Python loop only
+  orchestrates and does file IO;
+* optional ``n_chains`` runs multiple independent Markov chains batched on
+  the device (vmapped step) — the TPU-native version of the reference's
+  launch-N-processes fleet story (ElPhDynamics.jl:90-95). Measurements
+  average over chains within each bin.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from elphdynamics_tpu.dynamics.hmc import HMCState, make_hmc_step
+from elphdynamics_tpu.dynamics.init_phonons import init_phonons_half_filled
+from elphdynamics_tpu.dynamics.langevin import make_langevin_step
+from elphdynamics_tpu.dynamics.special_updates import (
+    make_reflection_update,
+    make_swap_update,
+)
+from elphdynamics_tpu.io import checkpoint as ckpt
+from elphdynamics_tpu.io import output as out_io
+from elphdynamics_tpu.io.config import SimulationSetup, build_setup, load_toml
+from elphdynamics_tpu.io.summary import write_summary
+from elphdynamics_tpu.measure.measurements import (
+    make_measurement_step,
+    process_bin,
+    zero_container,
+)
+from elphdynamics_tpu.measure.mufinder import MuTuner
+from elphdynamics_tpu.models.adapter import make_model_ops
+from elphdynamics_tpu.ops import kpm
+
+logger = logging.getLogger("elphdynamics_tpu")
+
+
+def name_datafolder(filepath: str, foldername: str, run_id: int | None = None) -> str:
+    """Auto-incrementing ``<foldername>-<id>`` naming (ElPhDynamics.jl:166-186).
+    An existing folder WITH a checkpoint is reused (resume); otherwise the id
+    increments past every existing folder."""
+    if run_id is not None:
+        return os.path.join(filepath, f"{foldername}-{run_id}")
+    i = 1
+    while True:
+        cand = os.path.join(filepath, f"{foldername}-{i}")
+        if not os.path.isdir(cand) or ckpt.has_checkpoint(cand):
+            return cand
+        i += 1
+
+
+def simulate(config, run_id: int | None = None, n_chains: int = 1) -> dict:
+    """Run a full simulation from a TOML path or parsed config dict
+    (the reference CLI entry, ElPhDynamics.jl:68-136)."""
+    if isinstance(config, str):
+        cfg = load_toml(config)
+    else:
+        cfg = dict(config)
+    sim = cfg["simulation"]
+    datafolder = name_datafolder(sim.get("filepath", "."), sim["foldername"], run_id)
+    setup = build_setup(cfg, datafolder)
+    os.makedirs(datafolder, exist_ok=True)
+
+    # run log (ProcessInputFile.jl:574-583)
+    handler = logging.FileHandler(os.path.join(
+        datafolder, f"{setup.sim_params.foldername}.log"))
+    handler.setFormatter(logging.Formatter("%(asctime)s %(levelname)s %(message)s"))
+    logger.addHandler(handler)
+    logger.setLevel(logging.INFO)
+    try:
+        import elphdynamics_tpu
+        logger.info("elphdynamics_tpu version: %s", elphdynamics_tpu.__version__)
+        logger.info("Random Seed: %d", setup.sim_params.random_seed)
+        logger.info("Devices: %s", jax.devices())
+        return _run(setup, n_chains)
+    finally:
+        logger.removeHandler(handler)
+
+
+def _run(setup: SimulationSetup, n_chains: int) -> dict:
+    ops = setup.ops
+    params = setup.params
+    sp = setup.sim_params
+    datafolder = sp.datafolder
+    resume = ckpt.has_checkpoint(datafolder)
+
+    # ---- preconditioner
+    precond = None
+    if setup.kpm_cfg is not None:
+        precond = kpm.make_symmetric_precond(ops, setup.kpm_cfg)
+
+    # ---- step functions
+    if setup.dynamics_type == "hmc":
+        sim_step = make_hmc_step(ops, setup.fa_mass, setup.hmc_cfg, precond)
+        burnin_step = make_hmc_step(ops, setup.fa_mass, setup.hmc_burnin_cfg, precond)
+    else:
+        lstep = make_langevin_step(ops, setup.fa_Q, setup.langevin_dt,
+                                   setup.langevin_method, setup.solver_cfg, precond)
+
+        def _wrap(params, state, key):
+            x, stats, key = lstep(params, state.x, key)
+            hstats = type("S", (), {})
+            return HMCState(x=x, v=state.v), \
+                {"accepted": jnp.asarray(True), "iters": stats.iters,
+                 "flag": stats.flag}, key
+
+        def _to_dict(stats):
+            return stats
+
+        sim_step = burnin_step = _wrap
+
+    mstep = make_measurement_step(ops, setup.mspec, setup.solver_cfg, precond)
+    reflect = make_reflection_update(ops, setup.reflect_cfg, precond)
+    swap = make_swap_update(ops, setup.swap_cfg, precond)
+
+    def _stats_of(s):
+        if isinstance(s, dict):
+            return s["accepted"], s["iters"], s["flag"]
+        return s.accepted, s.iters, s.flag
+
+    if n_chains > 1:
+        sim_step_j = jax.jit(jax.vmap(sim_step, in_axes=(None, 0, 0)))
+        burnin_step_j = jax.jit(jax.vmap(burnin_step, in_axes=(None, 0, 0)))
+        mstep_j = jax.jit(jax.vmap(mstep, in_axes=(None, 0, 0)))
+        reflect_j = jax.jit(jax.vmap(reflect, in_axes=(None, 0, 0)))
+        swap_j = jax.jit(jax.vmap(swap, in_axes=(None, 0, 0)))
+    else:
+        sim_step_j = jax.jit(sim_step)
+        burnin_step_j = jax.jit(burnin_step)
+        mstep_j = jax.jit(mstep)
+        reflect_j = jax.jit(reflect)
+        swap_j = jax.jit(swap)
+
+    # ---- state init / resume (ProcessInputFile.jl:122-177)
+    sim_stats = {
+        "simulation_time": 0.0, "measurement_time": 0.0, "write_time": 0.0,
+        "iters": 0.0, "acceptance_rate": 0.0,
+        "reflect_acceptance_rate": 0.0, "swap_acceptance_rate": 0.0,
+    }
+    container = zero_container(ops, setup.mspec)
+    mu_tuner = MuTuner(
+        active=setup.tune_density is not None,
+        init_mu=float(jnp.mean(params.mu)),
+        target_N=(setup.tune_density or {}).get("density", 1.0) * ops.Nsites,
+        N=ops.Nsites, beta=ops.beta, dtau=ops.dtau,
+        forgetful_c=(setup.tune_density or {}).get("memory", 0.75),
+        kappa_min=(setup.tune_density or {}).get("kappa_min", 0.1) * ops.Nsites,
+        logfile=os.path.join(datafolder, "mu_tuner_log.out"),
+    )
+    key = jax.random.PRNGKey(sp.random_seed)
+    burnin_start, sim_start = 0, 0
+
+    if resume:
+        st = ckpt.load_checkpoint(datafolder)
+        x = jnp.asarray(st["x"])
+        v = jnp.asarray(st["v"])
+        key = jnp.asarray(st["key"])
+        container = jax.tree.map(jnp.asarray, st["container"])
+        params = type(params)(**{k: (jnp.asarray(st["params"][k])
+                                     if k in st["params"] else getattr(params, k))
+                                 for k in params._fields})
+        sim_stats.update(st["sim_stats"])
+        mu_tuner.load_state_dict(st["mu_tuner"])
+        burnin_start = st["counters"]["burnin_start"]
+        sim_start = st["counters"]["sim_start"]
+        logger.info("resumed from checkpoint: burnin_start=%d sim_start=%d",
+                    burnin_start, sim_start)
+    else:
+        if setup.read_phonon_config:
+            x0 = jnp.asarray(out_io.read_phonons(ops, setup.read_phonon_config))
+        else:
+            x0, key = init_phonons_half_filled(ops, params, key)
+        if n_chains > 1:
+            keys = jax.random.split(key, n_chains + 1)
+            key = keys[0]
+            xs = []
+            for i in range(n_chains):
+                xi, _ = init_phonons_half_filled(ops, params, keys[i + 1])
+                xs.append(xi)
+            x = jnp.stack(xs) if not setup.read_phonon_config else jnp.broadcast_to(
+                x0, (n_chains,) + x0.shape).copy()
+        else:
+            x = x0
+        v = jnp.zeros_like(x)
+        out_io.init_measurement_folders(datafolder, container, setup.snapshots)
+
+    if n_chains > 1 and key.ndim == 1:
+        chain_keys = jax.random.split(key, n_chains)
+    else:
+        chain_keys = key
+
+    state = HMCState(x=x, v=v)
+    t_ckpt = time.time()
+
+    def maybe_checkpoint(bstart, sstart, force=False):
+        nonlocal t_ckpt
+        if force or (time.time() - t_ckpt) > sp.chckpnt_freq_s:
+            t0 = time.time()
+            ckpt.save_checkpoint(
+                datafolder, x=state.x, v=state.v, key=chain_keys, params=params,
+                container=container,
+                counters={"burnin_start": bstart, "sim_start": sstart},
+                sim_stats=sim_stats, mu_tuner_state=mu_tuner.state_dict())
+            sim_stats["write_time"] += time.time() - t0
+            t_ckpt = time.time()
+
+    def apply_mu(params, new_mu):
+        delta = new_mu - float(jnp.mean(params.mu))
+        return params._replace(mu=params.mu + delta)
+
+    def do_special(params, state, keys, stats_key_r, stats_key_s, n):
+        nonlocal sim_stats
+        if setup.reflect_cfg.n_moves and setup.reflect_cfg.freq and \
+                n % setup.reflect_cfg.freq == 0:
+            t0 = time.time()
+            xn, acc, keys = reflect_j(params, state.x, keys)
+            state = HMCState(x=xn, v=state.v)
+            sim_stats["simulation_time"] += time.time() - t0
+            sim_stats["reflect_acceptance_rate"] += float(jnp.mean(acc))
+        if setup.swap_cfg.n_moves and setup.swap_cfg.freq and \
+                n % setup.swap_cfg.freq == 0:
+            t0 = time.time()
+            xn, acc, keys = swap_j(params, state.x, keys)
+            state = HMCState(x=xn, v=state.v)
+            sim_stats["simulation_time"] += time.time() - t0
+            sim_stats["swap_acceptance_rate"] += float(jnp.mean(acc))
+        return state, keys
+
+    mu_update_freq = max(sp.meas_freq, 1)
+
+    # ---- thermalization (RunSimulation.jl:171-204)
+    for n in range(burnin_start, sp.burnin):
+        maybe_checkpoint(n, 0)
+        t0 = time.time()
+        state, stats, chain_keys = burnin_step_j(params, state, chain_keys)
+        acc, iters, flag = _stats_of(stats)
+        sim_stats["simulation_time"] += time.time() - t0
+        sim_stats["iters"] += float(jnp.mean(iters))
+        sim_stats["acceptance_rate"] += float(jnp.mean(acc))
+        state, chain_keys = do_special(params, state, chain_keys, None, None, n + 1)
+        if mu_tuner.active and (n + 1) % mu_update_freq == 0:
+            t0 = time.time()
+            inc, mstats, snaps, chain_keys = mstep_j(params, state.x, chain_keys)
+            npairs = setup.mspec.nv * (setup.mspec.nv - 1) // 2
+            Nm = float(jnp.mean(inc["global"]["density"])) / npairs * ops.Nsites
+            N2m = float(jnp.mean(inc["global"]["Nsqr"])) / npairs
+            new_mu = mu_tuner.update(Nm, N2m)
+            params = apply_mu(params, new_mu)
+            sim_stats["simulation_time"] += time.time() - t0
+
+    # ---- sampling + measurements (RunSimulation.jl:214-280)
+    nbins_written = sim_start * 0
+    for n in range(sim_start, sp.nsteps):
+        maybe_checkpoint(sp.burnin, n)
+        t0 = time.time()
+        state, stats, chain_keys = sim_step_j(params, state, chain_keys)
+        acc, iters, flag = _stats_of(stats)
+        sim_stats["simulation_time"] += time.time() - t0
+        sim_stats["iters"] += float(jnp.mean(iters))
+        sim_stats["acceptance_rate"] += float(jnp.mean(acc))
+        state, chain_keys = do_special(params, state, chain_keys, None, None, n + 1)
+
+        if (n + 1) % sp.meas_freq == 0:
+            nmeas = (n + 1) // sp.meas_freq
+            t0 = time.time()
+            inc, mstats, snaps, chain_keys = mstep_j(params, state.x, chain_keys)
+            if n_chains > 1:
+                inc = jax.tree.map(lambda a: jnp.mean(a, axis=0), inc)
+            container = jax.tree.map(lambda a, b: a + b, container,
+                                     {k: inc[k] for k in container})
+            sim_stats["measurement_time"] += time.time() - t0
+            if mu_tuner.active:
+                npairs = setup.mspec.nv * (setup.mspec.nv - 1) // 2
+                Nm = float(jnp.mean(inc["global"]["density"])) / npairs * ops.Nsites
+                N2m = float(jnp.mean(inc["global"]["Nsqr"])) / npairs
+                params = apply_mu(params, mu_tuner.update(Nm, N2m))
+            # snapshots
+            t0 = time.time()
+            for sname, svals in (snaps or {}).items():
+                vals = np.asarray(svals)
+                if n_chains > 1:
+                    vals = vals.mean(axis=0)
+                out_io.write_snapshot(datafolder, sname, vals, nmeas)
+            sim_stats["write_time"] += time.time() - t0
+
+            if nmeas % sp.bin_size == 0:
+                bin_idx = nmeas // sp.bin_size
+                t0 = time.time()
+                processed = process_bin(ops, setup.mspec, container, sp.bin_size)
+                processed = jax.tree.map(np.asarray, processed)
+                sim_stats["measurement_time"] += time.time() - t0
+                t0 = time.time()
+                out_io.write_bin(datafolder, processed, bin_idx, ops)
+                sim_stats["write_time"] += time.time() - t0
+                container = zero_container(ops, setup.mspec)
+                maybe_checkpoint(sp.burnin, n + 1, force=True)
+
+    # ---- finalize (RunSimulation.jl:282-306; SimulationSummary.jl:23-140)
+    total = sp.burnin + sp.nsteps
+    sim_stats["iters"] /= max(total, 1)
+    sim_stats["acceptance_rate"] /= max(total, 1)
+    for kname, scfg in (("reflect_acceptance_rate", setup.reflect_cfg),
+                        ("swap_acceptance_rate", setup.swap_cfg)):
+        if scfg.n_moves and scfg.freq:
+            napplied = sp.burnin // scfg.freq + sp.nsteps // scfg.freq
+            sim_stats[kname] /= max(napplied, 1)
+    for k in ("simulation_time", "measurement_time", "write_time"):
+        sim_stats[k + "_min"] = sim_stats[k] / 60.0
+
+    maybe_checkpoint(sp.burnin, sp.nsteps, force=True)
+
+    x_final = state.x if n_chains == 1 else state.x[0]
+    out_io.write_phonons(ops, x_final,
+                         os.path.join(datafolder, "final_phonon_config.out"))
+    if sp.write_M_matrix:
+        out_io.write_M_matrix(ops, params, x_final,
+                              os.path.join(datafolder, "M_matrix.out"))
+    mu_tuner.estimate_mu()
+    write_summary(setup, sim_stats, mu_tuner)
+    logger.info("simulation complete: %s", sim_stats)
+    return sim_stats

@@ -97,7 +97,7 @@ def test_density_and_doubleocc_unbiased():
     acc = zero_container(ops, mspec)
     nsweeps = 10
     for _ in range(nsweeps):
-        inc, stats, key = step(params, x, key)
+        inc, stats, snaps, key = step(params, x, key)
         acc = jax.tree.map(lambda a, b: a + b, acc,
                            {k: inc[k] for k in acc})
     res = process_bin(ops, mspec, acc, bin_size=nsweeps)
@@ -133,7 +133,7 @@ def test_el_ke_unbiased():
     acc = zero_container(ops, mspec)
     nsweeps = 6
     for _ in range(nsweeps):
-        inc, stats, key = step(params, x, key)
+        inc, stats, snaps, key = step(params, x, key)
         acc = jax.tree.map(lambda a, b: a + b, acc, {k: inc[k] for k in acc})
     res = process_bin(ops, mspec, acc, bin_size=nsweeps)
     assert abs(float(res["intersite"]["el_ke"][0]) - want) < 0.1, (
@@ -148,7 +148,7 @@ def test_correlation_containers_and_susceptibility_shapes():
                      ("PairGreens", True), ("PhononGreens", True)),
     )
     step = make_measurement_step(ops, mspec, SolverConfig(tol=1e-8, maxiter=2000))
-    inc, stats, _ = step(params, x, jax.random.PRNGKey(3))
+    inc, stats, snaps, _ = step(params, x, jax.random.PRNGKey(3))
     L1, Lt = spec.lattice.L1, spec.Ltau
     for kind in ("Greens", "DenDen", "SpinSpin", "PairGreens", "PhononGreens"):
         assert inc["onsite_corr"][kind].shape == (1, L1, 1, 1, Lt + 1), kind
@@ -170,7 +170,7 @@ def test_greens_correlation_matches_exact():
 
     mspec = MeasurementSpec(nv=200, onsite_corr=(("Greens", True),))
     step = make_measurement_step(ops, mspec, SolverConfig(tol=1e-10, maxiter=3000))
-    inc, stats, _ = step(params, x, jax.random.PRNGKey(4))
+    inc, stats, snaps, _ = step(params, x, jax.random.PRNGKey(4))
     res = process_bin(ops, mspec, inc, bin_size=1)
     got = np.asarray(res["onsite_corr"]["Greens"]["position"])[0]  # [L1,1,1,Lt+1]
     want = want6[0, 0][..., :spec.Ltau]

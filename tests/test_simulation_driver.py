@@ -1,0 +1,123 @@
+"""End-to-end driver test: run a tiny simulation from a config dict, check
+the datafolder layout, the summary, and checkpoint/resume."""
+
+import copy
+import os
+
+import numpy as np
+import pytest
+
+from elphdynamics_tpu.simulation import simulate, name_datafolder
+
+BASE_CFG = {
+    "lattice": {
+        "ndim": 2, "norbits": 1,
+        "lattice_vectors": [[1.0, 0.0], [0.0, 1.0]],
+        "basis_vectors": [[0.0, 0.0]],
+        "L": 2,
+    },
+    "holstein": {
+        "beta": 1.0, "dtau": 0.1,
+        "t": [{"val": 1.0, "orbit": [1, 1], "dL": [1, 0, 0]},
+              {"val": 1.0, "orbit": [1, 1], "dL": [0, 1, 0]}],
+        "omega": [{"orbit": [1], "val": 1.0}],
+        "lambda": [{"orbit": [1], "val": 0.8}],
+        "mu": [{"orbit": [1], "val": 0.0}],
+        "omega4": [{"orbit": [1], "val": 0.0}],
+    },
+    "fourier_acceleration": [{"omega_min": 0.0, "omega_max": 10.0, "mass": 0.5}],
+    "hmc": {
+        "num_multitimesteps": 4, "burnin_updates": 4, "simulation_updates": 8,
+        "trajectory_time": 0.4, "dt": 0.1, "meas_freq": 2,
+        "momentum_conservation_fraction": 0.0,
+        "reflection_update": {"freq": 2, "nsites": 2},
+        "swap_update": {"freq": 2, "nbonds": 2},
+    },
+    "simulation": {
+        "filepath": ".", "foldername": "testrun", "num_bins": 2,
+        "random_seed": 7, "write_M_matrix": True,
+    },
+    "solver": {
+        "type": "CG", "tol": 1e-5, "maxiter": 2000,
+        "preconditioner": {"n": 10, "buf": 0.05, "c1": 1.0, "c2": 1.0},
+    },
+    "measurements": {
+        "num_random_vectors": 4,
+        "Greens": {"measure": True, "time_dependent": True},
+        "PhononGreens": {"measure": True, "time_dependent": True},
+        "DenDen": {"measure": True, "time_dependent": True},
+        "SpinSpin": {"measure": True, "time_dependent": False},
+        "PairGreens": {"measure": True, "time_dependent": True},
+        "Snapshots": {"density": True, "phonon_position": True},
+    },
+}
+
+
+def test_simulate_end_to_end(tmp_path):
+    cfg = copy.deepcopy(BASE_CFG)
+    cfg["simulation"]["filepath"] = str(tmp_path)
+    stats = simulate(cfg)
+    folder = os.path.join(str(tmp_path), "testrun-1")
+    assert os.path.isdir(folder)
+    # summary + stats
+    assert os.path.isfile(os.path.join(folder, "testrun_summary.out"))
+    txt = open(os.path.join(folder, "testrun_summary.out")).read()
+    assert "acceptance_rate" in txt and "density" in txt and "compressibility" in txt
+    # bins
+    for b in (1, 2):
+        assert os.path.isfile(os.path.join(
+            folder, "global_measurements_f", f"global_measurements_{b:05d}.out"))
+        assert os.path.isfile(os.path.join(
+            folder, "Greens_position_f", f"Greens_position_{b:05d}.out"))
+        assert os.path.isfile(os.path.join(
+            folder, "Greens_momentum_f", f"Greens_momentum_{b:05d}.out"))
+    # susceptibilities
+    assert os.path.isfile(os.path.join(folder, "PairSusc_position_f",
+                                       "PairSusc_position_00002.out"))
+    assert os.path.isfile(os.path.join(folder, "ChargeSusc_position_stats.out"))
+    # checkpoint, phonons, M matrix, snapshots, mu log
+    assert os.path.isfile(os.path.join(folder, "checkpoint.npz"))
+    assert os.path.isfile(os.path.join(folder, "final_phonon_config.out"))
+    assert os.path.isfile(os.path.join(folder, "M_matrix.out"))
+    assert os.path.isfile(os.path.join(folder, "density_snapshots_f",
+                                       "density_snapshot_000004.out"))
+    assert stats["acceptance_rate"] > 0.2
+    # auto-increment naming: the existing (finished) folder has a checkpoint,
+    # so the same name resolves to resume
+    assert name_datafolder(str(tmp_path), "testrun") == folder
+
+
+def test_simulate_langevin_and_mutuner(tmp_path):
+    cfg = copy.deepcopy(BASE_CFG)
+    cfg["simulation"]["filepath"] = str(tmp_path)
+    cfg.pop("hmc")
+    cfg["langevin"] = {
+        "burnin_timesteps": 4, "simulation_timesteps": 8, "meas_freq": 2,
+        "dt": 0.01, "update_method": 2,
+    }
+    cfg["tune_density"] = {"density": 1.0, "memory": 0.5, "kappa_min": 0.1}
+    stats = simulate(cfg)
+    folder = os.path.join(str(tmp_path), "testrun-1")
+    assert os.path.isfile(os.path.join(folder, "mu_tuner_log.out"))
+    lines = open(os.path.join(folder, "mu_tuner_log.out")).readlines()
+    assert len(lines) > 2
+
+
+def test_simulate_ssh_driver(tmp_path):
+    cfg = copy.deepcopy(BASE_CFG)
+    cfg["simulation"]["filepath"] = str(tmp_path)
+    cfg["lattice"]["L"] = 3  # avoid bond dedup (one phonon per cell per type)
+    cfg.pop("holstein")
+    cfg["ssh"] = {
+        "beta": 1.0, "dtau": 0.1,
+        "hopping": [{"t_avg": 1.0, "alpha_avg": 0.2, "omega_avg": 0.5,
+                     "orbits": [1, 1], "dL": [1, 0, 0], "name": "x"}],
+        "mu": [{"orbit": [1], "val": 0.0}],
+    }
+    cfg["hmc"].pop("reflection_update")
+    cfg["simulation"]["write_M_matrix"] = False
+    stats = simulate(cfg)
+    folder = os.path.join(str(tmp_path), "testrun-1")
+    assert os.path.isfile(os.path.join(folder, "testrun_summary.out"))
+    txt = open(os.path.join(folder, "testrun_summary.out")).read()
+    assert "el_ke" in txt and "sign_switch" in txt
