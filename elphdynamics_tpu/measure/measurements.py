@@ -111,8 +111,11 @@ def _container_shapes(ops: ModelOps, mspec: MeasurementSpec):
     return shapes
 
 
-def zero_container(ops: ModelOps, mspec: MeasurementSpec, dtype=jnp.float64):
+def zero_container(ops: ModelOps, mspec: MeasurementSpec, dtype=None):
     shapes = _container_shapes(ops, mspec)
+    if dtype is None:
+        from elphdynamics_tpu.utils.dtypes import default_real_dtype
+        dtype = default_real_dtype()
     cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
 
     def mk(group, complex_valued):
@@ -380,13 +383,24 @@ def make_measurement_step(ops: ModelOps, mspec: MeasurementSpec,
 
 def _intersite_correlations(ops, params, x, R, MinvR, pt, kinds, pairs):
     """Bond-pair correlation functions (BondBond, CurrentCurrent,
-    BondPairGreens, SSH PhononGreens). Implemented in a follow-up commit —
-    structured like the on-site path: per-(i,j)-vector-pair shifted products
-    + batched translational averages."""
-    raise NotImplementedError(
-        "intersite correlation functions land with the next milestone; "
-        "disable BondBond/CurrentCurrent/BondPairGreens in [measurements]"
-    )
+    BondPairGreens) — see measure/intersite_corr.py."""
+    from elphdynamics_tpu.measure import intersite_corr as IC
+
+    nv = R.shape[0]
+    n_pairs = nv * (nv - 1) // 2
+    bf = IC.BondFields(ops.spec.lattice, R, MinvR, G.pair_indices(nv))
+    bond_pairs = [tuple(p) for p in np.asarray(pairs)]
+    out = {}
+    if "BondBond" in kinds:
+        out["BondBond"] = IC.measure_bondbond(ops, pt, bf, bond_pairs,
+                                              kinds["BondBond"])
+    if "CurrentCurrent" in kinds:
+        out["CurrentCurrent"] = IC.measure_currentcurrent(
+            ops, params, x, pt, bf, bond_pairs, kinds["CurrentCurrent"])
+    if "BondPairGreens" in kinds:
+        out["BondPairGreens"] = IC.measure_bondpairgreens(
+            ops, pt, bf, bond_pairs, kinds["BondPairGreens"], n_pairs)
+    return out
 
 
 # ---------------------------------------------------------------------------

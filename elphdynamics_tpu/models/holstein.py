@@ -105,7 +105,7 @@ def build_holstein(
     wij_assignments=(),    # iterable of (w, stddev, sign, o1, o2, (dL,))
     per_orbit: dict | None = None,
     rng: np.random.Generator | None = None,
-    dtype=jnp.float64,
+    dtype=None,
 ) -> tuple[HolsteinSpec, HolsteinParams]:
     """Construct a Holstein model spec + parameter pytree.
 
@@ -117,6 +117,9 @@ def build_holstein(
     """
     rng = rng or np.random.default_rng(0)
     N = lattice.nsites
+    if dtype is None:
+        from elphdynamics_tpu.utils.dtypes import default_real_dtype
+        dtype = default_real_dtype()
     Ltau = int(round(beta / dtau))
 
     def _assign(base, std, name):

@@ -99,11 +99,14 @@ def build_ssh(
                   #                    o1, o2, dL, name
     mu_assignments=(),  # iterable of (mu, std, orbit or None-for-all)
     rng: np.random.Generator | None = None,
-    dtype=jnp.float64,
+    dtype=None,
 ) -> tuple[SSHSpec, SSHParams]:
     """Construct the SSH model (mirrors ``initialize_model!``, SSHModels.jl:348-505)."""
     rng = rng or np.random.default_rng(0)
     N = lattice.nsites
+    if dtype is None:
+        from elphdynamics_tpu.utils.dtypes import default_real_dtype
+        dtype = default_real_dtype()
     Ltau = int(round(beta / dtau))
 
     mu_v = np.zeros(N)

@@ -1,0 +1,75 @@
+"""Multi-chip parallelism: independent Markov chains over a device mesh.
+
+The reference has NO distributed execution — parallelism across chains is N
+separate OS processes writing to different datafolders
+(ElPhDynamics.jl:90-95,166-186). The TPU-native replacement (SURVEY §5):
+
+* a 1-D ``jax.sharding.Mesh`` with axis ``"chain"``;
+* sampler state carries a leading chain axis sharded over that axis
+  (pure data parallelism: zero communication in the hot loop — each chain's
+  CG/FFT/checkerboard work is chip-local);
+* model parameters are replicated;
+* metric reductions (acceptance, iteration counts, measurement averages)
+  are the only cross-chip collectives, inserted automatically by XLA when
+  the jitted step reduces over the chain axis.
+
+Chains-per-chip > 1 is encouraged: the per-chain working set (a few
+[N, Lτ] fields) is far below VMEM/HBM limits, and batching chains turns the
+bandwidth-bound checkerboard/elementwise work into larger fused kernels.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def chain_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """A 1-D mesh over all (or the first n) devices with axis ``chain``."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), axis_names=("chain",))
+
+
+def shard_chain_tree(mesh: Mesh, tree):
+    """Place a pytree with leading chain axes onto the mesh."""
+    sharding = NamedSharding(mesh, P("chain"))
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)
+
+
+def replicate(mesh: Mesh, tree):
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)
+
+
+def init_chain_states(ops, params, key, n_chains: int, init_fn):
+    """Stack ``n_chains`` independent initial states ``init_fn(key) -> x``."""
+    keys = jax.random.split(key, n_chains)
+    xs = [init_fn(k) for k in keys]
+    return jnp.stack(xs), keys
+
+
+def make_sharded_chain_step(mesh: Mesh, step: Callable):
+    """Jit a per-chain step ``(params, state, key) -> (state, stats, key)``
+    as a chain-sharded SPMD program.
+
+    The state/keys carry a leading chain axis sharded over ``mesh``; params
+    are replicated. Compiled once; XLA partitions the vmapped body with no
+    collectives inside the trajectory.
+    """
+    chain = NamedSharding(mesh, P("chain"))
+    vstep = jax.vmap(step, in_axes=(None, 0, 0))
+
+    def sharded(params, states, keys):
+        states = jax.tree.map(
+            lambda a: jax.lax.with_sharding_constraint(a, chain), states)
+        keys = jax.lax.with_sharding_constraint(keys, chain)
+        return vstep(params, states, keys)
+
+    return jax.jit(sharded)
