@@ -1,0 +1,38 @@
+"""CLI entry point.
+
+The reference is driven as
+``julia -O3 -e "using ElPhDynamics; simulate(ARGS)" -- input.toml [run_id]``
+(ElPhDynamics.jl:68-69); the equivalent here is
+
+    python -m elphdynamics_tpu input.toml [run_id] [--chains N] [--x64]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main():
+    ap = argparse.ArgumentParser(prog="elphdynamics_tpu")
+    ap.add_argument("input", help="TOML input file (reference-compatible schema)")
+    ap.add_argument("run_id", nargs="?", type=int, default=None,
+                    help="datafolder suffix id (auto-incremented if omitted)")
+    ap.add_argument("--chains", type=int, default=1,
+                    help="independent Markov chains batched on device")
+    ap.add_argument("--x64", action="store_true",
+                    help="enable float64 (CPU parity mode; TPU runs f32)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+
+    from elphdynamics_tpu.simulation import simulate
+
+    stats = simulate(args.input, run_id=args.run_id, n_chains=args.chains)
+    print(stats)
+
+
+if __name__ == "__main__":
+    main()

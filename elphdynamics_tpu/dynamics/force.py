@@ -16,13 +16,12 @@ import jax
 import jax.numpy as jnp
 
 from elphdynamics_tpu import solvers
+from elphdynamics_tpu.dynamics.solve import (  # noqa: F401  (re-exported)
+    SolverConfig,
+    resolve_precond,
+    solve_minv,
+)
 from elphdynamics_tpu.models.adapter import ModelOps
-
-
-class SolverConfig(NamedTuple):
-    tol: float = 1e-5
-    maxiter: int = 1000
-    kappa_max: float = 1e12
 
 
 class ForceResult(NamedTuple):
@@ -32,14 +31,11 @@ class ForceResult(NamedTuple):
 
 
 def _apply_P(precond, params, x):
-    """Resolve a (setup_fn, apply_fn) preconditioner pair into an apply
-    closure for the current phonon configuration (reference cadence:
-    ``setup!`` before every force solve, LangevinDynamics.jl:364)."""
-    if precond is None:
-        return None
-    setup_fn, apply_fn = precond
-    st = setup_fn(params, x)
-    return lambda v: apply_fn(st, v)
+    """Backward-compatible resolver: returns the *symmetric* preconditioner
+    apply closure (reference cadence: ``setup!`` before every force solve,
+    LangevinDynamics.jl:364)."""
+    pa = resolve_precond(precond, params, x)
+    return pa.symmetric if pa else None
 
 
 def fermionic_force(
@@ -49,19 +45,11 @@ def fermionic_force(
     derived,
     g,
     scfg: SolverConfig,
-    apply_P: Callable | None = None,
+    pa=None,
 ):
     """−2·gᵀ·[∂M/∂x]·M⁻¹g given the Gaussian vector ``g``
-    (LangevinDynamics.jl:350-384, CG branch)."""
-    rhs = ops.mulMT(params, derived, g)
-    sol = solvers.solve_checked(
-        lambda v: ops.mulMTM(params, derived, v),
-        rhs,
-        apply_P=apply_P,
-        tol=scfg.tol,
-        maxiter=scfg.maxiter,
-        kappa_max=scfg.kappa_max,
-    )
+    (LangevinDynamics.jl:350-384; solver-kind dispatch per Models.jl)."""
+    sol = solve_minv(ops, params, derived, g, scfg, pa)
     dSf = -2.0 * ops.muldMdx(params, derived, x, g, sol.x)
     return ForceResult(dSdx=dSf, iters=sol.iters, flag=sol.flag)
 
@@ -76,10 +64,11 @@ def total_force(
     shifted: bool = True,
 ):
     """∂S/∂x = ∂Sb/∂x − 2gᵀ[∂M/∂x]M⁻¹g with a fresh Gaussian g
-    (LangevinDynamics.jl:334-345). ``precond`` is a (setup, apply) pair."""
+    (LangevinDynamics.jl:334-345). ``precond`` is a (setup, applies...) tuple."""
     derived = ops.derived(params, x)
     key, kg = jax.random.split(key)
     g = jax.random.normal(kg, x.shape[:-2] + (ops.Nsites, ops.Ltau), dtype=x.dtype)
-    fres = fermionic_force(ops, params, x, derived, g, scfg, _apply_P(precond, params, x))
+    pa = resolve_precond(precond, params, x)
+    fres = fermionic_force(ops, params, x, derived, g, scfg, pa)
     dSdx = fres.dSdx + ops.calc_dSbdx(params, x, shifted)
     return ForceResult(dSdx=dSdx, iters=fres.iters, flag=fres.flag), key

@@ -45,6 +45,8 @@ class HMCConfig(NamedTuple):
     tol: float = 1e-5
     maxiter: int = 1000
     kappa_max: float = 1e12
+    solver_kind: str = "cg"  # "cg" | "bicgstab" | "gmres"
+    restart: int = 20
 
     @property
     def Nt(self) -> int:
@@ -65,6 +67,11 @@ class HMCStats(NamedTuple):
     iters: jnp.ndarray       # mean CG iters per solve (reference convention HMC.jl:456)
     flag: jnp.ndarray
     delta_H: jnp.ndarray
+    # trajectory-endpoint energies, for the hmc_sim_log.out diagnostic
+    # (HMC.jl:285-304: columns tot_energy action kin_energy)
+    H: jnp.ndarray = jnp.nan
+    S: jnp.ndarray = jnp.nan
+    K: jnp.ndarray = jnp.nan
 
 
 def _spin_stack(a, b):
@@ -85,15 +92,11 @@ def make_hmc_step(
     setup runs before every batch of solves, matching the reference's
     ``setup!`` cadence (HMC.jl:834).
     """
+    from elphdynamics_tpu.dynamics.solve import (
+        SolverConfig, resolve_precond, solve_oinv)
+
     mass = jnp.asarray(mass_table)
     has_lambda = ops.calc_Lambda is not None
-
-    def P_of(params, x):
-        if precond is None:
-            return None
-        setup_fn, apply_fn = precond
-        st = setup_fn(params, x)
-        return lambda v: apply_fn(st, v)
 
     def lam_phi(params, x, phi):
         """Λ(x)·φ per spin-stacked φ (identity structure for SSH)."""
@@ -104,15 +107,10 @@ def make_hmc_step(
 
     def solve_O(params, x, derived, Lphi, tol, active):
         """Batched-over-spin solve of O·z = Λφ (HMC.jl:820-915)."""
-        P = P_of(params, x)
-        res = solvers.solve_checked(
-            lambda w: ops.mulMTM(params, derived, w),
-            Lphi,
-            apply_P=P,
-            tol=tol,
-            maxiter=cfg.maxiter,
-            kappa_max=cfg.kappa_max,
-        )
+        pa = resolve_precond(precond, params, x)
+        scfg = SolverConfig(tol=tol, maxiter=cfg.maxiter, kappa_max=cfg.kappa_max,
+                            kind=cfg.solver_kind, restart=cfg.restart)
+        res = solve_oinv(ops, params, derived, Lphi, scfg, pa)
         # spin axis is leading: reduce iters (avg, reference's cld(sum,2)) & flag
         iters = (jnp.sum(res.iters, axis=0) + 1) // 2
         flag = jnp.max(res.flag, axis=0)
@@ -237,7 +235,9 @@ def make_hmc_step(
         z1, it2, fl2 = solve_O(params, x1, d1, Lphi1, tol2, None)
         iters = iters + it2
         flag = jnp.maximum(flag, fl2)
-        H1 = calc_S(params, x1, Lphi1, z1) + calc_K(v1)
+        S1 = calc_S(params, x1, Lphi1, z1)
+        K1 = calc_K(v1)
+        H1 = S1 + K1
         dH = H1 - H0
         P = jnp.minimum(1.0, jnp.exp(-dH))
         u = jax.random.uniform(k_acc, P.shape, dtype=P.dtype)
@@ -246,7 +246,8 @@ def make_hmc_step(
         x_new = jnp.where(accept, x1, x0)
         v_new = jnp.where(accept, v1, -v0)
         mean_iters = (iters + cfg.Nt + 1) // (cfg.Nt + 2)
-        stats = HMCStats(accepted=accept, iters=mean_iters, flag=flag, delta_H=dH)
+        stats = HMCStats(accepted=accept, iters=mean_iters, flag=flag, delta_H=dH,
+                         H=H1, S=S1, K=K1)
         return HMCState(x=x_new, v=v_new), stats, key
 
     return step

@@ -1,0 +1,134 @@
+"""Model-level linear-solve dispatch.
+
+Reference: the ``mul_by_M`` flag of ``AbstractModel`` (Models.jl:192-209,
+HolsteinModels.jl:289-298): with CG, systems are solved through the SPD
+operator MᵀM (with the *symmetric* KPM preconditioner); with BiCGStab/GMRES
+they are solved through M / Mᵀ directly (with the *left/right* KPM
+preconditioners), and O⁻¹ = (MᵀM)⁻¹ becomes two sequential solves
+(HMC.jl:859-903).
+
+Every path ends in the residual-verification + unpreconditioned-retry ladder
+of ``Models.ldiv!`` (Models.jl:74-186).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from elphdynamics_tpu import solvers
+from elphdynamics_tpu.models.adapter import ModelOps
+
+
+class SolverConfig(NamedTuple):
+    """Linear-solver settings ([solver] TOML table; IterativeSolvers.jl)."""
+
+    tol: float = 1e-5
+    maxiter: int = 1000
+    kappa_max: float = 1e12
+    kind: str = "cg"      # "cg" | "bicgstab" | "gmres" (Models.jl dispatch)
+    restart: int = 20     # GMRES restart length
+
+
+class PrecondApplies(NamedTuple):
+    symmetric: object  # (v) -> v   ≈ (MᵀM)⁻¹
+    left: object       # (v) -> v   ≈ M⁻¹
+    right: object      # (v) -> v   ≈ M⁻ᵀ
+
+
+def resolve_precond(precond, params, x) -> PrecondApplies | None:
+    """Set up the preconditioner for the current configuration.
+
+    ``precond`` is None, a (setup, apply_symmetric) pair, or a
+    (setup, apply_symmetric, apply_left, apply_right) tuple from
+    :func:`elphdynamics_tpu.ops.kpm.make_precond`.
+    """
+    if precond is None:
+        return None
+    setup_fn = precond[0]
+    st = setup_fn(params, x)
+    sym = (lambda v: precond[1](st, v))
+    left = (lambda v: precond[2](st, v)) if len(precond) > 2 else None
+    right = (lambda v: precond[3](st, v)) if len(precond) > 3 else None
+    return PrecondApplies(symmetric=sym, left=left, right=right)
+
+
+def _checked_nonsym(apply_A, b, base, apply_P, scfg: SolverConfig):
+    """Residual check + unpreconditioned retry for BiCGStab/GMRES paths."""
+    res1 = base(apply_A, b, apply_P=apply_P, tol=scfg.tol, maxiter=scfg.maxiter)
+    normb = jnp.sqrt(jnp.sum(b * b, axis=(-2, -1)))
+    safe = jnp.where(normb > 0, normb, 1.0)
+    err = jnp.sqrt(jnp.sum((apply_A(res1.x) - b) ** 2, axis=(-2, -1))) / safe
+    bad = err > jnp.sqrt(scfg.tol)
+    flag = jnp.where(bad, jnp.where(res1.iters >= scfg.maxiter, 1, 2), 0)
+    if apply_P is None:
+        return solvers.SolveResult(x=res1.x, iters=res1.iters, residual=err, flag=flag)
+    x_start = jnp.where(bad[..., None, None], 0.0, res1.x)
+    res2 = base(apply_A, b, x0=x_start, apply_P=None, tol=scfg.tol,
+                maxiter=10 * scfg.maxiter)
+    x = jnp.where(bad[..., None, None], res2.x, res1.x)
+    err2 = jnp.sqrt(jnp.sum((apply_A(x) - b) ** 2, axis=(-2, -1))) / safe
+    still_bad = bad & (err2 > jnp.sqrt(scfg.tol))
+    flag = jnp.where(still_bad, flag, 0)
+    return solvers.SolveResult(x=x, iters=res1.iters + res2.iters,
+                               residual=err2, flag=flag)
+
+
+def _base_solver(scfg: SolverConfig):
+    if scfg.kind == "bicgstab":
+        return solvers.bicgstab
+
+    def gmres_batched(apply_A, b, x0=None, *, apply_P=None, tol, maxiter):
+        # vmap the unbatched GMRES over leading batch axes
+        lead = b.shape[:-2]
+        if not lead:
+            return solvers.gmres(apply_A, b, x0, apply_P=apply_P,
+                                 tol=tol, maxiter=maxiter, restart=scfg.restart)
+        bb = b.reshape((-1,) + b.shape[-2:])
+        x00 = None if x0 is None else x0.reshape((-1,) + b.shape[-2:])
+
+        def one(bi, xi):
+            return solvers.gmres(apply_A, bi, xi, apply_P=apply_P,
+                                 tol=tol, maxiter=maxiter, restart=scfg.restart)
+
+        res = jax.vmap(one)(bb, jnp.zeros_like(bb) if x00 is None else x00)
+        return solvers.CGResult(x=res.x.reshape(b.shape),
+                                iters=res.iters.reshape(lead),
+                                converged=res.converged.reshape(lead))
+
+    return gmres_batched
+
+
+def solve_minv(ops: ModelOps, params, derived, rhs, scfg: SolverConfig,
+               pa: PrecondApplies | None):
+    """x = M⁻¹·rhs (LangevinDynamics.jl:362-375, GreensFunctions.jl:214-226)."""
+    if scfg.kind == "cg":
+        b = ops.mulMT(params, derived, rhs)
+        return solvers.solve_checked(
+            lambda v: ops.mulMTM(params, derived, v), b,
+            apply_P=pa.symmetric if pa else None,
+            tol=scfg.tol, maxiter=scfg.maxiter, kappa_max=scfg.kappa_max)
+    base = _base_solver(scfg)
+    return _checked_nonsym(lambda v: ops.mulM(params, derived, v), rhs, base,
+                           pa.left if pa else None, scfg)
+
+
+def solve_oinv(ops: ModelOps, params, derived, rhs, scfg: SolverConfig,
+               pa: PrecondApplies | None):
+    """z = (MᵀM)⁻¹·rhs (HMC.jl:820-915)."""
+    if scfg.kind == "cg":
+        return solvers.solve_checked(
+            lambda v: ops.mulMTM(params, derived, v), rhs,
+            apply_P=pa.symmetric if pa else None,
+            tol=scfg.tol, maxiter=scfg.maxiter, kappa_max=scfg.kappa_max)
+    base = _base_solver(scfg)
+    # Mᵀ·y = rhs, then M·z = y (HMC.jl:859-874)
+    res1 = _checked_nonsym(lambda v: ops.mulMT(params, derived, v), rhs, base,
+                           pa.right if pa else None, scfg)
+    res2 = _checked_nonsym(lambda v: ops.mulM(params, derived, v), res1.x, base,
+                           pa.left if pa else None, scfg)
+    return solvers.SolveResult(x=res2.x, iters=res1.iters + res2.iters,
+                               residual=res2.residual,
+                               flag=jnp.maximum(res1.flag, res2.flag))

@@ -37,22 +37,18 @@ class SpecialUpdateConfig(NamedTuple):
 
 def _eval_S(ops: ModelOps, params, x, phi, tol, maxiter, precond=None):
     """S = Sb + Σ± (Λφ±)ᵀO⁻¹(Λφ±)/2 at configuration x (HMC.jl:743-783)."""
+    from elphdynamics_tpu.dynamics.solve import (
+        SolverConfig, resolve_precond, solve_oinv)
+
     derived = ops.derived(params, x)
     if ops.calc_Lambda is not None:
         Lam = ops.calc_Lambda(params, x)
         Lphi = ops.mulLambda(Lam, phi)
     else:
         Lphi = phi
-    if precond is not None:
-        setup_fn, apply_fn = precond
-        st = setup_fn(params, x)
-        P = lambda v: apply_fn(st, v)
-    else:
-        P = None
-    sol = solvers.solve_checked(
-        lambda w: ops.mulMTM(params, ops.derived(params, x), w),
-        Lphi, apply_P=P, tol=tol, maxiter=maxiter,
-    )
+    pa = resolve_precond(precond, params, x)
+    sol = solve_oinv(ops, params, derived, Lphi,
+                     SolverConfig(tol=tol, maxiter=maxiter), pa)
     Sf = jnp.sum(Lphi * sol.x, axis=(0, -2, -1)) / 2
     S = Sf + ops.calc_Sb(params, x, False)
     iters = (jnp.sum(sol.iters) + 1) // 2

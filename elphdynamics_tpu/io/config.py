@@ -213,7 +213,9 @@ def build_setup(cfg: dict, datafolder: str, dtype=None) -> SimulationSetup:
     # solver (+ preconditioner)
     sol = cfg["solver"]
     solver_cfg = SolverConfig(tol=sol.get("tol", 1e-5),
-                              maxiter=sol.get("maxiter", 1000))
+                              maxiter=sol.get("maxiter", 1000),
+                              kind=sol.get("type", "CG").lower(),
+                              restart=sol.get("restart", 20))
     kpm_cfg = None
     if "preconditioner" in sol:
         p = sol["preconditioner"]
@@ -237,7 +239,8 @@ def build_setup(cfg: dict, datafolder: str, dtype=None) -> SimulationSetup:
         hmc_cfg = HMCConfig(dt=h["dt"], trajectory_time=h["trajectory_time"],
                             alpha=h.get("momentum_conservation_fraction", 0.0),
                             Nb=h.get("num_multitimesteps", 1),
-                            tol=solver_cfg.tol, maxiter=solver_cfg.maxiter)
+                            tol=solver_cfg.tol, maxiter=solver_cfg.maxiter,
+                            solver_kind=solver_cfg.kind, restart=solver_cfg.restart)
         b = h.get("burnin", {})
         hmc_burnin_cfg = HMCConfig(
             dt=b.get("dt", h["dt"]),
@@ -245,7 +248,8 @@ def build_setup(cfg: dict, datafolder: str, dtype=None) -> SimulationSetup:
             alpha=b.get("momentum_conservation_fraction",
                         h.get("momentum_conservation_fraction", 0.0)),
             Nb=b.get("num_multitimesteps", h.get("num_multitimesteps", 1)),
-            tol=solver_cfg.tol, maxiter=solver_cfg.maxiter)
+            tol=solver_cfg.tol, maxiter=solver_cfg.maxiter,
+            solver_kind=solver_cfg.kind, restart=solver_cfg.restart)
         if "reflection_update" in h and model_type == "holstein":
             reflect_cfg = SpecialUpdateConfig(
                 freq=h["reflection_update"]["freq"],

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from elphdynamics_tpu import solvers
-from elphdynamics_tpu.dynamics.force import SolverConfig, _apply_P
+from elphdynamics_tpu.dynamics.solve import SolverConfig, resolve_precond, solve_minv
 from elphdynamics_tpu.models.adapter import ModelOps
 
 
@@ -50,15 +50,8 @@ def sample_greens(ops: ModelOps, params, x, key, nv: int,
     derived = ops.derived(params, x)
     key, kr = jax.random.split(key)
     R = jax.random.normal(kr, (nv, ops.Nsites, ops.Ltau), dtype=jnp.asarray(x).dtype)
-    rhs = ops.mulMT(params, derived, R)
-    sol = solvers.solve_checked(
-        lambda v: ops.mulMTM(params, derived, v),
-        rhs,
-        apply_P=_apply_P(precond, params, x),
-        tol=scfg.tol,
-        maxiter=scfg.maxiter,
-        kappa_max=scfg.kappa_max,
-    )
+    pa = resolve_precond(precond, params, x)
+    sol = solve_minv(ops, params, derived, R, scfg, pa)
     iters = jnp.sum(sol.iters) // nv
     return GreensData(R=R, MinvR=sol.x, iters=iters, flag=jnp.max(sol.flag)), key
 

@@ -222,6 +222,21 @@ def make_symmetric_precond(ops: ModelOps, cfg: KPMConfig, seed: int = 1234):
     return setup_fn, apply_fn
 
 
+def make_precond(ops: ModelOps, cfg: KPMConfig, seed: int = 1234):
+    """(setup, symmetric, left, right) tuple covering all three solver modes
+    (SymmetricKPMPreconditioner for CG, LeftRightKPMPreconditioner for
+    BiCGStab/GMRES; ProcessInputFile.jl:502-506)."""
+    key = jax.random.PRNGKey(seed)
+
+    def setup_fn(params, x):
+        return setup(ops, params, x, cfg, key)
+
+    return (setup_fn,
+            lambda st, v: apply_symmetric(ops, st, v),
+            lambda st, v: apply_left(ops, st, v),
+            lambda st, v: apply_right(ops, st, v))
+
+
 def apply_left(ops: ModelOps, st: KPMState, v):
     """P⁻¹ ≈ M⁻¹ (GMRES/BiCGStab left preconditioner,
     KPMPreconditioners.jl:514-554)."""

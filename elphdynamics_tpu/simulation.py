@@ -75,6 +75,11 @@ def simulate(config, run_id: int | None = None, n_chains: int = 1) -> dict:
     datafolder = name_datafolder(sim.get("filepath", "."), sim["foldername"], run_id)
     setup = build_setup(cfg, datafolder)
     os.makedirs(datafolder, exist_ok=True)
+    # persist the input config into the datafolder (the reference copies the
+    # TOML file, ProcessInputFile.jl:50; JSON here so load_model can rebuild)
+    import json
+    with open(os.path.join(datafolder, "config.json"), "w") as f:
+        json.dump(cfg, f, indent=1)
 
     # run log (ProcessInputFile.jl:574-583)
     handler = logging.FileHandler(os.path.join(
@@ -102,7 +107,7 @@ def _run(setup: SimulationSetup, n_chains: int) -> dict:
     # ---- preconditioner
     precond = None
     if setup.kpm_cfg is not None:
-        precond = kpm.make_symmetric_precond(ops, setup.kpm_cfg)
+        precond = kpm.make_precond(ops, setup.kpm_cfg)
 
     # ---- step functions
     if setup.dynamics_type == "hmc":
@@ -243,6 +248,22 @@ def _run(setup: SimulationSetup, n_chains: int) -> dict:
 
     mu_update_freq = max(sp.meas_freq, 1)
 
+    # per-update HMC energy log (HMC.jl:236-243,285-304)
+    hmc_log = None
+    if setup.dynamics_type == "hmc" and setup.config.get("hmc", {}).get("log", False):
+        hmc_log_path = os.path.join(datafolder, "hmc_sim_log.out")
+        new = not os.path.isfile(hmc_log_path)
+        hmc_log = open(hmc_log_path, "a")
+        if new:
+            hmc_log.write("updates accepted timestep tot_energy action kin_energy iters\n")
+
+    def log_hmc(n, stats):
+        if hmc_log is None or not hasattr(stats, "H"):
+            return
+        hmc_log.write(f"{n} {int(jnp.all(stats.accepted))} -1 "
+                      f"{float(jnp.mean(stats.H)):.8f} {float(jnp.mean(stats.S)):.8f} "
+                      f"{float(jnp.mean(stats.K)):.8f} {int(jnp.max(stats.iters))}\n")
+
     # ---- thermalization (RunSimulation.jl:171-204)
     for n in range(burnin_start, sp.burnin):
         maybe_checkpoint(n, 0)
@@ -252,6 +273,7 @@ def _run(setup: SimulationSetup, n_chains: int) -> dict:
         sim_stats["simulation_time"] += time.time() - t0
         sim_stats["iters"] += float(jnp.mean(iters))
         sim_stats["acceptance_rate"] += float(jnp.mean(acc))
+        log_hmc(n + 1, stats)
         state, chain_keys = do_special(params, state, chain_keys, None, None, n + 1)
         if mu_tuner.active and (n + 1) % mu_update_freq == 0:
             t0 = time.time()
@@ -273,6 +295,7 @@ def _run(setup: SimulationSetup, n_chains: int) -> dict:
         sim_stats["simulation_time"] += time.time() - t0
         sim_stats["iters"] += float(jnp.mean(iters))
         sim_stats["acceptance_rate"] += float(jnp.mean(acc))
+        log_hmc(sp.burnin + n + 1, stats)
         state, chain_keys = do_special(params, state, chain_keys, None, None, n + 1)
 
         if (n + 1) % sp.meas_freq == 0:
@@ -331,6 +354,28 @@ def _run(setup: SimulationSetup, n_chains: int) -> dict:
         out_io.write_M_matrix(ops, params, x_final,
                               os.path.join(datafolder, "M_matrix.out"))
     mu_tuner.estimate_mu()
+    if hmc_log is not None:
+        hmc_log.close()
     write_summary(setup, sim_stats, mu_tuner)
     logger.info("simulation complete: %s", sim_stats)
     return sim_stats
+
+
+def load_model(datafolder: str):
+    """Reload a finished/checkpointed run: rebuild the model from the stored
+    config and return (setup, params, x) with the final phonon configuration
+    (the role of ``load_model``, ElPhDynamics.jl:143-157)."""
+    import json
+
+    import jax.numpy as jnp
+
+    with open(os.path.join(datafolder, "config.json")) as f:
+        cfg = json.load(f)
+    setup = build_setup(cfg, datafolder)
+    st = ckpt.load_checkpoint(datafolder)
+    params = type(setup.params)(
+        **{k: (jnp.asarray(st["params"][k]) if k in st["params"]
+               else getattr(setup.params, k))
+           for k in setup.params._fields})
+    x = jnp.asarray(st["x"])
+    return setup, params, x

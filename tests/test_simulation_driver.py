@@ -29,7 +29,7 @@ BASE_CFG = {
     "hmc": {
         "num_multitimesteps": 4, "burnin_updates": 4, "simulation_updates": 8,
         "trajectory_time": 0.4, "dt": 0.1, "meas_freq": 2,
-        "momentum_conservation_fraction": 0.0,
+        "momentum_conservation_fraction": 0.0, "log": True,
         "reflection_update": {"freq": 2, "nsites": 2},
         "swap_update": {"freq": 2, "nbonds": 2},
     },
@@ -82,9 +82,17 @@ def test_simulate_end_to_end(tmp_path):
     assert os.path.isfile(os.path.join(folder, "density_snapshots_f",
                                        "density_snapshot_000004.out"))
     assert stats["acceptance_rate"] > 0.2
+    # HMC energy log
+    lines = open(os.path.join(folder, "hmc_sim_log.out")).readlines()
+    assert lines[0].startswith("updates accepted") and len(lines) == 13
     # auto-increment naming: the existing (finished) folder has a checkpoint,
     # so the same name resolves to resume
     assert name_datafolder(str(tmp_path), "testrun") == folder
+    # load_model round trip
+    from elphdynamics_tpu.simulation import load_model
+    setup2, params2, x2 = load_model(folder)
+    assert x2.shape == (setup2.ops.Nph, setup2.ops.Ltau)
+    assert np.all(np.isfinite(np.asarray(x2)))
 
 
 def test_simulate_langevin_and_mutuner(tmp_path):
