@@ -208,7 +208,12 @@ def make_measurement_step(ops: ModelOps, mspec: MeasurementSpec,
             out["onsite"]["elph_energy"] = orbit_sum(elph) / norm_site
 
         # ---- inter-site (:1029-1155)
-        if spec.Nbonds > 0:
+        if spec.Nbonds == 0:
+            # bond-free model (e.g. single site): emit empty containers so
+            # the increment pytree always matches zero_container
+            shapes = _container_shapes(ops, mspec)
+            out["intersite"] = {k: jnp.zeros(v) for k, v in shapes["intersite"].items()}
+        else:
             # sites of each original-order bond
             s1 = jnp.asarray(spec.ckb.neighbor_table[0][spec.bond_to_ckb])
             s2 = jnp.asarray(spec.ckb.neighbor_table[1][spec.bond_to_ckb])

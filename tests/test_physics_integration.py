@@ -1,0 +1,144 @@
+"""Full-pipeline physics tests.
+
+1. Single-site Holstein: the *measured* density/double-occupancy (through the
+   sampler + stochastic estimator + measurement assembly) must match exact
+   diagonalization.
+2. 4×4 Holstein: HMC and Langevin sample the same ensemble — phonon moments
+   and density must agree within combined statistical error (the reference's
+   de-facto cross-validation strategy, SURVEY §4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from elphdynamics_tpu.dynamics.force import SolverConfig
+from elphdynamics_tpu.dynamics.hmc import HMCConfig, HMCState, make_hmc_step
+from elphdynamics_tpu.dynamics.init_phonons import init_phonons_half_filled
+from elphdynamics_tpu.dynamics.langevin import make_langevin_step
+from elphdynamics_tpu.lattice import Lattice, UnitCell
+from elphdynamics_tpu.measure.measurements import (
+    MeasurementSpec, make_measurement_step, zero_container, process_bin,
+)
+from elphdynamics_tpu.models import holstein as H
+from elphdynamics_tpu.models.adapter import make_model_ops
+from elphdynamics_tpu.ops import kpm
+from elphdynamics_tpu.ops.fourier_accel import build_Q, build_mass
+from ed_reference import single_site_holstein_ed
+
+FA = [dict(omega_min=0.0, omega_max=10.0, mass=1.0)]
+
+
+def run_hmc_with_measurements(ops, params, cfg, mspec, n_chains, burnin, nmeas,
+                              meas_every=1, seed=0, precond=None):
+    mass = build_mass(np.asarray(params.omega), ops.dtau, ops.Ltau, FA)
+    step = make_hmc_step(ops, mass, cfg, precond)
+    mstep = make_measurement_step(ops, mspec, SolverConfig(tol=1e-7, maxiter=2000),
+                                  precond)
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_chains)
+    x = jnp.stack([init_phonons_half_filled(ops, params, k)[0] for k in keys])
+    state = HMCState(x=x, v=jnp.zeros_like(x))
+    vstep = jax.vmap(lambda s, k: step(params, s, k))
+    vmeas = jax.vmap(lambda x, k: mstep(params, x, k))
+
+    def chunk(state, keys, n):
+        def body(carry, _):
+            state, keys = carry
+            state, stats, keys = vstep(state, keys)
+            return (state, keys), None
+        (state, keys), _ = jax.lax.scan(body, (state, keys), None, length=n)
+        return state, keys
+
+    chunk = jax.jit(chunk, static_argnums=2)
+    state, keys = chunk(state, keys, burnin)
+    acc = zero_container(ops, mspec)
+    count = 0
+    for i in range(nmeas):
+        state, keys = chunk(state, keys, meas_every)
+        inc, ms, snaps, keys = jax.jit(vmeas)(state.x, keys)
+        inc = jax.tree.map(lambda a: jnp.mean(a, axis=0), inc)
+        acc = jax.tree.map(lambda a, b: a + b, acc, {k: inc[k] for k in acc})
+        count += 1
+    return process_bin(ops, mspec, acc, bin_size=count), state
+
+
+def test_single_site_full_pipeline_matches_ed():
+    beta, dtau, lam, mu = 2.0, 0.1, 1.0, -0.5
+    uc = UnitCell.create(1, 1, [[1.0]], [[0.0]])
+    lat = Lattice.create(uc, 1)
+    spec, params = H.build_holstein(lat, beta=beta, dtau=dtau, omega=1.0,
+                                    lam=lam, mu=mu)
+    ops = make_model_ops(spec)
+    ed = single_site_holstein_ed(beta, 1.0, lam, mu)
+
+    cfg = HMCConfig(dt=0.05, trajectory_time=1.0, Nb=4, tol=1e-6, maxiter=1000)
+    mspec = MeasurementSpec(nv=10)
+    res, state = run_hmc_with_measurements(ops, params, cfg, mspec,
+                                           n_chains=24, burnin=60, nmeas=150)
+    dens = float(res["global"]["density"])
+    docc = float(res["onsite"]["double_occ"][0])
+    x2 = float(res["onsite"]["x2"][0])
+    assert abs(dens - ed["n"]) < 0.08, (dens, ed["n"])
+    assert abs(docc - ed["docc"]) < 0.08, (docc, ed["docc"])
+    assert abs(x2 - ed["x2"]) < 0.08, (x2, ed["x2"])
+
+
+def test_hmc_langevin_agree_4x4():
+    uc = UnitCell.create(2, 1, [[1.0, 0.0], [0.0, 1.0]], [[0.0, 0.0]])
+    lat = Lattice.create(uc, 4)
+    spec, params = H.build_holstein(
+        lat, beta=1.0, dtau=0.1,
+        t_assignments=[(1.0, 0.0, 0, 0, (1, 0, 0)), (1.0, 0.0, 0, 0, (0, 1, 0))],
+        omega=1.0, lam=0.5, mu=0.0,
+    )
+    ops = make_model_ops(spec)
+    precond = None  # KPM covered by dedicated tests; keep this test lean
+    mspec = MeasurementSpec(nv=6)
+
+    # --- HMC
+    cfg = HMCConfig(dt=0.05, trajectory_time=0.5, Nb=4, tol=1e-6, maxiter=1000)
+    res_h, state_h = run_hmc_with_measurements(
+        ops, params, cfg, mspec, n_chains=8, burnin=40, nmeas=80,
+        precond=precond)
+
+    # --- Langevin (RK)
+    Q = build_Q(np.asarray(params.omega), ops.dtau, ops.Ltau, FA)
+    lstep = make_langevin_step(ops, Q, dt=0.01, method="rk",
+                               scfg=SolverConfig(tol=1e-7, maxiter=2000),
+                               precond=precond)
+    mstep = make_measurement_step(ops, mspec, SolverConfig(tol=1e-7, maxiter=2000),
+                                  precond)
+    n_chains = 8
+    keys = jax.random.split(jax.random.PRNGKey(5), n_chains)
+    x = jnp.stack([init_phonons_half_filled(ops, params, k)[0] for k in keys])
+    vstep = jax.vmap(lambda x, k: lstep(params, x, k)[0::2])
+    vmeas = jax.jit(jax.vmap(lambda x, k: mstep(params, x, k)))
+
+    def lchunk(x, keys, n):
+        def body(carry, _):
+            x, keys = carry
+            x, keys = vstep(x, keys)
+            return (x, keys), None
+        (x, keys), _ = jax.lax.scan(body, (x, keys), None, length=n)
+        return x, keys
+
+    lchunk = jax.jit(lchunk, static_argnums=2)
+    x, keys = lchunk(x, keys, 400)
+    acc = zero_container(ops, mspec)
+    count = 0
+    for i in range(80):
+        x, keys = lchunk(x, keys, 10)
+        inc, ms, snaps, keys = vmeas(x, keys)
+        inc = jax.tree.map(lambda a: jnp.mean(a, axis=0), inc)
+        acc = jax.tree.map(lambda a, b: a + b, acc, {k: inc[k] for k in acc})
+        count += 1
+    res_l = process_bin(ops, mspec, acc, bin_size=count)
+
+    for key_, tol in (("density", 0.08),):
+        a = float(res_h["global"][key_])
+        b = float(res_l["global"][key_])
+        assert abs(a - b) < tol, (key_, a, b)
+    for key_, tol in (("x", 0.1), ("x2", 0.12)):
+        a = float(res_h["onsite"][key_][0])
+        b = float(res_l["onsite"][key_][0])
+        assert abs(a - b) < tol, (key_, a, b)
