@@ -25,7 +25,7 @@ from elphdynamics_tpu.dynamics.init_phonons import init_phonons_half_filled
 from elphdynamics_tpu.ops import kpm
 from elphdynamics_tpu.ops.fourier_accel import build_mass
 
-CHAINS = 64
+CHAINS = 128
 WARMUP = 3
 STEPS = 10
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -50,6 +51,10 @@ class HolsteinParams(NamedTuple):
     sinht: jnp.ndarray   # [Nbonds] sinh(Δτ·t), checkerboard order
     wij: jnp.ndarray     # [Nwij] dispersive phonon coupling ωᵢⱼ (may be empty)
     t: jnp.ndarray = None  # [Nbonds] bare hoppings, original bond order
+    # dense checkerboard fast path (see ops/checkerboard.dense_matrix): the
+    # time-independent exp(−Δτ·K) as one [N, N] matrix applied on the MXU
+    expK: jnp.ndarray = None
+    expK_inv: jnp.ndarray = None
 
 
 @dataclass(frozen=True)
@@ -66,6 +71,8 @@ class HolsteinSpec:
     Ndim: int
     Ndof: int
     ckb: CheckerboardSpec
+    # apply exp(−Δτ·K) as a dense [N,N] MXU matmul instead of the group fold
+    dense_ckb: bool = False
     # dispersive phonon coupling ωᵢⱼ(xᵢ ± xⱼ)² tables (may be empty)
     wij_table: np.ndarray = field(default_factory=lambda: np.zeros((2, 0), dtype=np.int64))
     wij_sign: np.ndarray = field(default_factory=lambda: np.zeros(0, dtype=np.int64))
@@ -77,7 +84,8 @@ class HolsteinSpec:
     bond_to_ckb: np.ndarray = field(default_factory=lambda: np.zeros(0, dtype=np.int64))
 
     def __hash__(self):
-        return hash((self.Nsites, self.Ltau, self.Nbonds, round(self.beta, 12), round(self.dtau, 12)))
+        return hash((self.Nsites, self.Ltau, self.Nbonds, round(self.beta, 12),
+                     round(self.dtau, 12), self.dense_ckb))
 
     def __eq__(self, other):
         return (
@@ -106,6 +114,7 @@ def build_holstein(
     per_orbit: dict | None = None,
     rng: np.random.Generator | None = None,
     dtype=None,
+    dense_threshold: int = 4096,
 ) -> tuple[HolsteinSpec, HolsteinParams]:
     """Construct a Holstein model spec + parameter pytree.
 
@@ -180,6 +189,7 @@ def build_holstein(
         wij = np.zeros(0)
         wij_sign = np.zeros(0, dtype=np.int64)
 
+    dense_ckb = 0 < ckb.nbonds and N <= dense_threshold
     spec = HolsteinSpec(
         lattice=lattice,
         beta=float(beta),
@@ -191,6 +201,7 @@ def build_holstein(
         Ndim=N * Ltau,
         Ndof=N * Ltau,
         ckb=ckb,
+        dense_ckb=dense_ckb,
         wij_table=wij_table,
         wij_sign=wij_sign,
         bond_defs=tuple(bond_defs),
@@ -208,8 +219,18 @@ def build_holstein(
         sinht=jnp.asarray(np.sinh(dtau * t_ckb), dtype),
         wij=jnp.asarray(wij, dtype),
         t=jnp.asarray(t, dtype),
+        expK=(jnp.asarray(_ckb_dense(ckb, dtau, t_ckb), dtype) if dense_ckb else None),
+        expK_inv=(jnp.asarray(_ckb_dense(ckb, dtau, t_ckb, inverse=True), dtype)
+                  if dense_ckb else None),
     )
     return spec, params
+
+
+def _ckb_dense(ckb, dtau, t_ckb, inverse=False):
+    from elphdynamics_tpu.ops.checkerboard import dense_matrix
+
+    return dense_matrix(ckb, np.cosh(dtau * t_ckb), np.sinh(dtau * t_ckb),
+                        inverse=inverse)
 
 
 # ---------------------------------------------------------------------------
@@ -243,6 +264,21 @@ def _tau_sign_last(spec: HolsteinSpec, dtype):
 # fermion matrix multiplication routines
 # ---------------------------------------------------------------------------
 
+def apply_expK(spec: HolsteinSpec, p: HolsteinParams, y):
+    """exp(−Δτ·K)·y over the site axis: one MXU matmul in dense mode, the
+    checkerboard group fold otherwise."""
+    if spec.dense_ckb:
+        return jnp.einsum("ij,...jt->...it", p.expK, y, precision=jax.lax.Precision.HIGHEST)
+    return ckb_mul(spec.ckb, p.cosht, p.sinht, y)
+
+
+def apply_expK_T(spec: HolsteinSpec, p: HolsteinParams, y):
+    """exp(−Δτ·K)ᵀ·y."""
+    if spec.dense_ckb:
+        return jnp.einsum("ji,...jt->...it", p.expK, y, precision=jax.lax.Precision.HIGHEST)
+    return ckb_transpose_mul(spec.ckb, p.cosht, p.sinht, y)
+
+
 def mulM(spec: HolsteinSpec, p: HolsteinParams, env, v):
     """y = M·v with v of shape [..., N, Lτ] (HolsteinModels.jl:569-626).
 
@@ -251,7 +287,7 @@ def mulM(spec: HolsteinSpec, p: HolsteinParams, env, v):
     """
     v = jnp.asarray(v)
     y = env * jnp.roll(v, 1, axis=-1)
-    y = ckb_mul(spec.ckb, p.cosht, p.sinht, y)
+    y = apply_expK(spec, p, y)
     return v + _tau_sign_first(spec, v.dtype) * y
 
 
@@ -261,7 +297,7 @@ def mulMT(spec: HolsteinSpec, p: HolsteinParams, env, v):
     y(τ) = v(τ) - Bᵀ(τ+1)·v(τ+1) for τ<Lτ-1; y(Lτ-1) = v(Lτ-1) + Bᵀ(0)·v(0).
     """
     v = jnp.asarray(v)
-    z = ckb_transpose_mul(spec.ckb, p.cosht, p.sinht, v)
+    z = apply_expK_T(spec, p, v)
     w = env * z
     return v + _tau_sign_last(spec, v.dtype) * jnp.roll(w, -1, axis=-1)
 
@@ -289,7 +325,7 @@ def muldMdx(spec: HolsteinSpec, p: HolsteinParams, env, x, u, v):
     sgn = -_tau_sign_first(spec, x.dtype)  # [-1 at τ=0, +1 elsewhere] → see below
     # reference: dMdx(τ=1) has -Δτ..., τ>1 has +Δτ → sign = -1 at τ=0, +1 else
     d = sgn * spec.dtau * (lam + 2.0 * lam2 * x) * env * jnp.roll(v, 1, axis=-1)
-    y = ckb_transpose_mul(spec.ckb, p.cosht, p.sinht, u)
+    y = apply_expK_T(spec, p, u)
     return y * d
 
 

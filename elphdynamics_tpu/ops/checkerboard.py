@@ -213,3 +213,29 @@ def ckb_matrix(spec: CheckerboardSpec, cosh_b, sinh_b, transpose: bool = False) 
     eye = np.eye(spec.nsites)
     fn = ckb_transpose_mul if transpose else ckb_mul
     return np.asarray(fn(spec, cosh_b, sinh_b, eye))
+
+
+def dense_matrix(spec: CheckerboardSpec, cosh_b, sinh_b, inverse: bool = False) -> np.ndarray:
+    """The exact dense [N, N] matrix of the checkerboard product, assembled
+    host-side in float64 from the same elementary 2×2 rotations.
+
+    TPU fast path: for time-independent hopping the whole multi-group fold
+    collapses to ONE constant matrix, so ``exp(−Δτ·K)·v`` becomes a single
+    MXU matmul instead of ``ngroups`` gather+FMA passes over HBM. The matrix
+    equals the group-fold product bit-for-bit up to f64 rounding.
+    """
+    cosh_b = np.asarray(cosh_b, dtype=np.float64)
+    sinh_b = np.asarray(sinh_b, dtype=np.float64)
+    N = spec.nsites
+    D = np.eye(N)
+    order = range(spec.nbonds) if not inverse else range(spec.nbonds - 1, -1, -1)
+    sgn = -1.0 if inverse else 1.0
+    for n in order:
+        i, j = spec.neighbor_table[0, n], spec.neighbor_table[1, n]
+        c = cosh_b[n]
+        s = sgn * sinh_b[n]
+        ri = D[i].copy()
+        rj = D[j].copy()
+        D[i] = c * ri + s * rj
+        D[j] = c * rj + s * ri
+    return D

@@ -65,6 +65,10 @@ class KPMState(NamedTuple):
     lam_mag: jnp.ndarray     # (λhi−λlo)/2
     coeff: jnp.ndarray       # [max_order, Lω] complex Chebyshev coefficients
     active: jnp.ndarray      # scalar bool
+    # dense exp(−Δτ·K̄) fast path (Holstein: the averaged hopping matrix is
+    # the model's constant expK — one MXU matmul per Chebyshev step)
+    expK: jnp.ndarray | None = None
+    expK_inv: jnp.ndarray | None = None
 
 
 def _avg_operator(ops: ModelOps, params, derived):
@@ -82,19 +86,30 @@ def _avg_operator(ops: ModelOps, params, derived):
     return expnV_bar, cosh_bar, sinh_bar
 
 
-def _mulA(spec_ckb, expnV_bar, cosh_bar, sinh_bar, v):
+def _mulA(st: "KPMState", spec_ckb, v):
     """Ā·v = exp(−Δτ·K̄)·exp(−Δτ·V̄)·v on [..., N, K] single-slice blocks."""
-    return ckb.ckb_mul(spec_ckb, cosh_bar, sinh_bar, expnV_bar[:, None] * v)
+    w = st.expnV_bar[:, None] * v
+    if st.expK is not None:
+        return jnp.einsum("ij,...jk->...ik", st.expK.astype(v.dtype), w, precision=jax.lax.Precision.HIGHEST)
+    return ckb.ckb_mul(spec_ckb, st.cosh_bar, st.sinh_bar, w)
 
 
-def _mulA_T(spec_ckb, expnV_bar, cosh_bar, sinh_bar, v):
+def _mulA_T(st: "KPMState", spec_ckb, v):
     """Āᵀ·v (KPMPreconditioners.jl:737-752)."""
-    return expnV_bar[:, None] * ckb.ckb_transpose_mul(spec_ckb, cosh_bar, sinh_bar, v)
+    if st.expK is not None:
+        w = jnp.einsum("ji,...jk->...ik", st.expK.astype(v.dtype), v, precision=jax.lax.Precision.HIGHEST)
+    else:
+        w = ckb.ckb_transpose_mul(spec_ckb, st.cosh_bar, st.sinh_bar, v)
+    return st.expnV_bar[:, None] * w
 
 
-def _mulA_inv(spec_ckb, expnV_bar, cosh_bar, sinh_bar, v):
+def _mulA_inv(st: "KPMState", spec_ckb, v):
     """Ā⁻¹·v (KPMPreconditioners.jl:406-420)."""
-    return ckb.ckb_inverse_mul(spec_ckb, cosh_bar, sinh_bar, v) / expnV_bar[:, None]
+    if st.expK_inv is not None:
+        w = jnp.einsum("ij,...jk->...ik", st.expK_inv.astype(v.dtype), v, precision=jax.lax.Precision.HIGHEST)
+    else:
+        w = ckb.ckb_inverse_mul(spec_ckb, st.cosh_bar, st.sinh_bar, v)
+    return w / st.expnV_bar[:, None]
 
 
 def _spectral_radius(apply_fn, n_site, n_iter, key, dtype):
@@ -120,13 +135,20 @@ def setup(ops: ModelOps, params, x, cfg: KPMConfig, key) -> KPMState:
     expnV_bar, cosh_bar, sinh_bar = _avg_operator(ops, params, derived)
     sc = ops.spec.ckb
     dtype = expnV_bar.dtype
+    dense = ops.is_holstein and getattr(ops.spec, "dense_ckb", False)
+    expK = params.expK if dense else None
+    expK_inv = params.expK_inv if dense else None
+    st0 = KPMState(expnV_bar=expnV_bar, cosh_bar=cosh_bar, sinh_bar=sinh_bar,
+                   lam_avg=jnp.asarray(1.0, dtype), lam_mag=jnp.asarray(1.0, dtype),
+                   coeff=jnp.zeros((1, 1)), active=jnp.asarray(True),
+                   expK=expK, expK_inv=expK_inv)
 
     k1, k2 = jax.random.split(key)
     e_max = _spectral_radius(
-        lambda v: _mulA(sc, expnV_bar, cosh_bar, sinh_bar, v), ops.Nsites, cfg.n_power, k1, dtype
+        lambda v: _mulA(st0, sc, v), ops.Nsites, cfg.n_power, k1, dtype
     )
     e_min = 1.0 / _spectral_radius(
-        lambda v: _mulA_inv(sc, expnV_bar, cosh_bar, sinh_bar, v), ops.Nsites, cfg.n_power, k2, dtype
+        lambda v: _mulA_inv(st0, sc, v), ops.Nsites, cfg.n_power, k2, dtype
     )
     active = (e_min > 0.0) & (e_min < 1.0) & (e_max > 1.0) & ((e_max - e_min) < 2.0)
 
@@ -163,6 +185,8 @@ def setup(ops: ModelOps, params, x, cfg: KPMConfig, key) -> KPMState:
         lam_mag=lam_mag,
         coeff=coeff,
         active=active,
+        expK=expK,
+        expK_inv=expK_inv,
     )
 
 
@@ -173,7 +197,7 @@ def _chebyshev_apply(ops: ModelOps, st: KPMState, u, coeff, transposed: bool):
     mul = _mulA_T if transposed else _mulA
 
     def Ap(v):
-        av = mul(sc, st.expnV_bar, st.cosh_bar, st.sinh_bar, v)
+        av = mul(st, sc, v)
         return av / st.lam_mag - (st.lam_avg / st.lam_mag) * v
 
     out = coeff[0] * u
