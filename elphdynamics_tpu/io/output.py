@@ -150,6 +150,27 @@ def read_phonons(ops: ModelOps, filename: str) -> np.ndarray:
     return x
 
 
+def write_K_matrix(ops: ModelOps, params, x, filename: str, tau: int = 0):
+    """Write the SSH hopping matrix K[τ] incl. on-site energies
+    (SSHModels.jl:916-943)."""
+    from elphdynamics_tpu.models import ssh as Sm
+    import numpy as np
+
+    spec = ops.spec
+    with open(filename, "w") as f:
+        f.write("col row val\n")
+        mu = np.asarray(params.mu)
+        for i in range(spec.Nsites):
+            f.write(f"{i + 1} {i + 1} {-mu[i]}\n")
+        tp = np.asarray(Sm.hopping_t_prime(spec, params, x))
+        for b in range(spec.Nbonds):
+            n = spec.bond_to_ckb[b]
+            s1, s2 = spec.ckb.neighbor_table[:, n]
+            val = -tp[b, tau]
+            f.write(f"{s1 + 1} {s2 + 1} {val}\n")
+            f.write(f"{s2 + 1} {s1 + 1} {val}\n")
+
+
 def write_M_matrix(ops: ModelOps, params, x, filename: str, threshold=1e-10):
     """Densify M column-by-column and write nonzeros (Models.jl:300-367)."""
     import jax.numpy as jnp

@@ -232,6 +232,14 @@ def apply_symmetric(ops: ModelOps, st: KPMState, v):
     return jnp.where(st.active, out, v)
 
 
+def dense_Abar(ops: ModelOps, st: KPMState) -> np.ndarray:
+    """Densify the averaged single-slice operator Ā column by column — the
+    debugging hook of the reference (``construct_Bbar``,
+    KPMPreconditioners.jl:956-991)."""
+    eye = jnp.eye(ops.Nsites, dtype=st.expnV_bar.dtype)
+    return np.asarray(_mulA(st, ops.spec.ckb, eye))
+
+
 def make_symmetric_precond(ops: ModelOps, cfg: KPMConfig, seed: int = 1234):
     """(setup_fn, apply_fn) pair for the samplers: setup once per phonon
     configuration, apply inside the CG loop."""

@@ -175,7 +175,14 @@ def _run(setup: SimulationSetup, n_chains: int) -> dict:
         x = jnp.asarray(st["x"])
         v = jnp.asarray(st["v"])
         key = jnp.asarray(st["key"])
-        container = jax.tree.map(jnp.asarray, st["container"])
+        # merge over the zero container: empty groups are dropped by the
+        # flattened npz round trip
+        loaded = st["container"]
+        container = {
+            group: {k: jnp.asarray(loaded.get(group, {}).get(k, z))
+                    for k, z in zs.items()}
+            for group, zs in container.items()
+        }
         params = type(params)(**{k: (jnp.asarray(st["params"][k])
                                      if k in st["params"] else getattr(params, k))
                                  for k in params._fields})

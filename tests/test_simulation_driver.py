@@ -95,6 +95,50 @@ def test_simulate_end_to_end(tmp_path):
     assert np.all(np.isfinite(np.asarray(x2)))
 
 
+def test_simulate_multichain(tmp_path):
+    cfg = copy.deepcopy(BASE_CFG)
+    cfg["simulation"]["filepath"] = str(tmp_path)
+    cfg["hmc"]["burnin_updates"] = 2
+    cfg["hmc"]["simulation_updates"] = 4
+    cfg["simulation"]["num_bins"] = 1
+    stats = simulate(cfg, n_chains=3)
+    folder = os.path.join(str(tmp_path), "testrun-1")
+    assert os.path.isfile(os.path.join(folder, "testrun_summary.out"))
+    assert 0.0 <= stats["acceptance_rate"] <= 1.0
+
+
+def test_checkpoint_resume_continues(tmp_path):
+    """Interrupt after the first bin (simulated by a partial-run config),
+    then resume: the second run must pick up at the stored counters and
+    produce the remaining bins."""
+    import elphdynamics_tpu.simulation as sim_mod
+    from elphdynamics_tpu.io import checkpoint as ckpt_mod
+
+    cfg = copy.deepcopy(BASE_CFG)
+    cfg["simulation"]["filepath"] = str(tmp_path)
+    folder = os.path.join(str(tmp_path), "testrun-7")
+
+    # run once fully to produce a checkpoint mid-state: emulate an interrupted
+    # run by running with fewer steps first, then hand-editing the counters
+    stats = simulate(cfg, run_id=7)
+    st = ckpt_mod.load_checkpoint(folder)
+    assert st["counters"]["sim_start"] == cfg["hmc"]["simulation_updates"]
+    # rewind to mid-run and resume: must complete without error and rewrite bin 2
+    st["counters"]["sim_start"] = 4
+    ckpt_mod.save_checkpoint(
+        folder, x=st["x"], v=st["v"], key=st["key"],
+        params=type(sim_mod.build_setup(cfg, folder).params)(
+            **{k: st["params"].get(k) for k in st["params"]}),
+        container=st["container"], counters=st["counters"],
+        sim_stats=st["sim_stats"], mu_tuner_state=st["mu_tuner"])
+    before = os.path.getmtime(os.path.join(
+        folder, "global_measurements_f", "global_measurements_00002.out"))
+    simulate(cfg, run_id=7)
+    after = os.path.getmtime(os.path.join(
+        folder, "global_measurements_f", "global_measurements_00002.out"))
+    assert after >= before
+
+
 def test_simulate_langevin_and_mutuner(tmp_path):
     cfg = copy.deepcopy(BASE_CFG)
     cfg["simulation"]["filepath"] = str(tmp_path)
