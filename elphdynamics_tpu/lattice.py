@@ -152,15 +152,19 @@ class Lattice:
             pairs.append((isite, fsite))
         table = np.array(pairs, dtype=np.int64).T.reshape(2, -1)
         if remove_duplicates:
-            keep = np.ones(table.shape[1], dtype=bool)
-            for i in range(table.shape[1] - 1):
-                if not keep[i]:
-                    continue
-                a, b = table[0, i], table[1, i]
-                for j in range(i + 1, table.shape[1]):
-                    c, d = table[0, j], table[1, j]
-                    if (a == c and b == d) or (a == d and b == c):
-                        keep[j] = False
+            from elphdynamics_tpu import native
+
+            keep = native.dedup_pairs(table[0], table[1])
+            if keep is None:
+                keep = np.ones(table.shape[1], dtype=bool)
+                for i in range(table.shape[1] - 1):
+                    if not keep[i]:
+                        continue
+                    a, b = table[0, i], table[1, i]
+                    for j in range(i + 1, table.shape[1]):
+                        c, d = table[0, j], table[1, j]
+                        if (a == c and b == d) or (a == d and b == c):
+                            keep[j] = False
             table = table[:, keep]
         return table
 

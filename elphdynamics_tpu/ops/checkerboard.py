@@ -41,7 +41,14 @@ def checkerboard_groups(neighbor_table: np.ndarray) -> np.ndarray:
     Same algorithm as the reference (Checkerboard.jl:471-515): walk bonds in
     (sorted) order, assigning each to the first group in which it shares no
     site with an earlier member. Returns 0-based group ids per bond.
+    Dispatches to the native C++ implementation when available
+    (native/checkerboard_native.cpp).
     """
+    from elphdynamics_tpu import native
+
+    ng = native.checkerboard_groups(neighbor_table)
+    if ng is not None:
+        return ng
     nb = neighbor_table.shape[1]
     groups = np.full(nb, -1, dtype=np.int64)
     group = -1
@@ -224,9 +231,14 @@ def dense_matrix(spec: CheckerboardSpec, cosh_b, sinh_b, inverse: bool = False) 
     MXU matmul instead of ``ngroups`` gather+FMA passes over HBM. The matrix
     equals the group-fold product bit-for-bit up to f64 rounding.
     """
+    from elphdynamics_tpu import native
+
     cosh_b = np.asarray(cosh_b, dtype=np.float64)
     sinh_b = np.asarray(sinh_b, dtype=np.float64)
     N = spec.nsites
+    nd = native.dense_matrix(spec.neighbor_table, N, cosh_b, sinh_b, inverse=inverse)
+    if nd is not None:
+        return nd
     D = np.eye(N)
     order = range(spec.nbonds) if not inverse else range(spec.nbonds - 1, -1, -1)
     sgn = -1.0 if inverse else 1.0
