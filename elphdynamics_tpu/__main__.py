@@ -21,6 +21,9 @@ def main():
                     help="independent Markov chains batched on device")
     ap.add_argument("--x64", action="store_true",
                     help="enable float64 (CPU parity mode; TPU runs f32)")
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="capture an XLA profiler trace (TensorBoard format) "
+                         "of the whole run into DIR")
     args = ap.parse_args()
 
     import jax
@@ -30,7 +33,11 @@ def main():
 
     from elphdynamics_tpu.simulation import simulate
 
-    stats = simulate(args.input, run_id=args.run_id, n_chains=args.chains)
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            stats = simulate(args.input, run_id=args.run_id, n_chains=args.chains)
+    else:
+        stats = simulate(args.input, run_id=args.run_id, n_chains=args.chains)
     print(stats)
 
 

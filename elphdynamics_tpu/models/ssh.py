@@ -70,12 +70,15 @@ class SSHSpec:
     primary_phonon: np.ndarray   # [Nph] phonon -> its primary alias
     bond_to_definition: np.ndarray  # [Nbonds] bond -> bond-definition index
     bond_defs: tuple = ()        # ((o1, o2, (dL...), has_phonon), ...)
+    # build per-τ dense exp(−Δτ·K[x(τ)]) matrices inside the jitted step and
+    # apply them as batched MXU matmuls (gated by memory: Lτ·N² elements)
+    dense_ckb: bool = False
 
     def __hash__(self):
         return hash((self.Nsites, self.Ltau, self.Nbonds, self.Nph,
                      round(self.beta, 12), round(self.dtau, 12),
                      self.ckb_to_bond.tobytes(), self.bond_to_phonon.tobytes(),
-                     self.primary_phonon.tobytes()))
+                     self.primary_phonon.tobytes(), self.dense_ckb))
 
     def __eq__(self, other):
         return (
@@ -187,6 +190,8 @@ def build_ssh(
                     if primary[sb_ + k] == sb_ + k:
                         primary[sb_ + k] = primary[sa + k]
 
+    # dense per-τ fast path, gated on the [Lτ, N, N] memory footprint
+    dense_ckb = nb > 0 and Ltau * N * N <= 8_000_000
     spec = SSHSpec(
         lattice=lattice,
         beta=float(beta),
@@ -195,6 +200,7 @@ def build_ssh(
         Nsites=N,
         Nbonds=nb,
         Nph=Nph,
+        dense_ckb=dense_ckb,
         Ndim=N * Ltau,
         Ndof=Nph * Ltau,
         ckb=ckb,
@@ -242,12 +248,44 @@ def hopping_t_prime(spec: SSHSpec, p: SSHParams, x):
     return p.t[:, None] - jnp.where(has, v, 0.0)
 
 
+class SSHDerived(NamedTuple):
+    """Derived per-configuration state (the pure replacement of the
+    reference's mutated cosh/sinh caches, SSHModels.jl:510-562)."""
+
+    cosh: jnp.ndarray            # [Nbonds, Lτ], checkerboard order
+    sinh: jnp.ndarray
+    Kd: jnp.ndarray = None       # [Lτ, N, N] dense exp(−Δτ·K[x(τ)]) (optional)
+
+    # tuple-unpacking compatibility: (cosh, sinh) = derived
+    def __iter__(self):
+        return iter((self.cosh, self.sinh))
+
+
+def dense_K(spec: SSHSpec, cosh_b, sinh_b):
+    """Per-τ dense exp(−Δτ·K[x(τ)]) built by folding the checkerboard groups
+    on [Lτ, N, N] identity stacks — traced inside jit (the coefficients are
+    x-dependent), then applied as batched MXU matmuls."""
+    ckb = spec.ckb
+    N, Lt = spec.Nsites, spec.Ltau
+    D = jnp.broadcast_to(jnp.eye(N, dtype=cosh_b.dtype), (Lt, N, N))
+    for g in range(ckb.ngroups):
+        bos = ckb.bond_of_site[g]
+        m = jnp.asarray(ckb.mask[g])[None, :, None]
+        c = jnp.where(m, cosh_b[bos].T[:, :, None], jnp.ones((), cosh_b.dtype))
+        s = jnp.where(m, sinh_b[bos].T[:, :, None], jnp.zeros((), sinh_b.dtype))
+        D = c * D + s * jnp.take(D, jnp.asarray(ckb.partner[g]), axis=1)
+    return D
+
+
 def ckb_coeffs(spec: SSHSpec, p: SSHParams, x):
-    """(cosh, sinh) of Δτ·t' in checkerboard order, shape [Nbonds, Lτ]."""
+    """Derived state: (cosh, sinh) of Δτ·t' in checkerboard order, shape
+    [Nbonds, Lτ], plus the dense per-τ matrices in dense mode."""
     tp = hopping_t_prime(spec, p, x)
     tp_ckb = jnp.take(tp, jnp.asarray(spec.ckb_to_bond), axis=-2)
     arg = spec.dtau * tp_ckb
-    return jnp.cosh(arg), jnp.sinh(arg)
+    cosh_b, sinh_b = jnp.cosh(arg), jnp.sinh(arg)
+    Kd = dense_K(spec, cosh_b, sinh_b) if spec.dense_ckb else None
+    return SSHDerived(cosh=cosh_b, sinh=sinh_b, Kd=Kd)
 
 
 def exp_mu(spec: SSHSpec, p: SSHParams):
@@ -269,21 +307,33 @@ def _tau_sign_last(Ltau, dtype):
     return s.at[-1].set(1.0)
 
 
-def mulM(spec: SSHSpec, p: SSHParams, coeffs, v):
-    """y = M·v (SSHModels.jl:581-640). ``coeffs`` = (cosh, sinh) from
-    :func:`ckb_coeffs`; v is [..., N, Lτ]."""
+def _apply_K(spec: SSHSpec, coeffs, y, transpose=False):
+    """exp(−Δτ·K[x(τ)])·y — per-τ batched MXU matmul in dense mode, the
+    checkerboard group fold otherwise."""
+    Kd = getattr(coeffs, "Kd", None)
+    if Kd is not None:
+        import jax
+
+        eq = "tji,...jt->...it" if transpose else "tij,...jt->...it"
+        return jnp.einsum(eq, Kd, y, precision=jax.lax.Precision.HIGHEST)
     cosh_b, sinh_b = coeffs
+    fn = ckb_transpose_mul if transpose else ckb_mul
+    return fn(spec.ckb, cosh_b, sinh_b, y)
+
+
+def mulM(spec: SSHSpec, p: SSHParams, coeffs, v):
+    """y = M·v (SSHModels.jl:581-640). ``coeffs`` is the derived state from
+    :func:`ckb_coeffs`; v is [..., N, Lτ]."""
     v = jnp.asarray(v)
     y = exp_mu(spec, p) * jnp.roll(v, 1, axis=-1)
-    y = ckb_mul(spec.ckb, cosh_b, sinh_b, y)
+    y = _apply_K(spec, coeffs, y)
     return v + _tau_sign_first(spec.Ltau, v.dtype) * y
 
 
 def mulMT(spec: SSHSpec, p: SSHParams, coeffs, v):
     """y = Mᵀ·v (SSHModels.jl:646-701)."""
-    cosh_b, sinh_b = coeffs
     v = jnp.asarray(v)
-    z = ckb_transpose_mul(spec.ckb, cosh_b, sinh_b, v)
+    z = _apply_K(spec, coeffs, v, transpose=True)
     w = exp_mu(spec, p) * z
     return v + _tau_sign_last(spec.Ltau, v.dtype) * jnp.roll(w, -1, axis=-1)
 
