@@ -119,13 +119,9 @@ def _run(setup: SimulationSetup, n_chains: int) -> dict:
 
         def _wrap(params, state, key):
             x, stats, key = lstep(params, state.x, key)
-            hstats = type("S", (), {})
             return HMCState(x=x, v=state.v), \
                 {"accepted": jnp.asarray(True), "iters": stats.iters,
                  "flag": stats.flag}, key
-
-        def _to_dict(stats):
-            return stats
 
         sim_step = burnin_step = _wrap
 
@@ -235,7 +231,7 @@ def _run(setup: SimulationSetup, n_chains: int) -> dict:
         delta = new_mu - float(jnp.mean(params.mu))
         return params._replace(mu=params.mu + delta)
 
-    def do_special(params, state, keys, stats_key_r, stats_key_s, n):
+    def do_special(params, state, keys, n):
         nonlocal sim_stats
         if setup.reflect_cfg.n_moves and setup.reflect_cfg.freq and \
                 n % setup.reflect_cfg.freq == 0:
@@ -281,7 +277,7 @@ def _run(setup: SimulationSetup, n_chains: int) -> dict:
         sim_stats["iters"] += float(jnp.mean(iters))
         sim_stats["acceptance_rate"] += float(jnp.mean(acc))
         log_hmc(n + 1, stats)
-        state, chain_keys = do_special(params, state, chain_keys, None, None, n + 1)
+        state, chain_keys = do_special(params, state, chain_keys, n + 1)
         if mu_tuner.active and (n + 1) % mu_update_freq == 0:
             t0 = time.time()
             inc, mstats, snaps, chain_keys = mstep_j(params, state.x, chain_keys)
@@ -293,7 +289,6 @@ def _run(setup: SimulationSetup, n_chains: int) -> dict:
             sim_stats["simulation_time"] += time.time() - t0
 
     # ---- sampling + measurements (RunSimulation.jl:214-280)
-    nbins_written = sim_start * 0
     for n in range(sim_start, sp.nsteps):
         maybe_checkpoint(sp.burnin, n)
         t0 = time.time()
@@ -303,7 +298,7 @@ def _run(setup: SimulationSetup, n_chains: int) -> dict:
         sim_stats["iters"] += float(jnp.mean(iters))
         sim_stats["acceptance_rate"] += float(jnp.mean(acc))
         log_hmc(sp.burnin + n + 1, stats)
-        state, chain_keys = do_special(params, state, chain_keys, None, None, n + 1)
+        state, chain_keys = do_special(params, state, chain_keys, n + 1)
 
         if (n + 1) % sp.meas_freq == 0:
             nmeas = (n + 1) // sp.meas_freq
