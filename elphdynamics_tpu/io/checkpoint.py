@@ -21,12 +21,14 @@ import numpy as np
 
 
 def _flatten(tree, prefix=""):
+    from elphdynamics_tpu.utils.transfer import device_to_host
+
     out = {}
     if isinstance(tree, dict):
         for k, v in tree.items():
             out.update(_flatten(v, f"{prefix}{k}/"))
     else:
-        out[prefix[:-1]] = np.asarray(tree)
+        out[prefix[:-1]] = device_to_host(tree)
     return out
 
 
@@ -43,12 +45,14 @@ def _unflatten(flat):
 
 def save_checkpoint(datafolder: str, *, x, v, key, params, container,
                     counters: dict, sim_stats: dict, mu_tuner_state: dict):
+    from elphdynamics_tpu.utils.transfer import device_to_host
+
     arrays = {
-        "x": np.asarray(x),
-        "v": np.asarray(v),
+        "x": device_to_host(x),
+        "v": device_to_host(v),
         "key": np.asarray(key),
     }
-    arrays.update({f"params/{k}": np.asarray(val)
+    arrays.update({f"params/{k}": device_to_host(val)
                    for k, val in params._asdict().items() if val is not None})
     arrays.update({f"container/{k}": v for k, v in _flatten(container).items()})
     tmp = os.path.join(datafolder, "checkpoint_tmp.npz")  # np.savez appends .npz

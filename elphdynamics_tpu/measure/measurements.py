@@ -118,8 +118,13 @@ def zero_container(ops: ModelOps, mspec: MeasurementSpec, dtype=None):
         dtype = default_real_dtype()
     cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
 
+    from elphdynamics_tpu.utils.transfer import host_to_device
+
     def mk(group, complex_valued):
-        return {k: jnp.zeros(v, dtype=cdtype if complex_valued else dtype)
+        # host build + shimmed transfer: complex / high-rank uploads are not
+        # implemented on all TPU runtimes (utils/transfer.py)
+        return {k: host_to_device(np.zeros(v, np.dtype(cdtype if complex_valued
+                                                       else dtype)))
                 for k, v in group.items()}
 
     return {

@@ -137,7 +137,15 @@ def _run(setup: SimulationSetup, n_chains: int) -> dict:
     if n_chains > 1:
         sim_step_j = jax.jit(jax.vmap(sim_step, in_axes=(None, 0, 0)))
         burnin_step_j = jax.jit(jax.vmap(burnin_step, in_axes=(None, 0, 0)))
-        mstep_j = jax.jit(jax.vmap(mstep, in_axes=(None, 0, 0)))
+        _mstep_v = jax.vmap(mstep, in_axes=(None, 0, 0))
+
+        def _mstep_mean(params, x, keys):
+            inc, ms, snaps, keys = _mstep_v(params, x, keys)
+            inc = jax.tree.map(lambda a: jnp.mean(a, axis=0), inc)
+            snaps = jax.tree.map(lambda a: jnp.mean(a, axis=0), snaps)
+            return inc, ms, snaps, keys
+
+        mstep_j = jax.jit(_mstep_mean)
         reflect_j = jax.jit(jax.vmap(reflect, in_axes=(None, 0, 0)))
         swap_j = jax.jit(jax.vmap(swap, in_axes=(None, 0, 0)))
     else:
@@ -146,6 +154,12 @@ def _run(setup: SimulationSetup, n_chains: int) -> dict:
         mstep_j = jax.jit(mstep)
         reflect_j = jax.jit(reflect)
         swap_j = jax.jit(swap)
+
+    # eager complex arithmetic is not implemented on every TPU runtime, so
+    # the container accumulate and bin post-processing run jitted
+    accum_j = jax.jit(lambda c, inc: jax.tree.map(lambda a, b: a + b, c, inc))
+    process_bin_j = jax.jit(
+        lambda c: process_bin(ops, setup.mspec, c, sp.bin_size))
 
     # ---- state init / resume (ProcessInputFile.jl:122-177)
     sim_stats = {
@@ -156,7 +170,7 @@ def _run(setup: SimulationSetup, n_chains: int) -> dict:
     container = zero_container(ops, setup.mspec)
     mu_tuner = MuTuner(
         active=setup.tune_density is not None,
-        init_mu=float(jnp.mean(params.mu)),
+        init_mu=float(np.mean(np.asarray(params.mu))),
         target_N=(setup.tune_density or {}).get("density", 1.0) * ops.Nsites,
         N=ops.Nsites, beta=ops.beta, dtau=ops.dtau,
         forgetful_c=(setup.tune_density or {}).get("memory", 0.75),
@@ -173,9 +187,10 @@ def _run(setup: SimulationSetup, n_chains: int) -> dict:
         key = jnp.asarray(st["key"])
         # merge over the zero container: empty groups are dropped by the
         # flattened npz round trip
+        from elphdynamics_tpu.utils.transfer import host_to_device
         loaded = st["container"]
         container = {
-            group: {k: jnp.asarray(loaded.get(group, {}).get(k, z))
+            group: {k: host_to_device(np.asarray(loaded.get(group, {}).get(k, z)))
                     for k, z in zs.items()}
             for group, zs in container.items()
         }
@@ -228,7 +243,7 @@ def _run(setup: SimulationSetup, n_chains: int) -> dict:
             t_ckpt = time.time()
 
     def apply_mu(params, new_mu):
-        delta = new_mu - float(jnp.mean(params.mu))
+        delta = new_mu - float(np.mean(np.asarray(params.mu)))
         return params._replace(mu=params.mu + delta)
 
     def do_special(params, state, keys, n):
@@ -239,14 +254,14 @@ def _run(setup: SimulationSetup, n_chains: int) -> dict:
             xn, acc, keys = reflect_j(params, state.x, keys)
             state = HMCState(x=xn, v=state.v)
             sim_stats["simulation_time"] += time.time() - t0
-            sim_stats["reflect_acceptance_rate"] += float(jnp.mean(acc))
+            sim_stats["reflect_acceptance_rate"] += float(np.mean(np.asarray(acc)))
         if setup.swap_cfg.n_moves and setup.swap_cfg.freq and \
                 n % setup.swap_cfg.freq == 0:
             t0 = time.time()
             xn, acc, keys = swap_j(params, state.x, keys)
             state = HMCState(x=xn, v=state.v)
             sim_stats["simulation_time"] += time.time() - t0
-            sim_stats["swap_acceptance_rate"] += float(jnp.mean(acc))
+            sim_stats["swap_acceptance_rate"] += float(np.mean(np.asarray(acc)))
         return state, keys
 
     mu_update_freq = max(sp.meas_freq, 1)
@@ -263,9 +278,12 @@ def _run(setup: SimulationSetup, n_chains: int) -> dict:
     def log_hmc(n, stats):
         if hmc_log is None or not hasattr(stats, "H"):
             return
-        hmc_log.write(f"{n} {int(jnp.all(stats.accepted))} -1 "
-                      f"{float(jnp.mean(stats.H)):.8f} {float(jnp.mean(stats.S)):.8f} "
-                      f"{float(jnp.mean(stats.K)):.8f} {int(jnp.max(stats.iters))}\n")
+        hmc_log.write(
+            f"{n} {int(np.all(np.asarray(stats.accepted)))} -1 "
+            f"{float(np.mean(np.asarray(stats.H))):.8f} "
+            f"{float(np.mean(np.asarray(stats.S))):.8f} "
+            f"{float(np.mean(np.asarray(stats.K))):.8f} "
+            f"{int(np.max(np.asarray(stats.iters)))}\n")
 
     # ---- thermalization (RunSimulation.jl:171-204)
     for n in range(burnin_start, sp.burnin):
@@ -274,16 +292,16 @@ def _run(setup: SimulationSetup, n_chains: int) -> dict:
         state, stats, chain_keys = burnin_step_j(params, state, chain_keys)
         acc, iters, flag = _stats_of(stats)
         sim_stats["simulation_time"] += time.time() - t0
-        sim_stats["iters"] += float(jnp.mean(iters))
-        sim_stats["acceptance_rate"] += float(jnp.mean(acc))
+        sim_stats["iters"] += float(np.mean(np.asarray(iters)))
+        sim_stats["acceptance_rate"] += float(np.mean(np.asarray(acc)))
         log_hmc(n + 1, stats)
         state, chain_keys = do_special(params, state, chain_keys, n + 1)
         if mu_tuner.active and (n + 1) % mu_update_freq == 0:
             t0 = time.time()
             inc, mstats, snaps, chain_keys = mstep_j(params, state.x, chain_keys)
             npairs = setup.mspec.nv * (setup.mspec.nv - 1) // 2
-            Nm = float(jnp.mean(inc["global"]["density"])) / npairs * ops.Nsites
-            N2m = float(jnp.mean(inc["global"]["Nsqr"])) / npairs
+            Nm = float(inc["global"]["density"]) / npairs * ops.Nsites
+            N2m = float(inc["global"]["Nsqr"]) / npairs
             new_mu = mu_tuner.update(Nm, N2m)
             params = apply_mu(params, new_mu)
             sim_stats["simulation_time"] += time.time() - t0
@@ -295,8 +313,8 @@ def _run(setup: SimulationSetup, n_chains: int) -> dict:
         state, stats, chain_keys = sim_step_j(params, state, chain_keys)
         acc, iters, flag = _stats_of(stats)
         sim_stats["simulation_time"] += time.time() - t0
-        sim_stats["iters"] += float(jnp.mean(iters))
-        sim_stats["acceptance_rate"] += float(jnp.mean(acc))
+        sim_stats["iters"] += float(np.mean(np.asarray(iters)))
+        sim_stats["acceptance_rate"] += float(np.mean(np.asarray(acc)))
         log_hmc(sp.burnin + n + 1, stats)
         state, chain_keys = do_special(params, state, chain_keys, n + 1)
 
@@ -304,30 +322,25 @@ def _run(setup: SimulationSetup, n_chains: int) -> dict:
             nmeas = (n + 1) // sp.meas_freq
             t0 = time.time()
             inc, mstats, snaps, chain_keys = mstep_j(params, state.x, chain_keys)
-            if n_chains > 1:
-                inc = jax.tree.map(lambda a: jnp.mean(a, axis=0), inc)
-            container = jax.tree.map(lambda a, b: a + b, container,
-                                     {k: inc[k] for k in container})
+            container = accum_j(container, {k: inc[k] for k in container})
             sim_stats["measurement_time"] += time.time() - t0
             if mu_tuner.active:
                 npairs = setup.mspec.nv * (setup.mspec.nv - 1) // 2
-                Nm = float(jnp.mean(inc["global"]["density"])) / npairs * ops.Nsites
-                N2m = float(jnp.mean(inc["global"]["Nsqr"])) / npairs
+                Nm = float(inc["global"]["density"]) / npairs * ops.Nsites
+                N2m = float(inc["global"]["Nsqr"]) / npairs
                 params = apply_mu(params, mu_tuner.update(Nm, N2m))
             # snapshots
             t0 = time.time()
             for sname, svals in (snaps or {}).items():
-                vals = np.asarray(svals)
-                if n_chains > 1:
-                    vals = vals.mean(axis=0)
-                out_io.write_snapshot(datafolder, sname, vals, nmeas)
+                out_io.write_snapshot(datafolder, sname, np.asarray(svals), nmeas)
             sim_stats["write_time"] += time.time() - t0
 
             if nmeas % sp.bin_size == 0:
                 bin_idx = nmeas // sp.bin_size
                 t0 = time.time()
-                processed = process_bin(ops, setup.mspec, container, sp.bin_size)
-                processed = jax.tree.map(np.asarray, processed)
+                processed = process_bin_j(container)
+                from elphdynamics_tpu.utils.transfer import tree_to_host
+                processed = tree_to_host(processed)
                 sim_stats["measurement_time"] += time.time() - t0
                 t0 = time.time()
                 out_io.write_bin(datafolder, processed, bin_idx, ops)
