@@ -154,7 +154,10 @@ def _measurement_spec(cfg: dict, model_type: str) -> tuple[MeasurementSpec, tupl
         for kind in kinds:
             info = m.get(kind)
             if info and info.get("measure", False):
-                out.append((kind, bool(info.get("time_dependent", False))))
+                pairs = info.get("pairs")
+                if pairs is not None:
+                    pairs = tuple((int(a) - 1, int(b) - 1) for a, b in pairs)
+                out.append((kind, bool(info.get("time_dependent", False)), pairs))
         return tuple(out)
 
     # PhononGreens is on-site for Holstein (site phonons) but inter-site for

@@ -71,6 +71,16 @@ def _corr_pairs(n, explicit):
     return np.asarray([(i, j) for i in range(n) for j in range(n)], dtype=np.int64)
 
 
+def _normalize_kinds(entries):
+    """(kind, td[, pairs]) tuples -> {kind: (td, pairs_or_None)}."""
+    out = {}
+    for e in entries:
+        kind, td = e[0], e[1]
+        pairs = e[2] if len(e) > 2 else None
+        out[kind] = (td, pairs)
+    return out
+
+
 def _container_shapes(ops: ModelOps, mspec: MeasurementSpec):
     """Shape dictionary of the accumulation container."""
     lat = ops.spec.lattice
@@ -93,20 +103,18 @@ def _container_shapes(ops: ModelOps, mspec: MeasurementSpec):
                       ("x", "x2", "x4", "phonon_ke", "phonon_pe", "elph_energy", "sign_switch")})
     shapes["intersite"] = inter
 
-    op = _corr_pairs(no, mspec.onsite_pairs)
-    shapes["onsite_corr"] = {
-        kind: (len(op), L1, L2, L3, (Lt + 1) if td else 1)
-        for kind, td in mspec.onsite_corr
-    }
-    ip = _corr_pairs(ndefs, mspec.intersite_pairs)
+    shapes["onsite_corr"] = {}
+    for kind, (td, kp) in _normalize_kinds(mspec.onsite_corr).items():
+        op = _corr_pairs(no, kp if kp is not None else mspec.onsite_pairs)
+        shapes["onsite_corr"][kind] = (len(op), L1, L2, L3, (Lt + 1) if td else 1)
     shapes["intersite_corr"] = {}
-    for kind, td in mspec.intersite_corr:
+    for kind, (td, kp) in _normalize_kinds(mspec.intersite_corr).items():
         if kind == "PhononGreens":
             # SSH bond phonons: pairs over phonon types (Measurements.jl:2497)
             ntypes = max(sum(1 for d in ops.spec.bond_defs if d[3]), 1)
-            npair = len(_corr_pairs(ntypes, None))
+            npair = len(_corr_pairs(ntypes, kp))
         else:
-            npair = len(ip)
+            npair = len(_corr_pairs(ndefs, kp if kp is not None else mspec.intersite_pairs))
         shapes["intersite_corr"][kind] = (npair, L1, L2, L3, (Lt + 1) if td else 1)
     return shapes
 
@@ -155,8 +163,13 @@ def make_measurement_step(ops: ModelOps, mspec: MeasurementSpec,
     onsite_pairs = _corr_pairs(no, mspec.onsite_pairs)
     ndefs = len(spec.bond_defs)
     inter_pairs = _corr_pairs(ndefs, mspec.intersite_pairs)
-    onsite_kinds = dict(mspec.onsite_corr)
-    inter_kinds = dict(mspec.intersite_corr)
+    onsite_kinds = _normalize_kinds(mspec.onsite_corr)
+    inter_kinds = _normalize_kinds(mspec.intersite_corr)
+
+    def kind_pairs(kinds, kind, n, default):
+        td, kp = kinds[kind]
+        pairs = _corr_pairs(n, kp) if kp is not None else default
+        return td, pairs
 
     def orbit_sum(field_site_tau):
         """Sum an [N, Lt] field into per-orbital totals [no]."""
@@ -265,77 +278,90 @@ def make_measurement_step(ops: ModelOps, mspec: MeasurementSpec,
 
         # ---- on-site correlations (:1466-1650)
         if onsite_kinds:
-            o1 = onsite_pairs[:, 0]
-            o2 = onsite_pairs[:, 1]
-            Gp = pt.G[o2, o1]           # [np, L1, L2, L3, 2Lt]
-            GGp = pt.GG[o2, o1]
-            GDDp = pt.GDD_G00[o2, o1]
-            G0Dp = pt.G0D_GD0[o2, o1]
-            G_o2o2_00 = pt.G[o2, o2, 0, 0, 0, 0][:, None, None, None]
-            G_o1o1_00 = pt.G[o1, o1, 0, 0, 0, 0][:, None, None, None]
-            G_o2o1_00 = pt.G[o2, o1, 0, 0, 0, 0][:, None, None, None]
-            same_orb = jnp.asarray(o1 == o2)[:, None, None, None]
-            delta_r = jnp.zeros(Gp.shape[1:4]).at[0, 0, 0].set(1.0)[None]
-            delta = same_orb * delta_r   # δᵣ·δ(o₁,o₂)  [np, L1, L2, L3]
+            def oslices(pairs_arr):
+                """Common per-pair tensors for a given orbital-pair list."""
+                o1 = pairs_arr[:, 0]
+                o2 = pairs_arr[:, 1]
+                d = {
+                    "o1": o1, "o2": o2,
+                    "Gp": pt.G[o2, o1],             # [np, L1, L2, L3, 2Lt]
+                    "GGp": pt.GG[o2, o1],
+                    "GDDp": pt.GDD_G00[o2, o1],
+                    "G0Dp": pt.G0D_GD0[o2, o1],
+                    "G_o2o2_00": pt.G[o2, o2, 0, 0, 0, 0][:, None, None, None],
+                    "G_o1o1_00": pt.G[o1, o1, 0, 0, 0, 0][:, None, None, None],
+                    "G_o2o1_00": pt.G[o2, o1, 0, 0, 0, 0][:, None, None, None],
+                }
+                same_orb = jnp.asarray(o1 == o2)[:, None, None, None]
+                delta_r = jnp.zeros(d["Gp"].shape[1:4]).at[0, 0, 0].set(1.0)[None]
+                d["delta"] = same_orb * delta_r   # δᵣ·δ(o₁,o₂) [np, L1, L2, L3]
+                return d
 
-            def tslice(A, with_beta, beta_from_zero=True):
-                """[np, l..., 2Lt] -> [np, l..., Lt(+1)] with the τ=β slice
-                equal to the τ=0 value when requested."""
+            def tslice(A, with_beta):
+                """[np, l..., 2Lt] -> [np, l..., Lt(+1)] with τ=β = τ=0."""
                 if not with_beta:
                     return A[..., :1]
-                if beta_from_zero:
-                    return jnp.concatenate([A[..., :Lt], A[..., :1]], axis=-1)
-                return A[..., :Lt + 1]
+                return jnp.concatenate([A[..., :Lt], A[..., :1]], axis=-1)
 
             if "Greens" in onsite_kinds:
-                td = onsite_kinds["Greens"]
-                main = Gp[..., :Lt] if td else Gp[..., :1]
+                td, kp = kind_pairs(onsite_kinds, "Greens", no, onsite_pairs)
+                sl = oslices(kp)
+                main = sl["Gp"][..., :Lt] if td else sl["Gp"][..., :1]
                 if td:
                     # G(β) = δᵣ − G(0) (:1475-1478), per-pair sum: δ → n_pairs·δ
-                    beta_slice = (n_pairs * delta - Gp[..., 0])[..., None]
+                    beta_slice = (n_pairs * sl["delta"] - sl["Gp"][..., 0])[..., None]
                     main = jnp.concatenate([main, beta_slice], axis=-1)
                 out["onsite_corr"]["Greens"] = main
 
             if "DenDen" in onsite_kinds:
-                td = onsite_kinds["DenDen"]
+                td, kp = kind_pairs(onsite_kinds, "DenDen", no, onsite_pairs)
+                sl = oslices(kp)
                 delta_t0 = jnp.zeros(2 * Lt).at[0].set(1.0)
                 # δᵣδτ·Gᵣ₀τ0 term uses the already pair-summed G_o2o1_00
-                dd = 4.0 * (n_pairs - G_o2o2_00[..., None] - G_o1o1_00[..., None]
-                            + GDDp
-                            + 0.5 * (delta[..., None] * delta_t0 * G_o2o1_00[..., None]
-                                     - G0Dp))
+                dd = 4.0 * (n_pairs - sl["G_o2o2_00"][..., None]
+                            - sl["G_o1o1_00"][..., None]
+                            + sl["GDDp"]
+                            + 0.5 * (sl["delta"][..., None] * delta_t0
+                                     * sl["G_o2o1_00"][..., None]
+                                     - sl["G0Dp"]))
                 out["onsite_corr"]["DenDen"] = tslice(dd, td)
 
             if "SpinSpin" in onsite_kinds:
-                td = onsite_kinds["SpinSpin"]
+                td, kp = kind_pairs(onsite_kinds, "SpinSpin", no, onsite_pairs)
+                sl = oslices(kp)
                 delta_t0 = jnp.zeros(2 * Lt).at[0].set(1.0)
-                ss = -2.0 * G0Dp + 2.0 * delta[..., None] * delta_t0 * G_o2o1_00[..., None]
+                ss = (-2.0 * sl["G0Dp"]
+                      + 2.0 * sl["delta"][..., None] * delta_t0
+                      * sl["G_o2o1_00"][..., None])
                 if td:
                     # τ=β: swapped orbitals, negated displacement (:1512-1521)
+                    o1, o2 = sl["o1"], sl["o2"]
                     G0D_sw = pt.G0D_GD0[o1, o2]
                     neg = G._neg_index(G0D_sw[..., 0], (-3, -2, -1))
                     G_sw_00 = pt.G[o1, o2, 0, 0, 0, 0][:, None, None, None]
-                    beta = -2.0 * neg + 2.0 * delta * G_sw_00
+                    beta = -2.0 * neg + 2.0 * sl["delta"] * G_sw_00
                     ss = jnp.concatenate([ss[..., :Lt], beta[..., None]], axis=-1)
                 else:
                     ss = ss[..., :1]
                 out["onsite_corr"]["SpinSpin"] = ss
 
             if "PairGreens" in onsite_kinds:
-                td = onsite_kinds["PairGreens"]
-                pg = GGp
+                td, kp = kind_pairs(onsite_kinds, "PairGreens", no, onsite_pairs)
+                sl = oslices(kp)
+                pg = sl["GGp"]
                 if td:
-                    beta = GGp[..., 0] + delta * (n_pairs - 2.0 * jnp.real(G_o1o1_00))
+                    beta = sl["GGp"][..., 0] + sl["delta"] * (
+                        n_pairs - 2.0 * jnp.real(sl["G_o1o1_00"]))
                     pg = jnp.concatenate([pg[..., :Lt], beta[..., None]], axis=-1)
                 else:
                     pg = pg[..., :1]
                 out["onsite_corr"]["PairGreens"] = pg
 
             if "PhononGreens" in onsite_kinds and ops.is_holstein:
-                td = onsite_kinds["PhononGreens"]
+                td, kp = kind_pairs(onsite_kinds, "PhononGreens", no, onsite_pairs)
                 xc = G.to_cell_layout(lat, x)     # [no, L1, L2, L3, Lt]
-                xx = G.translational_average(xc[o1].astype(jnp.complex128),
-                                             xc[o2].astype(jnp.complex128))
+                xx = G.translational_average(xc[kp[:, 0]].astype(jnp.complex128),
+                                             xc[kp[:, 1]].astype(jnp.complex128))
                 xx = n_pairs * xx
                 if td:
                     xx = jnp.concatenate([xx, xx[..., :1]], axis=-1)
@@ -348,8 +374,9 @@ def make_measurement_step(ops: ModelOps, mspec: MeasurementSpec,
             inter = {}
             if "PhononGreens" in inter_kinds and not ops.is_holstein:
                 # SSH bond-phonon Green's function (:2488-2541)
-                td = inter_kinds["PhononGreens"]
                 ntypes = max(sum(1 for d in spec.bond_defs if d[3]), 1)
+                td, ppairs = kind_pairs(inter_kinds, "PhononGreens", ntypes, 
+                                        _corr_pairs(ntypes, None))
                 per_type = ops.Nph // ntypes
                 L1, L2, L3 = lat.L1, lat.L2, lat.L3
                 if per_type != lat.ncells:
@@ -359,7 +386,6 @@ def make_measurement_step(ops: ModelOps, mspec: MeasurementSpec,
                         "contract as the reference, Measurements.jl:2508)")
                 xt = x.reshape(ntypes, per_type, Lt)
                 xt = xt.reshape(ntypes, L3, L2, L1, Lt).transpose(0, 3, 2, 1, 4)
-                ppairs = _corr_pairs(ntypes, None)
                 x1 = xt[ppairs[:, 0]].astype(jnp.complex128)
                 x2 = xt[ppairs[:, 1]].astype(jnp.complex128)
                 xx = n_pairs * G.translational_average(x2, x1)
@@ -393,23 +419,32 @@ def make_measurement_step(ops: ModelOps, mspec: MeasurementSpec,
 
 def _intersite_correlations(ops, params, x, R, MinvR, pt, kinds, pairs):
     """Bond-pair correlation functions (BondBond, CurrentCurrent,
-    BondPairGreens) — see measure/intersite_corr.py."""
+    BondPairGreens) — see measure/intersite_corr.py. ``kinds`` maps
+    kind -> (time_dependent, pairs_or_None)."""
     from elphdynamics_tpu.measure import intersite_corr as IC
 
     nv = R.shape[0]
     n_pairs = nv * (nv - 1) // 2
+    ndefs = len(ops.spec.bond_defs)
     bf = IC.BondFields(ops.spec.lattice, R, MinvR, G.pair_indices(nv))
-    bond_pairs = [tuple(p) for p in np.asarray(pairs)]
+
+    def bp(kind):
+        td, kp = kinds[kind]
+        arr = _corr_pairs(ndefs, kp) if kp is not None else pairs
+        return td, [tuple(p) for p in np.asarray(arr)]
+
     out = {}
     if "BondBond" in kinds:
-        out["BondBond"] = IC.measure_bondbond(ops, pt, bf, bond_pairs,
-                                              kinds["BondBond"])
+        td, bond_pairs = bp("BondBond")
+        out["BondBond"] = IC.measure_bondbond(ops, pt, bf, bond_pairs, td)
     if "CurrentCurrent" in kinds:
+        td, bond_pairs = bp("CurrentCurrent")
         out["CurrentCurrent"] = IC.measure_currentcurrent(
-            ops, params, x, pt, bf, bond_pairs, kinds["CurrentCurrent"])
+            ops, params, x, pt, bf, bond_pairs, td)
     if "BondPairGreens" in kinds:
+        td, bond_pairs = bp("BondPairGreens")
         out["BondPairGreens"] = IC.measure_bondpairgreens(
-            ops, pt, bf, bond_pairs, kinds["BondPairGreens"], n_pairs)
+            ops, pt, bf, bond_pairs, td, n_pairs)
     return out
 
 

@@ -163,6 +163,22 @@ def test_correlation_containers_and_susceptibility_shapes():
     assert np.allclose(g[..., Lt], delta - g[..., 0], atol=1e-10)
 
 
+def test_explicit_measurement_pairs():
+    """Per-measurement `pairs` lists (Measurements.jl:776-782): an explicit
+    single-pair Greens container matches the corresponding slice of the
+    all-pairs container."""
+    ops, spec, params, x = make_model()
+    m_all = MeasurementSpec(nv=6, onsite_corr=(("Greens", True),))
+    m_one = MeasurementSpec(nv=6, onsite_corr=(("Greens", True, ((0, 0),)),))
+    inc_a, *_ = make_measurement_step(ops, m_all, SolverConfig(tol=1e-8, maxiter=2000))(
+        params, x, jax.random.PRNGKey(9))
+    inc_o, *_ = make_measurement_step(ops, m_one, SolverConfig(tol=1e-8, maxiter=2000))(
+        params, x, jax.random.PRNGKey(9))
+    assert inc_o["onsite_corr"]["Greens"].shape[0] == 1
+    assert np.allclose(np.asarray(inc_o["onsite_corr"]["Greens"][0]),
+                       np.asarray(inc_a["onsite_corr"]["Greens"][0]), atol=1e-12)
+
+
 def test_greens_correlation_matches_exact():
     ops, spec, params, x = make_model()
     Minv = dense_Minv(spec, params, x)
