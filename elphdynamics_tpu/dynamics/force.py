@@ -10,12 +10,11 @@ with ``M⁻¹g`` obtained from the CG solve of ``MᵀM·x = Mᵀg``.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
-from elphdynamics_tpu import solvers
 from elphdynamics_tpu.dynamics.solve import (  # noqa: F401  (re-exported)
     SolverConfig,
     resolve_precond,

@@ -31,7 +31,6 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from elphdynamics_tpu import solvers
 from elphdynamics_tpu.dynamics.force import SolverConfig
 from elphdynamics_tpu.models.adapter import ModelOps
 from elphdynamics_tpu.ops.fourier_accel import accelerate

@@ -24,7 +24,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from elphdynamics_tpu import solvers
 from elphdynamics_tpu.models.adapter import ModelOps
 
 

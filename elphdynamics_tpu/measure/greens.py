@@ -25,13 +25,12 @@ convention matches the reference accessors (GreensFunctions.jl:293-329):
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from elphdynamics_tpu import solvers
 from elphdynamics_tpu.dynamics.solve import SolverConfig, resolve_precond, solve_minv
 from elphdynamics_tpu.models.adapter import ModelOps
 

@@ -16,7 +16,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any, Callable
 
-import jax.numpy as jnp
 import numpy as np
 
 from elphdynamics_tpu.models import holstein as Hm

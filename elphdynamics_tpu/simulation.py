@@ -44,7 +44,6 @@ from elphdynamics_tpu.measure.measurements import (
     zero_container,
 )
 from elphdynamics_tpu.measure.mufinder import MuTuner
-from elphdynamics_tpu.models.adapter import make_model_ops
 from elphdynamics_tpu.ops import kpm
 
 logger = logging.getLogger("elphdynamics_tpu")

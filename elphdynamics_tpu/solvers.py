@@ -19,7 +19,6 @@ All reductions are performed in :func:`accum_dtype` (f64 under x64).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax
