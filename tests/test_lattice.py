@@ -68,3 +68,18 @@ def test_honeycomb_two_orbits():
     # orbit bookkeeping
     assert np.all(lat.site_to_orbit[t[0]] == 0)
     assert np.all(lat.site_to_orbit[t[1]] == 1)
+
+
+def test_translationally_equivalent_sets():
+    from elphdynamics_tpu.lattice import translationally_equivalent_sets
+
+    lat = square_lattice(3)
+    sets = translationally_equivalent_sets(lat)
+    assert sets.shape == (2, 9, 3, 3, 1, 1, 1)
+    # displacement (1,0): each pair's second site is the +x neighbor
+    for c in range(9):
+        s1 = sets[0, c, 1, 0, 0, 0, 0]
+        s2 = sets[1, c, 1, 0, 0, 0, 0]
+        assert s2 == lat.site_to_site(s1, (1, 0, 0), 0)
+    # zero displacement is the identity pairing
+    assert np.all(sets[0, :, 0, 0, 0, 0, 0] == sets[1, :, 0, 0, 0, 0, 0])

@@ -156,3 +156,18 @@ def test_langevin_single_site_matches_ed():
     ed = single_site_holstein_ed(BETA, OMEGA, LAM, MU)
     assert abs(xh.mean() - ed["x"]) < 0.1, (xh.mean(), ed["x"])
     assert abs((xh ** 2).mean() - ed["x2"]) < 0.1, ((xh ** 2).mean(), ed["x2"])
+
+
+def test_langevin_heun_runs_and_stays_sane():
+    """Heun integrator (update_method=3) smoke + stability check."""
+    ops, params = single_site_model()
+    Q = build_Q(np.asarray(params.omega), ops.dtau, ops.Ltau, FA_BLOCKS)
+    step = make_langevin_step(ops, Q, dt=0.01, method="heun",
+                              scfg=SolverConfig(tol=1e-7, maxiter=500))
+    key = jax.random.PRNGKey(7)
+    x, key = init_phonons_half_filled(ops, params, key)
+    jstep = jax.jit(lambda p, x, k: step(p, x, k))
+    for _ in range(50):
+        x, stats, key = jstep(params, x, key)
+    assert np.all(np.isfinite(np.asarray(x)))
+    assert float(jnp.max(jnp.abs(x))) < 50.0
