@@ -19,6 +19,9 @@ def main():
                     help="datafolder suffix id (auto-incremented if omitted)")
     ap.add_argument("--chains", type=int, default=1,
                     help="independent Markov chains batched on device")
+    ap.add_argument("--devices", type=int, default=1,
+                    help="devices to shard the chains over (0 = all local "
+                         "devices); chains must be a multiple of devices")
     ap.add_argument("--x64", action="store_true",
                     help="enable float64 (CPU parity mode; TPU runs f32)")
     ap.add_argument("--profile", metavar="DIR", default=None,
@@ -35,9 +38,11 @@ def main():
 
     if args.profile:
         with jax.profiler.trace(args.profile):
-            stats = simulate(args.input, run_id=args.run_id, n_chains=args.chains)
+            stats = simulate(args.input, run_id=args.run_id,
+                             n_chains=args.chains, n_devices=args.devices)
     else:
-        stats = simulate(args.input, run_id=args.run_id, n_chains=args.chains)
+        stats = simulate(args.input, run_id=args.run_id,
+                         n_chains=args.chains, n_devices=args.devices)
     print(stats)
 
 

@@ -61,13 +61,16 @@ def total_force(
     scfg: SolverConfig,
     precond=None,
     shifted: bool = True,
+    pstate=None,
 ):
     """∂S/∂x = ∂Sb/∂x − 2gᵀ[∂M/∂x]M⁻¹g with a fresh Gaussian g
-    (LangevinDynamics.jl:334-345). ``precond`` is a (setup, applies...) tuple."""
+    (LangevinDynamics.jl:334-345). ``precond`` is a
+    :class:`~elphdynamics_tpu.ops.kpm.Preconditioner`; a ``pstate`` from an
+    earlier full setup skips the spectral-bounds recomputation."""
     derived = ops.derived(params, x)
     key, kg = jax.random.split(key)
     g = jax.random.normal(kg, x.shape[:-2] + (ops.Nsites, ops.Ltau), dtype=x.dtype)
-    pa = resolve_precond(precond, params, x)
+    pa = resolve_precond(precond, params, x, prev_state=pstate)
     fres = fermionic_force(ops, params, x, derived, g, scfg, pa)
     dSdx = fres.dSdx + ops.calc_dSbdx(params, x, shifted)
     return ForceResult(dSdx=dSdx, iters=fres.iters, flag=fres.flag), key

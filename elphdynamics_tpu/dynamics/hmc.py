@@ -34,6 +34,7 @@ from jax import lax
 from elphdynamics_tpu.dynamics.force import SolverConfig
 from elphdynamics_tpu.models.adapter import ModelOps
 from elphdynamics_tpu.ops.fourier_accel import accelerate
+from elphdynamics_tpu.utils.dtypes import fdot
 
 
 class HMCConfig(NamedTuple):
@@ -46,6 +47,7 @@ class HMCConfig(NamedTuple):
     kappa_max: float = 1e12
     solver_kind: str = "cg"  # "cg" | "bicgstab" | "gmres"
     restart: int = 20
+    log_verbose: bool = False  # per-timestep energy trace (HMC.jl verbose log)
 
     @property
     def Nt(self) -> int:
@@ -71,6 +73,12 @@ class HMCStats(NamedTuple):
     H: jnp.ndarray = jnp.nan
     S: jnp.ndarray = jnp.nan
     K: jnp.ndarray = jnp.nan
+    # per-timestep [Nt, ...] energy trace when cfg.log_verbose
+    # (the reference's verbose update_log cadence, HMC.jl:285-304)
+    traj_H: jnp.ndarray = jnp.nan
+    traj_S: jnp.ndarray = jnp.nan
+    traj_K: jnp.ndarray = jnp.nan
+    traj_iters: jnp.ndarray = jnp.nan
 
 
 def _spin_stack(a, b):
@@ -92,7 +100,7 @@ def make_hmc_step(
     ``setup!`` cadence (HMC.jl:834).
     """
     from elphdynamics_tpu.dynamics.solve import (
-        SolverConfig, resolve_precond, solve_oinv)
+        SolverConfig, precond_state, resolve_precond, solve_oinv)
 
     mass = jnp.asarray(mass_table)
     has_lambda = ops.calc_Lambda is not None
@@ -104,9 +112,13 @@ def make_hmc_step(
             return ops.mulLambda(Lam, phi), Lam
         return phi, None
 
-    def solve_O(params, x, derived, Lphi, tol, active):
-        """Batched-over-spin solve of O·z = Λφ (HMC.jl:820-915)."""
-        pa = resolve_precond(precond, params, x)
+    def solve_O(params, x, derived, Lphi, tol, pstate):
+        """Batched-over-spin solve of O·z = Λφ (HMC.jl:820-915).
+
+        ``pstate`` is the KPM state of the full setup at the trajectory start;
+        each solve only refreshes the averaged operator against the current x
+        (buffered setup-skip, KPMPreconditioners.jl:288-308)."""
+        pa = resolve_precond(precond, params, x, prev_state=pstate)
         scfg = SolverConfig(tol=tol, maxiter=cfg.maxiter, kappa_max=cfg.kappa_max,
                             kind=cfg.solver_kind, restart=cfg.restart)
         res = solve_oinv(ops, params, derived, Lphi, scfg, pa)
@@ -138,19 +150,20 @@ def make_hmc_step(
 
     def calc_K(v):
         """K = vᵀ·M·v/2 via the mass table (HMC.jl:711-739); SSH counts
-        primary fields only."""
+        primary fields only. Accumulated via fdot: ΔH = H₁−H₀ cancels
+        O(N·Lτ)-sized terms, so the energies need accurate reduction."""
         mv = accelerate(mass, v, 1.0)
         if not ops.is_holstein:
             import numpy as _np
             prim_mask = jnp.asarray(
                 (ops.spec.primary_phonon == _np.arange(ops.Nph)), v.dtype
             )[:, None]
-            return jnp.sum(prim_mask * v * mv, axis=(-2, -1)) / 2
-        return jnp.sum(v * mv, axis=(-2, -1)) / 2
+            return fdot(prim_mask * v, mv, axis=(-2, -1)) / 2
+        return fdot(v, mv, axis=(-2, -1)) / 2
 
     def calc_S(params, x, Lphi, z):
         """S = Sb + Σ± (Λφ±)ᵀz±/2 (HMC.jl:743-783)."""
-        Sf = jnp.sum(Lphi * z, axis=(0, -2, -1)) / 2
+        Sf = fdot(Lphi, z, axis=(0, -2, -1)) / 2
         return Sf + ops.calc_Sb(params, x, False)
 
     tol1 = cfg.tol
@@ -174,9 +187,13 @@ def make_hmc_step(
         else:
             phi = MtR
 
+        # --- full preconditioner setup ONCE per update; the trajectory's
+        # solves reuse its bounds/coefficients through cheap refreshes
+        pstate = precond_state(precond, params, x0)
+
         # --- initial endpoint solve (tol², HMC.jl:374)
         Lphi0, _ = lam_phi(params, x0, phi)
-        z0, it0, flag0 = solve_O(params, x0, derived0, Lphi0, tol2, None)
+        z0, it0, flag0 = solve_O(params, x0, derived0, Lphi0, tol2, pstate)
         H0 = calc_S(params, x0, Lphi0, z0) + calc_K(v0)
 
         dSdx0 = forces(params, x0, derived0, phi, z0)
@@ -212,7 +229,7 @@ def make_hmc_step(
                 x1, v1 = boson_substeps(x, v1)
             d1 = ops.derived(params, x1)
             Lphi1, _ = lam_phi(params, x1, phi)
-            z1, it1, fl1 = solve_O(params, x1, d1, Lphi1, tol1, None)
+            z1, it1, fl1 = solve_O(params, x1, d1, Lphi1, tol1, pstate)
             dS1 = forces(params, x1, d1, phi, z1)
             Qd1 = qf(dS1)
             v1 = v1 - cfg.dt / 2 * Qd1
@@ -222,16 +239,24 @@ def make_hmc_step(
             QdSdx = jnp.where(ok, Qd1, QdSdx)
             iters = iters + jnp.where(ok, it1, 0)
             flag = jnp.maximum(flag, jnp.where(ok, fl1, 0))
-            return (x, v, QdSdx, iters, flag), None
+            if cfg.log_verbose:
+                # per-timestep energies reusing the tol¹ solve (the
+                # reference's verbose update_log re-solves; HMC.jl:285-304)
+                S_t = calc_S(params, x, Lphi1, z1)
+                K_t = calc_K(v)
+                ys = (S_t + K_t, S_t, K_t, it1)
+            else:
+                ys = None
+            return (x, v, QdSdx, iters, flag), ys
 
-        (x1, v1, _, iters, flag), _ = lax.scan(
+        (x1, v1, _, iters, flag), traj = lax.scan(
             body, (x0, v0, QdSdx0, it0, flag0), None, length=cfg.Nt
         )
 
         # --- final endpoint solve (tol²) + Metropolis (HMC.jl:431-472)
         d1 = ops.derived(params, x1)
         Lphi1, _ = lam_phi(params, x1, phi)
-        z1, it2, fl2 = solve_O(params, x1, d1, Lphi1, tol2, None)
+        z1, it2, fl2 = solve_O(params, x1, d1, Lphi1, tol2, pstate)
         iters = iters + it2
         flag = jnp.maximum(flag, fl2)
         S1 = calc_S(params, x1, Lphi1, z1)
@@ -247,6 +272,9 @@ def make_hmc_step(
         mean_iters = (iters + cfg.Nt + 1) // (cfg.Nt + 2)
         stats = HMCStats(accepted=accept, iters=mean_iters, flag=flag, delta_H=dH,
                          H=H1, S=S1, K=K1)
+        if cfg.log_verbose:
+            stats = stats._replace(traj_H=traj[0], traj_S=traj[1],
+                                   traj_K=traj[2], traj_iters=traj[3])
         return HMCState(x=x_new, v=v_new), stats, key
 
     return step

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from elphdynamics_tpu.dynamics.force import SolverConfig, total_force
+from elphdynamics_tpu.dynamics.solve import precond_state
 from elphdynamics_tpu.models.adapter import ModelOps
 from elphdynamics_tpu.ops.fourier_accel import accelerate
 
@@ -55,9 +56,14 @@ def make_langevin_step(
 
     def rk(params, x, key):
         eta, key = noise(key, x)
-        f1, key = total_force(ops, params, x, key, scfg, precond, shifted=True)
+        # one full preconditioner setup per step; the second (predictor)
+        # force eval refreshes against its spectral bounds
+        ps = precond_state(precond, params, x)
+        f1, key = total_force(ops, params, x, key, scfg, precond,
+                              shifted=True, pstate=ps)
         dx = jnp.sqrt(2.0 * dt) * eta - dt * f1.dSdx
-        f2, key = total_force(ops, params, x + dx, key, scfg, precond, shifted=True)
+        f2, key = total_force(ops, params, x + dx, key, scfg, precond,
+                              shifted=True, pstate=ps)
         favg = (f1.dSdx + f2.dSdx) / 2.0
         QdSdx = accelerate(Q, favg, 1.0)
         sqrtQeta = accelerate(Q, eta, 0.5)
@@ -67,10 +73,13 @@ def make_langevin_step(
     def heun(params, x, key):
         eta, key = noise(key, x)
         xi = accelerate(Q, eta, 0.5)
-        f1, key = total_force(ops, params, x, key, scfg, precond, shifted=True)
+        ps = precond_state(precond, params, x)
+        f1, key = total_force(ops, params, x, key, scfg, precond,
+                              shifted=True, pstate=ps)
         dG1 = accelerate(Q, f1.dSdx, 1.0)
         dx = jnp.sqrt(2.0 * dt) * xi - dt * dG1
-        f2, key = total_force(ops, params, x + dx, key, scfg, precond, shifted=True)
+        f2, key = total_force(ops, params, x + dx, key, scfg, precond,
+                              shifted=True, pstate=ps)
         dG2 = accelerate(Q, f2.dSdx, 1.0)
         x = x + jnp.sqrt(2.0 * dt) * xi - dt * (dG1 + dG2) / 2.0
         iters = (f1.iters + f2.iters) // 2

@@ -48,7 +48,8 @@ def _eval_S(ops: ModelOps, params, x, phi, tol, maxiter, precond=None):
     pa = resolve_precond(precond, params, x)
     sol = solve_oinv(ops, params, derived, Lphi,
                      SolverConfig(tol=tol, maxiter=maxiter), pa)
-    Sf = jnp.sum(Lphi * sol.x, axis=(0, -2, -1)) / 2
+    from elphdynamics_tpu.utils.dtypes import fdot
+    Sf = fdot(Lphi, sol.x, axis=(0, -2, -1)) / 2
     S = Sf + ops.calc_Sb(params, x, False)
     iters = (jnp.sum(sol.iters) + 1) // 2
     return S, iters, jnp.max(sol.flag)
@@ -66,7 +67,8 @@ def _refresh_phi(ops: ModelOps, params, x, key):
         phi = ops.mulLambdaInv(Lam, MtR)
     else:
         phi = MtR
-    S0 = jnp.sum(R * R) / 2 + ops.calc_Sb(params, x, False)
+    from elphdynamics_tpu.utils.dtypes import fdot
+    S0 = fdot(R, R, axis=(0, -2, -1)) / 2 + ops.calc_Sb(params, x, False)
     return phi, S0, key
 
 

@@ -243,7 +243,8 @@ def build_setup(cfg: dict, datafolder: str, dtype=None) -> SimulationSetup:
                             alpha=h.get("momentum_conservation_fraction", 0.0),
                             Nb=h.get("num_multitimesteps", 1),
                             tol=solver_cfg.tol, maxiter=solver_cfg.maxiter,
-                            solver_kind=solver_cfg.kind, restart=solver_cfg.restart)
+                            solver_kind=solver_cfg.kind, restart=solver_cfg.restart,
+                            log_verbose=bool(h.get("verbose", False)))
         b = h.get("burnin", {})
         hmc_burnin_cfg = HMCConfig(
             dt=b.get("dt", h["dt"]),
@@ -252,7 +253,8 @@ def build_setup(cfg: dict, datafolder: str, dtype=None) -> SimulationSetup:
                         h.get("momentum_conservation_fraction", 0.0)),
             Nb=b.get("num_multitimesteps", h.get("num_multitimesteps", 1)),
             tol=solver_cfg.tol, maxiter=solver_cfg.maxiter,
-            solver_kind=solver_cfg.kind, restart=solver_cfg.restart)
+            solver_kind=solver_cfg.kind, restart=solver_cfg.restart,
+            log_verbose=bool(h.get("verbose", False)))
         if "reflection_update" in h and model_type == "holstein":
             reflect_cfg = SpecialUpdateConfig(
                 freq=h["reflection_update"]["freq"],

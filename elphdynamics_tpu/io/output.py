@@ -171,18 +171,36 @@ def write_K_matrix(ops: ModelOps, params, x, filename: str, tau: int = 0):
             f.write(f"{s2 + 1} {s1 + 1} {val}\n")
 
 
-def write_M_matrix(ops: ModelOps, params, x, filename: str, threshold=1e-10):
-    """Densify M column-by-column and write nonzeros (Models.jl:300-367)."""
+def write_M_matrix(ops: ModelOps, params, x, filename: str, threshold=1e-10,
+                   chunk: int = 512):
+    """Densify M column-by-column and write nonzeros (Models.jl:300-367).
+
+    Columns are produced in fixed-size batches of ``chunk`` unit vectors so
+    peak memory stays O(chunk·N·Lτ) instead of O((N·Lτ)²) — a 32×32 β=16
+    dump fits on one chip."""
+    import jax
     import jax.numpy as jnp
 
     derived = ops.derived(params, x)
     N, L = ops.Nsites, ops.Ltau
-    eye = jnp.eye(N * L).reshape(N * L, N, L)
-    cols = np.asarray(ops.mulM(params, derived, eye)).reshape(N * L, N * L)
+    NL = N * L
+    chunk = min(chunk, NL)
+
+    @jax.jit
+    def mul_cols(flat_idx):
+        eye = jnp.zeros((chunk, NL), dtype=np.asarray(x).dtype)
+        eye = eye.at[jnp.arange(chunk), flat_idx].set(1.0)
+        out = ops.mulM(params, derived, eye.reshape(chunk, N, L))
+        return out.reshape(chunk, NL)
+
     with open(filename, "w") as f:
         f.write("col row real imag\n")
-        for col in range(N * L):
-            colv = cols[col]
-            nz = np.nonzero(np.abs(colv) > threshold)[0]
-            for row in nz:
-                f.write(f"{col + 1} {row + 1} {colv[row]:.10f} {0.0:.10f}\n")
+        for start in range(0, NL, chunk):
+            # pad the final batch by repeating the last column; extras skipped
+            idx = np.minimum(np.arange(start, start + chunk), NL - 1)
+            cols = np.asarray(mul_cols(jnp.asarray(idx)))
+            for j in range(min(chunk, NL - start)):
+                colv = cols[j]
+                nz = np.nonzero(np.abs(colv) > threshold)[0]
+                for row in nz:
+                    f.write(f"{start + j + 1} {row + 1} {colv[row]:.10f} {0.0:.10f}\n")

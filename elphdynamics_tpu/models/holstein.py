@@ -347,7 +347,8 @@ def calc_Sb(spec: HolsteinSpec, p: HolsteinParams, x, shifted: bool = False):
     sb = om2 * x * x / 2 + om4 * x ** 4 + dx * dx / (2 * spec.dtau ** 2)
     if shifted:
         sb = sb - lam * x
-    total = jnp.sum(sb, axis=(-2, -1))
+    from elphdynamics_tpu.utils.dtypes import fsum
+    total = fsum(sb, axis=(-2, -1))
     if spec.wij_table.shape[1] > 0:
         i = jnp.asarray(spec.wij_table[0])
         j = jnp.asarray(spec.wij_table[1])

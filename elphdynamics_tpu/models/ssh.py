@@ -421,7 +421,8 @@ def calc_Sb(spec: SSHSpec, p: SSHParams, x, shifted: bool = False):
     om4 = p.omega4[:, None]
     dx = x - jnp.roll(x, 1, axis=-1)
     sb = spec.dtau * (om2 * x * x / 2 + om4 * x ** 4) + dx * dx / (2 * spec.dtau)
-    return jnp.sum(_primary_mask(spec, x.dtype) * sb, axis=(-2, -1))
+    from elphdynamics_tpu.utils.dtypes import fsum
+    return fsum(_primary_mask(spec, x.dtype) * sb, axis=(-2, -1))
 
 
 def calc_dSbdx(spec: SSHSpec, p: SSHParams, x, shifted: bool = False):

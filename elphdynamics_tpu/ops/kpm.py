@@ -24,9 +24,17 @@ TPU-native restructuring vs the reference:
   absorbs the estimate error, and the same validity window (:280) gates
   self-deactivation.
 
-Setup is performed once per sampler update (the reference re-runs it before
-every solve but internally skips recomputation unless the bounds moved by
-more than ``buf``, :288-308 — the operator drifts slowly along a trajectory).
+Setup cost amortization (the reference's buffered setup-skip,
+KPMPreconditioners.jl:288-308): the *full* setup — 2×``n_power``
+power-iteration matvecs for the spectral bounds plus the coefficient
+quadrature — runs once per sampler update at the trajectory start;
+every solve inside the trajectory only *refreshes* the averaged operator
+Ā (cheap τ-means) via :func:`refresh` and reuses the frozen
+bounds/coefficients. The ``buf`` inflation of the bounds absorbs the
+operator drift along a trajectory exactly as it absorbs the power-iteration
+estimate error; a drifted-out-of-window spectrum only degrades CG iteration
+counts, never correctness (the preconditioner is used strictly as P⁻¹ inside
+a residual-checked solve).
 """
 
 from __future__ import annotations
@@ -190,6 +198,16 @@ def setup(ops: ModelOps, params, x, cfg: KPMConfig, key) -> KPMState:
     )
 
 
+def refresh(ops: ModelOps, st: KPMState, params, x) -> KPMState:
+    """Cheap per-solve refresh: recompute the time-averaged operator Ā for
+    the current phonon configuration, reuse the spectral bounds and Chebyshev
+    coefficients of a previous full :func:`setup` (the reference's
+    within-``buf`` skip, KPMPreconditioners.jl:288-308)."""
+    derived = ops.derived(params, x)
+    expnV_bar, cosh_bar, sinh_bar = _avg_operator(ops, params, derived)
+    return st._replace(expnV_bar=expnV_bar, cosh_bar=cosh_bar, sinh_bar=sinh_bar)
+
+
 def _chebyshev_apply(ops: ModelOps, st: KPMState, u, coeff, transposed: bool):
     """Σₘ c_m(ω)·T_m(Ā′)·u on the [.., N, Lω] frequency block, where
     Ā′ = (Ā − λavg)/λmag (KPMPreconditioners.jl:514-554,685-693)."""
@@ -240,33 +258,45 @@ def dense_Abar(ops: ModelOps, st: KPMState) -> np.ndarray:
     return np.asarray(_mulA(st, ops.spec.ckb, eye))
 
 
+class Preconditioner(NamedTuple):
+    """Bundle of preconditioner callables handed to the samplers.
+
+    ``setup(params, x)`` runs the full spectral-bounds + coefficient build;
+    ``refresh(st, params, x)`` re-derives only the averaged operator from an
+    earlier state (buffered setup-skip); the ``symmetric``/``left``/``right``
+    applies take ``(st, v)``.
+    """
+
+    setup: object
+    refresh: object
+    symmetric: object
+    left: object = None
+    right: object = None
+
+
 def make_symmetric_precond(ops: ModelOps, cfg: KPMConfig, seed: int = 1234):
-    """(setup_fn, apply_fn) pair for the samplers: setup once per phonon
-    configuration, apply inside the CG loop."""
+    """Symmetric-only :class:`Preconditioner` for the CG samplers: full setup
+    once per phonon update, cheap refresh + apply inside the CG loops."""
     key = jax.random.PRNGKey(seed)
-
-    def setup_fn(params, x):
-        return setup(ops, params, x, cfg, key)
-
-    def apply_fn(st, v):
-        return apply_symmetric(ops, st, v)
-
-    return setup_fn, apply_fn
+    return Preconditioner(
+        setup=lambda params, x: setup(ops, params, x, cfg, key),
+        refresh=lambda st, params, x: refresh(ops, st, params, x),
+        symmetric=lambda st, v: apply_symmetric(ops, st, v),
+    )
 
 
 def make_precond(ops: ModelOps, cfg: KPMConfig, seed: int = 1234):
-    """(setup, symmetric, left, right) tuple covering all three solver modes
+    """:class:`Preconditioner` covering all three solver modes
     (SymmetricKPMPreconditioner for CG, LeftRightKPMPreconditioner for
     BiCGStab/GMRES; ProcessInputFile.jl:502-506)."""
     key = jax.random.PRNGKey(seed)
-
-    def setup_fn(params, x):
-        return setup(ops, params, x, cfg, key)
-
-    return (setup_fn,
-            lambda st, v: apply_symmetric(ops, st, v),
-            lambda st, v: apply_left(ops, st, v),
-            lambda st, v: apply_right(ops, st, v))
+    return Preconditioner(
+        setup=lambda params, x: setup(ops, params, x, cfg, key),
+        refresh=lambda st, params, x: refresh(ops, st, params, x),
+        symmetric=lambda st, v: apply_symmetric(ops, st, v),
+        left=lambda st, v: apply_left(ops, st, v),
+        right=lambda st, v: apply_right(ops, st, v),
+    )
 
 
 def apply_left(ops: ModelOps, st: KPMState, v):

@@ -14,7 +14,12 @@ Differences from the reference forced by the TPU execution model:
 * optional ``n_chains`` runs multiple independent Markov chains batched on
   the device (vmapped step) — the TPU-native version of the reference's
   launch-N-processes fleet story (ElPhDynamics.jl:90-95). Measurements
-  average over chains within each bin.
+  average over chains within each bin (solver-flagged chains are masked
+  out of the average and logged);
+* optional ``n_devices`` shards those chains over a 1-D ``jax.sharding.Mesh``
+  (axis ``chain``): the sampler trajectory is chip-local SPMD, and the only
+  cross-chip collective is the measurement mean over chains, inserted by XLA
+  where the jitted program reduces over the sharded axis.
 """
 
 from __future__ import annotations
@@ -63,9 +68,19 @@ def name_datafolder(filepath: str, foldername: str, run_id: int | None = None) -
         i += 1
 
 
-def simulate(config, run_id: int | None = None, n_chains: int = 1) -> dict:
+def simulate(config, run_id: int | None = None, n_chains: int = 1,
+             n_devices: int = 1) -> dict:
     """Run a full simulation from a TOML path or parsed config dict
-    (the reference CLI entry, ElPhDynamics.jl:68-136)."""
+    (the reference CLI entry, ElPhDynamics.jl:68-136).
+
+    ``n_devices > 1`` shards the ``n_chains`` Markov chains over a device
+    mesh (``n_devices = 0`` auto-detects all local devices)."""
+    if n_devices == 0:
+        n_devices = len(jax.devices())
+    if n_devices > 1:
+        if n_chains % n_devices != 0:
+            raise ValueError(
+                f"n_chains={n_chains} must be a multiple of n_devices={n_devices}")
     if isinstance(config, str):
         cfg = load_toml(config)
     else:
@@ -90,18 +105,42 @@ def simulate(config, run_id: int | None = None, n_chains: int = 1) -> dict:
         import elphdynamics_tpu
         logger.info("elphdynamics_tpu version: %s", elphdynamics_tpu.__version__)
         logger.info("Random Seed: %d", setup.sim_params.random_seed)
-        logger.info("Devices: %s", jax.devices())
-        return _run(setup, n_chains)
+        logger.info("Devices: %s (using %d)", jax.devices(), n_devices)
+        return _run(setup, n_chains, n_devices)
     finally:
         logger.removeHandler(handler)
 
 
-def _run(setup: SimulationSetup, n_chains: int) -> dict:
+def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1) -> dict:
     ops = setup.ops
     params = setup.params
     sp = setup.sim_params
     datafolder = sp.datafolder
     resume = ckpt.has_checkpoint(datafolder)
+
+    # ---- device mesh for chain-sharded execution (SURVEY §5; the reference's
+    # N-independent-processes fleet, ElPhDynamics.jl:90-95, done SPMD)
+    mesh = None
+    chain_sharding = None
+    if n_devices > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from elphdynamics_tpu.parallel.chains import chain_mesh
+        mesh = chain_mesh(n_devices)
+        chain_sharding = NamedSharding(mesh, P("chain"))
+
+    def constrain(tree):
+        """Pin chain-batched arrays to the mesh inside jitted programs."""
+        if chain_sharding is None:
+            return tree
+        return jax.tree.map(
+            lambda a: jax.lax.with_sharding_constraint(a, chain_sharding), tree)
+
+    def place(tree):
+        """Shard chain-batched host/device arrays onto the mesh."""
+        if chain_sharding is None:
+            return tree
+        return jax.tree.map(lambda a: jax.device_put(a, chain_sharding), tree)
 
     # ---- preconditioner
     precond = None
@@ -134,23 +173,53 @@ def _run(setup: SimulationSetup, n_chains: int) -> dict:
         return s.accepted, s.iters, s.flag
 
     if n_chains > 1:
-        sim_step_j = jax.jit(jax.vmap(sim_step, in_axes=(None, 0, 0)))
-        burnin_step_j = jax.jit(jax.vmap(burnin_step, in_axes=(None, 0, 0)))
+        def _sharded(fn):
+            vf = jax.vmap(fn, in_axes=(None, 0, 0))
+
+            def wrapped(params, state, keys):
+                return vf(params, constrain(state), constrain(keys))
+
+            return jax.jit(wrapped)
+
+        sim_step_j = _sharded(sim_step)
+        burnin_step_j = _sharded(burnin_step)
         _mstep_v = jax.vmap(mstep, in_axes=(None, 0, 0))
 
         def _mstep_mean(params, x, keys):
-            inc, ms, snaps, keys = _mstep_v(params, x, keys)
-            inc = jax.tree.map(lambda a: jnp.mean(a, axis=0), inc)
-            snaps = jax.tree.map(lambda a: jnp.mean(a, axis=0), snaps)
+            inc, ms, snaps, keys = _mstep_v(params, constrain(x), constrain(keys))
+            # chains whose estimator solves failed are masked out of the
+            # bin average (Models.jl logs every solver anomaly :106-172;
+            # here contaminated chains additionally do not bias the bin)
+            ok = ms["flag"] == 0
+            w = ok.astype(jnp.float32)
+            denom = jnp.maximum(jnp.sum(w), 1.0)
+            any_ok = jnp.any(ok)
+
+            def chain_mean(a):
+                wa = w.reshape((-1,) + (1,) * (a.ndim - 1)).astype(a.dtype)
+                masked = jnp.sum(a * wa, axis=0) / denom.astype(a.dtype)
+                return jnp.where(any_ok, masked, jnp.mean(a, axis=0))
+
+            inc = jax.tree.map(chain_mean, inc)
+            snaps = jax.tree.map(chain_mean, snaps)
+            ms = dict(ms)
+            ms["n_flagged"] = jnp.sum(~ok)
             return inc, ms, snaps, keys
 
         mstep_j = jax.jit(_mstep_mean)
-        reflect_j = jax.jit(jax.vmap(reflect, in_axes=(None, 0, 0)))
-        swap_j = jax.jit(jax.vmap(swap, in_axes=(None, 0, 0)))
+        reflect_j = _sharded(reflect)
+        swap_j = _sharded(swap)
     else:
         sim_step_j = jax.jit(sim_step)
         burnin_step_j = jax.jit(burnin_step)
-        mstep_j = jax.jit(mstep)
+
+        def _mstep_one(params, x, keys):
+            inc, ms, snaps, keys = mstep(params, x, keys)
+            ms = dict(ms)
+            ms["n_flagged"] = jnp.sum(jnp.asarray(ms["flag"]) != 0)
+            return inc, ms, snaps, keys
+
+        mstep_j = jax.jit(_mstep_one)
         reflect_j = jax.jit(reflect)
         swap_j = jax.jit(swap)
 
@@ -227,6 +296,9 @@ def _run(setup: SimulationSetup, n_chains: int) -> dict:
         chain_keys = key
 
     state = HMCState(x=x, v=v)
+    if n_chains > 1:
+        state = place(state)
+        chain_keys = place(chain_keys)
     t_ckpt = time.time()
 
     def maybe_checkpoint(bstart, sstart, force=False):
@@ -265,8 +337,12 @@ def _run(setup: SimulationSetup, n_chains: int) -> dict:
 
     mu_update_freq = max(sp.meas_freq, 1)
 
-    # per-update HMC energy log (HMC.jl:236-243,285-304)
+    # per-update HMC energy log, column-compatible with the reference
+    # (HMC.jl:236-243,285-304): non-verbose writes one t=-1 row per update
+    # per chain with outcome ∈ {0,1}; verbose adds one row per leapfrog
+    # timestep (outcome −1, energies at that timestep).
     hmc_log = None
+    hmc_verbose = bool(setup.config.get("hmc", {}).get("verbose", False))
     if setup.dynamics_type == "hmc" and setup.config.get("hmc", {}).get("log", False):
         hmc_log_path = os.path.join(datafolder, "hmc_sim_log.out")
         new = not os.path.isfile(hmc_log_path)
@@ -277,12 +353,39 @@ def _run(setup: SimulationSetup, n_chains: int) -> dict:
     def log_hmc(n, stats):
         if hmc_log is None or not hasattr(stats, "H"):
             return
-        hmc_log.write(
-            f"{n} {int(np.all(np.asarray(stats.accepted)))} -1 "
-            f"{float(np.mean(np.asarray(stats.H))):.8f} "
-            f"{float(np.mean(np.asarray(stats.S))):.8f} "
-            f"{float(np.mean(np.asarray(stats.K))):.8f} "
-            f"{int(np.max(np.asarray(stats.iters)))}\n")
+        acc = np.atleast_1d(np.asarray(stats.accepted))
+        H = np.atleast_1d(np.asarray(stats.H))
+        S = np.atleast_1d(np.asarray(stats.S))
+        K = np.atleast_1d(np.asarray(stats.K))
+        iters = np.atleast_1d(np.asarray(stats.iters))
+        if hmc_verbose and np.ndim(np.asarray(stats.traj_H)) > 0:
+            tH = np.atleast_2d(np.asarray(stats.traj_H))    # [chains, Nt]
+            tS = np.atleast_2d(np.asarray(stats.traj_S))
+            tK = np.atleast_2d(np.asarray(stats.traj_K))
+            tI = np.atleast_2d(np.asarray(stats.traj_iters))
+            for c in range(tH.shape[0]):
+                for t in range(tH.shape[1]):
+                    if not np.isfinite(tH[c, t]):
+                        continue  # aborted (flagged) trajectory step
+                    hmc_log.write(
+                        f"{n} -1 {t + 1} {tH[c, t]:.8f} {tS[c, t]:.8f} "
+                        f"{tK[c, t]:.8f} {int(tI[c, t])}\n")
+        for c in range(acc.shape[0]):
+            hmc_log.write(
+                f"{n} {int(acc[c])} -1 {H[c]:.8f} {S[c]:.8f} {K[c]:.8f} "
+                f"{int(iters[c])}\n")
+
+    def log_solver_flags(kind, n, flag):
+        """Surface solver failures into the run log (Models.jl:106-172) and
+        the sim_stats counters."""
+        flags = np.atleast_1d(np.asarray(flag))
+        nf = int(np.sum(flags != 0))
+        if nf:
+            sim_stats["solver_failures"] = sim_stats.get("solver_failures", 0) + nf
+            logger.warning(
+                "solver failure during %s update %d: %d/%d chains flagged "
+                "(flags=%s)", kind, n, nf, flags.size,
+                np.unique(flags[flags != 0]).tolist())
 
     # ---- thermalization (RunSimulation.jl:171-204)
     for n in range(burnin_start, sp.burnin):
@@ -293,6 +396,7 @@ def _run(setup: SimulationSetup, n_chains: int) -> dict:
         sim_stats["simulation_time"] += time.time() - t0
         sim_stats["iters"] += float(np.mean(np.asarray(iters)))
         sim_stats["acceptance_rate"] += float(np.mean(np.asarray(acc)))
+        log_solver_flags("burnin", n + 1, flag)
         log_hmc(n + 1, stats)
         state, chain_keys = do_special(params, state, chain_keys, n + 1)
         if mu_tuner.active and (n + 1) % mu_update_freq == 0:
@@ -314,6 +418,7 @@ def _run(setup: SimulationSetup, n_chains: int) -> dict:
         sim_stats["simulation_time"] += time.time() - t0
         sim_stats["iters"] += float(np.mean(np.asarray(iters)))
         sim_stats["acceptance_rate"] += float(np.mean(np.asarray(acc)))
+        log_solver_flags("simulation", n + 1, flag)
         log_hmc(sp.burnin + n + 1, stats)
         state, chain_keys = do_special(params, state, chain_keys, n + 1)
 
@@ -323,6 +428,11 @@ def _run(setup: SimulationSetup, n_chains: int) -> dict:
             inc, mstats, snaps, chain_keys = mstep_j(params, state.x, chain_keys)
             container = accum_j(container, {k: inc[k] for k in container})
             sim_stats["measurement_time"] += time.time() - t0
+            nfl = int(np.asarray(mstats.get("n_flagged", 0)))
+            if nfl:
+                sim_stats["solver_failures"] = sim_stats.get("solver_failures", 0) + nfl
+                logger.warning("solver failure during measurement %d: "
+                               "%d chains masked from the bin", nmeas, nfl)
             if mu_tuner.active:
                 npairs = setup.mspec.nv * (setup.mspec.nv - 1) // 2
                 Nm = float(inc["global"]["density"]) / npairs * ops.Nsites

@@ -14,7 +14,9 @@ model:
   of ``Models.ldiv!`` (Models.jl:74-186) are masks/flags carried through the
   loop state rather than Python control flow.
 
-All reductions are performed in :func:`accum_dtype` (f64 under x64).
+All dot products, norms and residual checks accumulate through
+:func:`elphdynamics_tpu.utils.dtypes.fdot` — f64 under x64, exact
+two-product compensation in pure-f32 (TPU) mode.
 """
 
 from __future__ import annotations
@@ -25,10 +27,13 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from elphdynamics_tpu.utils.dtypes import fdot
+
 
 def _dot(a, b):
-    """Batched real inner product over the trailing two axes."""
-    return jnp.sum(a * b, axis=(-2, -1))
+    """Batched real inner product over the trailing two axes (accurate
+    accumulation; scalars may come back wider than the field dtype)."""
+    return fdot(a, b, axis=(-2, -1))
 
 
 def _norm(a):
@@ -36,8 +41,11 @@ def _norm(a):
 
 
 def _bc(s, like):
-    """Broadcast a batch-shaped scalar against a field array."""
-    return s[..., None, None]
+    """Broadcast a batch-shaped scalar against a field array; non-bool
+    scalars are cast back to the field dtype so wide accumulators never
+    widen the fields."""
+    s = s[..., None, None]
+    return s if s.dtype == jnp.bool_ else s.astype(like.dtype)
 
 
 class CGResult(NamedTuple):

@@ -1,10 +1,12 @@
-"""Exact diagonalization of the single-site Holstein model.
+"""Exact diagonalization ground truths for the end-to-end sampler tests.
 
-H = ω(a†a + 1/2) + (λx + λ₂x²)·n + ω₄x⁴ − μ·n,   x = (a+a†)/√(2ω), n = n↑+n↓.
-
-Used as ground truth for the end-to-end sampler tests (the reference treats
-its single-site example config as the de-facto integration test,
-examples/holstein_hmc_single_site.toml).
+* Single-site Holstein:
+  H = ω(a†a + 1/2) + (λx + λ₂x²)·n + ω₄x⁴ − μ·n,  x = (a+a†)/√(2ω), n = n↑+n↓
+  (the reference's de-facto integration test,
+  examples/holstein_hmc_single_site.toml).
+* Two-site SSH dimer:
+  H = ω(a†a + 1/2) + ω₄x⁴ − (t − αx)·Σσ(c†₁σc₂σ + h.c.) − μ·N
+  (examples/ssh_hmc_two_site.toml; hopping convention SSHModels.jl:530-535).
 """
 
 from __future__ import annotations
@@ -43,3 +45,54 @@ def single_site_holstein_ed(beta, omega, lam, mu, lam2=0.0, omega4=0.0, nmax=120
         acc["docc"] += np.trace(rho) if n_el == 2 else 0.0
         acc["E_total"] += np.trace(rho @ Hn)
     return {k: v / Z for k, v in acc.items()}
+
+
+def two_site_ssh_ed(beta, omega, t, alpha, mu=0.0, omega4=0.0, nmax=40):
+    """Exact thermal averages for the two-site SSH dimer.
+
+    One bond phonon modulating the hopping, t' = t − αx
+    (SSHModels.jl:530-535); electrons: 2 sites × 2 spins. Returns density
+    (per site, both spins), ⟨x⟩, ⟨x²⟩, and the bond kinetic energy
+    ⟨−t'·K⟩ with K = Σσ(c†₁σc₂σ + h.c.).
+    """
+    # phonon sector
+    a = np.diag(np.sqrt(np.arange(1, nmax)), 1)
+    x = (a + a.T) / np.sqrt(2 * omega)
+    x2 = x @ x
+    hph = omega * (a.T @ a + 0.5 * np.eye(nmax)) + omega4 * (x2 @ x2)
+
+    # single-spin electron sector on 2 sites, basis |n1 n2⟩ = 00,10,01,11
+    c1 = np.zeros((4, 4))
+    c1[0, 1] = 1.0   # c1|10> = |00>
+    c1[2, 3] = 1.0   # c1|11> = |01>
+    c2 = np.zeros((4, 4))
+    c2[0, 2] = 1.0   # c2|01> = |00>
+    c2[1, 3] = -1.0  # c2|11> = -|10>
+    K1 = c1.T @ c2 + c2.T @ c1
+    N1 = c1.T @ c1 + c2.T @ c2
+    I4 = np.eye(4)
+
+    Kel = np.kron(K1, I4) + np.kron(I4, K1)   # both spins
+    Nel = np.kron(N1, I4) + np.kron(I4, N1)
+    Iel = np.eye(16)
+    Iph = np.eye(nmax)
+
+    H = (np.kron(hph, Iel)
+         - t * np.kron(Iph, Kel)
+         + alpha * np.kron(x, Kel)
+         - mu * np.kron(Iph, Nel))
+    evals, evecs = np.linalg.eigh(H)
+    w = np.exp(-beta * (evals - evals.min()))
+    Z = w.sum()
+    rho = (evecs * w) @ evecs.T / Z
+
+    def avg(op):
+        return float(np.trace(rho @ op))
+
+    el_ke = avg(-t * np.kron(Iph, Kel) + alpha * np.kron(x, Kel))
+    return {
+        "n": avg(np.kron(Iph, Nel)) / 2.0,
+        "x": avg(np.kron(x, Iel)),
+        "x2": avg(np.kron(x2, Iel)),
+        "el_ke": el_ke,
+    }

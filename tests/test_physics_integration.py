@@ -6,6 +6,9 @@
 2. 4×4 Holstein: HMC and Langevin sample the same ensemble — phonon moments
    and density must agree within combined statistical error (the reference's
    de-facto cross-validation strategy, SURVEY §4).
+3. Two-site SSH dimer: sampled density/⟨x⟩/⟨x²⟩ through HMC *and* Langevin
+   must match exact diagonalization (the reference's de-facto SSH integration
+   test, examples/ssh_hmc_two_site.toml).
 """
 
 import jax

@@ -62,7 +62,18 @@ def test_simulate_end_to_end(tmp_path):
     # summary + stats
     assert os.path.isfile(os.path.join(folder, "testrun_summary.out"))
     txt = open(os.path.join(folder, "testrun_summary.out")).read()
-    assert "acceptance_rate" in txt and "density" in txt and "compressibility" in txt
+    assert "Acceptance Rate" in txt and "density" in txt and "compressibility" in txt
+    # reference summary sections (SimulationSummary.jl:55-140): input echo,
+    # definitions, susceptibility/correlation aggregation
+    for section in ("INPUT FILE CONTENTS", "BOND DEFINITIONS",
+                    "PHONON DEFINITIONS", "CHEMICAL POTENTIALS",
+                    "SIMULATION INFO", "GLOBAL MEASUREMENTS",
+                    "ON-SITE MEASUREMENTS", "INTER-SITE MEASUREMENTS",
+                    "SUSCEPTIBILITIES", "CORRELATIONS"):
+        assert f"## {section} ##" in txt, section
+    assert "[holstein]" in txt and "[[holstein.t]]" in txt  # TOML echo
+    assert "Lambda_avg" in txt and "Mu_avg" in txt
+    assert "[PairSusc_position]" in txt and "[Greens_momentum]" in txt
     # bins
     for b in (1, 2):
         assert os.path.isfile(os.path.join(
