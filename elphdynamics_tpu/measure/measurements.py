@@ -248,7 +248,12 @@ def make_measurement_step(ops: ModelOps, mspec: MeasurementSpec,
                     jnp.zeros(ndefs).at[bdef].add(jnp.sum(ke_b, axis=-1)) / Vb)
             else:
                 from elphdynamics_tpu.models import ssh as Sm
-                Vb = (spec.Nbonds // max(ndefs, 1)) * Lt      # (:1094)
+                # V = div(Nbonds, nbonds)·Lτ — verbatim the reference's
+                # normalisation (Measurements.jl:1094), including its
+                # implicit assumption that every bond definition contributes
+                # the same bond count (true for all stock lattices; a mixed
+                # dedup case would mis-normalise identically in both codes)
+                Vb = (spec.Nbonds // max(ndefs, 1)) * Lt
                 tp = Sm.hopping_t_prime(spec, params, x)      # [Nbonds, Lt]
                 ke_b = -tp * h
                 out["intersite"]["el_ke"] = (

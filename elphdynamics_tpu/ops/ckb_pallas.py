@@ -1,0 +1,146 @@
+"""Fused checkerboard group-fold as a single Pallas TPU kernel.
+
+The XLA group fold (ops/checkerboard._apply_groups) materialises the field
+between groups: ``ngroups`` gather+FMA passes over HBM per application. This
+kernel keeps the whole ``[N, K]`` space-time block resident in VMEM and folds
+ALL groups in one pass — one HBM read + one write per application, the
+bandwidth lower bound. The per-site partner permutations and (c, s)
+coefficient tables are precomputed and live in VMEM beside the field.
+
+Intended regime: large lattices (N ≳ 10³) where the dense-MXU path's O(N²·K)
+FLOPs dominate and the group fold is bandwidth-bound (the dense path keeps
+winning below the crossover — see BASELINE.md scaling table).
+
+Reference semantics: Checkerboard.jl:57-121 (forward), :149-230 (transpose =
+reversed group order), :238-316 (inverse = flipped sinh sign).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from elphdynamics_tpu.ops.checkerboard import CheckerboardSpec
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    HAS_PALLAS = True
+except Exception:  # pragma: no cover - pallas always ships with jax
+    HAS_PALLAS = False
+
+
+def _offset_classes(spec: CheckerboardSpec, order):
+    """Decompose each group's involutive partner permutation into uniform
+    site-index offset classes (dynamic sublane gathers are not supported in
+    Mosaic; a lattice group's partners sit at a handful of fixed offsets —
+    ±1 / ±L plus the PBC wrap — so ``v[partner]`` becomes a short static sum
+    of masked ``pltpu.roll``s)."""
+    sites = np.arange(spec.nsites)
+    per_group = []
+    for g in order:
+        d = spec.partner[g] - sites
+        offs = sorted({int(o) for o in np.unique(d) if o != 0})
+        masks = [(d == o) for o in offs]
+        per_group.append((offs, masks))
+    max_off = max((len(o) for o, _ in per_group), default=1)
+    offsets = np.zeros((len(order), max_off), dtype=np.int64)
+    mask = np.zeros((len(order), max_off, spec.nsites), dtype=np.float32)
+    for gi, (offs, masks) in enumerate(per_group):
+        for k, (o, m) in enumerate(zip(offs, masks)):
+            offsets[gi, k] = o
+            mask[gi, k] = m
+    return offsets, mask
+
+
+def _site_tables(spec: CheckerboardSpec, cosh_b, sinh_b, reverse: bool, sign: float):
+    """Per-site (c, s) coefficient tables [G, N] in application order, plus
+    the static offset decomposition of the partner permutations."""
+    order = list(range(spec.ngroups - 1, -1, -1) if reverse else range(spec.ngroups))
+    cosh_b = jnp.asarray(cosh_b)
+    sinh_b = jnp.asarray(sinh_b)
+    cs, ss = [], []
+    for g in order:
+        bos = jnp.asarray(spec.bond_of_site[g])
+        m = jnp.asarray(spec.mask[g])
+        cs.append(jnp.where(m, cosh_b[bos], 1.0))
+        ss.append(jnp.where(m, sign * sinh_b[bos], 0.0))
+    offsets, mask = _offset_classes(spec, order)
+    return offsets, mask, jnp.stack(cs), jnp.stack(ss)
+
+
+def _fold_kernel(mask_ref, c_ref, s_ref, v_ref, o_ref, *, offsets):
+    v = v_ref[:]
+    G, n_off = offsets.shape
+    for g in range(G):                    # static unroll: few groups
+        vp = jnp.zeros_like(v)
+        for k in range(n_off):            # static offset classes
+            d = int(offsets[g, k])
+            if d == 0:
+                continue
+            vp = vp + mask_ref[g, k, :][:, None] * pltpu.roll(v, -d, axis=0)
+        v = c_ref[g, :][:, None] * v + s_ref[g, :][:, None] * vp
+    o_ref[:] = v
+
+
+def fold_2d(spec: CheckerboardSpec, cosh_b, sinh_b, v2d, *,
+            reverse: bool = False, sign: float = 1.0, tile_k: int = 512):
+    """Apply the full group fold to a ``[N, K]`` block in one fused kernel."""
+    offsets, mask, c, s = _site_tables(spec, cosh_b, sinh_b, reverse, sign)
+    N, K = v2d.shape
+    tk = min(tile_k, K)
+    grid = (pl.cdiv(K, tk),)
+    G, n_off = offsets.shape
+    return pl.pallas_call(
+        partial(_fold_kernel, offsets=offsets),
+        out_shape=jax.ShapeDtypeStruct((N, K), v2d.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((G, n_off, N), lambda k: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, N), lambda k: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, N), lambda k: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, tk), lambda k: (0, k), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((N, tk), lambda k: (0, k),
+                               memory_space=pltpu.VMEM),
+    )(jnp.asarray(mask, v2d.dtype), c.astype(v2d.dtype), s.astype(v2d.dtype), v2d)
+
+
+def _to_2d(v):
+    """[..., N, L] -> ([N, B·L], restore) moving batch axes into lanes."""
+    lead = v.shape[:-2]
+    N, L = v.shape[-2:]
+    if not lead:
+        return v, lambda y: y
+    B = int(np.prod(lead))
+    v2 = jnp.moveaxis(v.reshape((B, N, L)), 0, 1).reshape(N, B * L)
+
+    def restore(y):
+        return jnp.moveaxis(y.reshape(N, B, L), 1, 0).reshape(lead + (N, L))
+
+    return v2, restore
+
+
+def ckb_mul(spec: CheckerboardSpec, cosh_b, sinh_b, v):
+    """Fused exp(−Δτ·K)·v (forward group order)."""
+    v2, restore = _to_2d(jnp.asarray(v))
+    return restore(fold_2d(spec, cosh_b, sinh_b, v2))
+
+
+def ckb_transpose_mul(spec: CheckerboardSpec, cosh_b, sinh_b, v):
+    v2, restore = _to_2d(jnp.asarray(v))
+    return restore(fold_2d(spec, cosh_b, sinh_b, v2, reverse=True))
+
+
+def ckb_inverse_mul(spec: CheckerboardSpec, cosh_b, sinh_b, v):
+    v2, restore = _to_2d(jnp.asarray(v))
+    return restore(fold_2d(spec, cosh_b, sinh_b, v2, reverse=True, sign=-1.0))
+
+
+def ckb_inverse_transpose_mul(spec: CheckerboardSpec, cosh_b, sinh_b, v):
+    v2, restore = _to_2d(jnp.asarray(v))
+    return restore(fold_2d(spec, cosh_b, sinh_b, v2, sign=-1.0))

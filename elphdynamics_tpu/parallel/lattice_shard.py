@@ -1,0 +1,295 @@
+"""Spatial (site-axis) lattice sharding over a device mesh.
+
+SURVEY §5's context-parallel analog: when ``N·Lτ`` outgrows one chip, shard
+the **site** axis of the ``[N, Lτ]`` space-time fields over a 1-D mesh axis
+``"site"`` and keep τ on-chip (the FFT axis of Fourier acceleration / KPM
+stays local). The checkerboard group fold becomes a halo-exchange pattern:
+
+* within a group every site couples to exactly one partner site; partners
+  owned by a ring-adjacent shard are fetched with ``lax.ppermute`` (one
+  collective permute per boundary-crossing group — x-direction groups of a
+  row-blocked square lattice cross no boundary and need none);
+* CG inner products reduce with ``psum`` over the site axis — the only
+  all-reduce in the hot loop (SURVEY §5 "distributed backend");
+* the diagonal ``exp(−Δτ·V)`` and the τ-shift of M are shard-local.
+
+Prototype scope (asserted at plan time, not silently wrong):
+
+* matrix-free group-fold checkerboard (the dense-MXU path would shard as a
+  plain ``pjit`` matmul instead);
+* equal contiguous site blocks, every bond connecting ring-adjacent blocks —
+  true for the standard orbit-fastest row-major orderings of the square /
+  cubic / honeycomb lattices sharded along their slowest axis.
+
+Reference parity note: the reference has no distributed execution at all
+(ElPhDynamics.jl:90-95); this component is TPU-native new scope.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from elphdynamics_tpu.ops.checkerboard import CheckerboardSpec
+
+
+@dataclass(frozen=True)
+class ShardPlan:
+    """Host-side halo-exchange plan for one (CheckerboardSpec, D) pair.
+
+    Per checkerboard group ``g`` and shard ``d`` (all numpy, built once):
+
+    * ``send_next[g]``: [D, Hp_g] local row offsets each shard sends to its
+      next ring neighbour (serving that neighbour's prev-halo);
+    * ``send_prev[g]``: [D, Hn_g] offsets sent to the previous neighbour;
+    * ``partner_local[g]``: [D, B] gather indices into the extended block
+      ``[local B | prev halo Hp_g | next halo Hn_g]``;
+    * ``bond_of_site[g]`` / ``mask[g]``: [D, B] per-shard coefficient tables.
+    """
+
+    D: int
+    B: int
+    axis: str
+    ngroups: int
+    hp: tuple
+    hn: tuple
+    send_next: tuple
+    send_prev: tuple
+    partner_local: tuple
+    bond_of_site: tuple
+    mask: tuple
+
+    def __hash__(self):
+        return hash((self.D, self.B, self.axis, self.ngroups, self.hp, self.hn))
+
+
+def build_shard_plan(spec: CheckerboardSpec, D: int, axis: str = "site") -> ShardPlan:
+    """Plan the halo exchanges for sharding ``spec``'s site axis over D blocks."""
+    N = spec.nsites
+    if N % D != 0:
+        raise ValueError(f"nsites={N} not divisible by n_shards={D}")
+    B = N // D
+
+    hp, hn = [], []
+    send_next, send_prev, partner_local, bos_l, mask_l = [], [], [], [], []
+    for g in range(spec.ngroups):
+        prev_need = [[] for _ in range(D)]
+        next_need = [[] for _ in range(D)]
+        for d in range(D):
+            for i in range(d * B, (d + 1) * B):
+                p = int(spec.partner[g][i])
+                sp = p // B
+                if sp == d:
+                    continue
+                if sp == (d - 1) % D:
+                    prev_need[d].append(p)
+                elif sp == (d + 1) % D:
+                    next_need[d].append(p)
+                else:
+                    raise NotImplementedError(
+                        f"bond reaches non-adjacent shard ({d}->{sp}); "
+                        "order sites so bonds cross at most one block boundary")
+        prev_need = [sorted(set(x)) for x in prev_need]
+        next_need = [sorted(set(x)) for x in next_need]
+        Hp = max((len(x) for x in prev_need), default=0)
+        Hn = max((len(x) for x in next_need), default=0)
+
+        pl = np.zeros((D, B), dtype=np.int64)
+        for d in range(D):
+            pos_prev = {p: B + k for k, p in enumerate(prev_need[d])}
+            pos_next = {p: B + Hp + k for k, p in enumerate(next_need[d])}
+            for li, i in enumerate(range(d * B, (d + 1) * B)):
+                p = int(spec.partner[g][i])
+                if p // B == d:
+                    pl[d, li] = p - d * B
+                elif p in pos_prev:
+                    pl[d, li] = pos_prev[p]
+                else:
+                    pl[d, li] = pos_next[p]
+        # pad needs with the neighbour's first row (dummy, never referenced)
+        for d in range(D):
+            prev_need[d] += [((d - 1) % D) * B] * (Hp - len(prev_need[d]))
+            next_need[d] += [((d + 1) % D) * B] * (Hn - len(next_need[d]))
+        sn = np.asarray([[p - d * B for p in prev_need[(d + 1) % D]]
+                         for d in range(D)], dtype=np.int64).reshape(D, Hp)
+        sp_ = np.asarray([[p - d * B for p in next_need[(d - 1) % D]]
+                          for d in range(D)], dtype=np.int64).reshape(D, Hn)
+
+        hp.append(Hp)
+        hn.append(Hn)
+        send_next.append(sn)
+        send_prev.append(sp_)
+        partner_local.append(pl)
+        bos_l.append(spec.bond_of_site[g].reshape(D, B).copy())
+        mask_l.append(spec.mask[g].reshape(D, B).copy())
+
+    return ShardPlan(D=D, B=B, axis=axis, ngroups=spec.ngroups,
+                     hp=tuple(hp), hn=tuple(hn),
+                     send_next=tuple(send_next), send_prev=tuple(send_prev),
+                     partner_local=tuple(partner_local),
+                     bond_of_site=tuple(bos_l), mask=tuple(mask_l))
+
+
+def site_mesh(D: int, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices[:D]), axis_names=("site",))
+
+
+# ---------------------------------------------------------------------------
+# shard-local checkerboard fold with ppermute halos
+# ---------------------------------------------------------------------------
+
+def _fold_local(plan: ShardPlan, cosh_b, sinh_b, v_loc, group_order, sign):
+    """One checkerboard fold on the local ``[..., B, K]`` block; halo rows
+    are fetched per boundary-crossing group with a single ppermute each."""
+    d = lax.axis_index(plan.axis)
+    D = plan.D
+    fwd = [(i, (i + 1) % D) for i in range(D)]
+    bwd = [(i, (i - 1) % D) for i in range(D)]
+    cosh_b = jnp.asarray(cosh_b)
+    sinh_b = jnp.asarray(sinh_b)
+
+    for g in group_order:
+        bos = jnp.take(jnp.asarray(plan.bond_of_site[g]), d, axis=0)   # [B]
+        m = jnp.take(jnp.asarray(plan.mask[g]), d, axis=0)[:, None]
+        c = cosh_b[bos]
+        s = sinh_b[bos]
+        if c.ndim == 1:
+            c = c[:, None]
+            s = s[:, None]
+        c = jnp.where(m, c, jnp.ones((), c.dtype))
+        s = jnp.where(m, s, jnp.zeros((), s.dtype))
+        if sign < 0:
+            s = -s
+
+        parts = [v_loc]
+        if plan.hp[g] > 0:
+            rows = jnp.take(jnp.asarray(plan.send_next[g]), d, axis=0)
+            halo_prev = lax.ppermute(jnp.take(v_loc, rows, axis=-2),
+                                     plan.axis, fwd)
+            parts.append(halo_prev)
+        if plan.hn[g] > 0:
+            rows = jnp.take(jnp.asarray(plan.send_prev[g]), d, axis=0)
+            halo_next = lax.ppermute(jnp.take(v_loc, rows, axis=-2),
+                                     plan.axis, bwd)
+            parts.append(halo_next)
+        ext = jnp.concatenate(parts, axis=-2) if len(parts) > 1 else v_loc
+        pl = jnp.take(jnp.asarray(plan.partner_local[g]), d, axis=0)   # [B]
+        vp = jnp.take(ext, pl, axis=-2)
+        v_loc = c * v_loc + s * vp
+    return v_loc
+
+
+def ckb_mul_local(plan, cosh_b, sinh_b, v_loc):
+    return _fold_local(plan, cosh_b, sinh_b, v_loc, range(plan.ngroups), +1)
+
+
+def ckb_transpose_mul_local(plan, cosh_b, sinh_b, v_loc):
+    return _fold_local(plan, cosh_b, sinh_b, v_loc,
+                       range(plan.ngroups - 1, -1, -1), +1)
+
+
+# ---------------------------------------------------------------------------
+# sharded Holstein fermion matrix + CG (mulM structure: models/holstein.py,
+# HolsteinModels.jl:569-684; CG: IterativeSolvers.jl:153-234)
+# ---------------------------------------------------------------------------
+
+def make_sharded_holstein_solver(model_spec, plan: ShardPlan, mesh: Mesh):
+    """Build ``solve(params, env, b) -> (x, iters)`` solving MᵀM·x = Mᵀ·b with
+    the site axis sharded over ``mesh``. ``env``/fields enter as full global
+    arrays; shard_map partitions them as P('site', None).
+
+    Everything inside runs SPMD: the fold's ppermute halos ride the mesh,
+    CG dot products psum over 'site'.
+    """
+    Ltau = model_spec.Ltau
+
+    def local_ops(params, env_loc):
+        sgn_first = (-jnp.ones(Ltau, env_loc.dtype)).at[0].set(1.0)
+        sgn_last = (-jnp.ones(Ltau, env_loc.dtype)).at[-1].set(1.0)
+
+        def mulM(v):
+            y = env_loc * jnp.roll(v, 1, axis=-1)
+            y = ckb_mul_local(plan, params.cosht, params.sinht, y)
+            return v + sgn_first * y
+
+        def mulMT(v):
+            z = ckb_transpose_mul_local(plan, params.cosht, params.sinht, v)
+            w = env_loc * z
+            return v + sgn_last * jnp.roll(w, -1, axis=-1)
+
+        return mulM, mulMT
+
+    def pdot(a, b):
+        return lax.psum(jnp.sum(a * b), plan.axis)
+
+    def solve_local(params, env_loc, b_loc, tol, maxiter):
+        mulM, mulMT = local_ops(params, env_loc)
+
+        def A(v):
+            return mulMT(mulM(v))
+
+        rhs = mulMT(b_loc)
+        normb = jnp.sqrt(pdot(rhs, rhs))
+        safe = jnp.where(normb > 0, normb, 1.0)
+        x = jnp.zeros_like(rhs)
+        r = rhs
+        p = r
+        rdot = pdot(r, r)
+
+        def cond(st):
+            j, x, r, p, rdot, done = st
+            return (j < maxiter) & ~done
+
+        def body(st):
+            j, x, r, p, rdot, done = st
+            Ap = A(p)
+            alpha = rdot / pdot(p, Ap)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            rdot_new = pdot(r, r)
+            done = jnp.sqrt(rdot_new) / safe < tol
+            p = r + (rdot_new / rdot) * p
+            return (j + 1, x, r, p, rdot_new, done)
+
+        j, x, r, p, rdot, done = lax.while_loop(
+            cond, body, (jnp.asarray(0), x, r, p, rdot, jnp.asarray(False)))
+        return x, j
+
+    def solve(params, env, b, tol=1e-5, maxiter=1000):
+        fn = jax.shard_map(
+            partial(solve_local, tol=tol, maxiter=maxiter),
+            mesh=mesh,
+            in_specs=(P(), P(plan.axis, None), P(plan.axis, None)),
+            out_specs=(P(plan.axis, None), P()),
+        )
+        return fn(params, env, b)
+
+    def mulM_sharded(params, env, v):
+        def f(params, env_loc, v_loc):
+            mulM, _ = local_ops(params, env_loc)
+            return mulM(v_loc)
+
+        return jax.shard_map(
+            f, mesh=mesh,
+            in_specs=(P(), P(plan.axis, None), P(plan.axis, None)),
+            out_specs=P(plan.axis, None))(params, env, v)
+
+    def mulMT_sharded(params, env, v):
+        def f(params, env_loc, v_loc):
+            _, mulMT = local_ops(params, env_loc)
+            return mulMT(v_loc)
+
+        return jax.shard_map(
+            f, mesh=mesh,
+            in_specs=(P(), P(plan.axis, None), P(plan.axis, None)),
+            out_specs=P(plan.axis, None))(params, env, v)
+
+    return solve, mulM_sharded, mulMT_sharded

@@ -24,10 +24,11 @@ from elphdynamics_tpu.measure.measurements import (
     MeasurementSpec, make_measurement_step, zero_container, process_bin,
 )
 from elphdynamics_tpu.models import holstein as H
+from elphdynamics_tpu.models import ssh as S
 from elphdynamics_tpu.models.adapter import make_model_ops
 from elphdynamics_tpu.ops import kpm
 from elphdynamics_tpu.ops.fourier_accel import build_Q, build_mass
-from ed_reference import single_site_holstein_ed
+from ed_reference import single_site_holstein_ed, two_site_ssh_ed
 
 FA = [dict(omega_min=0.0, omega_max=10.0, mass=1.0)]
 
@@ -145,3 +146,81 @@ def test_hmc_langevin_agree_4x4():
         a = float(res_h["onsite"][key_][0])
         b = float(res_l["onsite"][key_][0])
         assert abs(a - b) < tol, (key_, a, b)
+
+
+def _build_ssh_dimer(beta=2.0, dtau=0.1, t=1.0, alpha=0.5, omega=1.0):
+    """Two-site SSH dimer matching examples/ssh_hmc_two_site.toml geometry
+    (1-D, norbits=2, L=1, one phonon-bearing bond)."""
+    uc = UnitCell.create(1, 2, [[1.0]], [[0.0], [0.5]])
+    lat = Lattice.create(uc, 1)
+    spec, params = S.build_ssh(
+        lat, beta=beta, dtau=dtau,
+        hoppings=[dict(t=t, t_std=0.0, alpha=alpha, alpha_std=0.0,
+                       alpha2=0.0, alpha2_std=0.0, omega=omega, omega_std=0.0,
+                       omega4=0.0, omega4_std=0.0, o1=0, o2=1,
+                       dL=(0, 0, 0), name="dimer")],
+        mu_assignments=[(0.0, 0.0, 0), (0.0, 0.0, 1)])
+    return make_model_ops(spec), params
+
+
+def test_two_site_ssh_dimer_hmc_matches_ed():
+    """The de-facto SSH integration test of the reference
+    (examples/ssh_hmc_two_site.toml): sampled density/⟨x⟩/⟨x²⟩ through the
+    full HMC + estimator + measurement pipeline vs exact diagonalization."""
+    beta, dtau, t, alpha, omega = 2.0, 0.1, 1.0, 0.5, 1.0
+    ops, params = _build_ssh_dimer(beta, dtau, t, alpha, omega)
+    ed = two_site_ssh_ed(beta, omega, t, alpha)
+
+    cfg = HMCConfig(dt=0.1, trajectory_time=1.0, Nb=10, tol=1e-6, maxiter=2000)
+    mspec = MeasurementSpec(nv=8)
+    res, _ = run_hmc_with_measurements(ops, params, cfg, mspec,
+                                       n_chains=24, burnin=80, nmeas=250)
+    dens = float(res["global"]["density"])
+    xm = float(res["intersite"]["x"][0])
+    x2m = float(res["intersite"]["x2"][0])
+    assert abs(dens - ed["n"]) < 0.08, (dens, ed["n"])
+    assert abs(xm - ed["x"]) < 0.08, (xm, ed["x"])
+    assert abs(x2m - ed["x2"]) < 0.1, (x2m, ed["x2"])
+
+
+def test_two_site_ssh_dimer_langevin_matches_ed():
+    beta, dtau, t, alpha, omega = 2.0, 0.1, 1.0, 0.5, 1.0
+    ops, params = _build_ssh_dimer(beta, dtau, t, alpha, omega)
+    ed = two_site_ssh_ed(beta, omega, t, alpha)
+
+    Q = build_Q(np.asarray(params.omega), ops.dtau, ops.Ltau, FA)
+    scfg = SolverConfig(tol=1e-7, maxiter=2000)
+    lstep = make_langevin_step(ops, Q, dt=0.02, method="rk", scfg=scfg)
+    mstep = make_measurement_step(ops, MeasurementSpec(nv=8), scfg)
+    n_chains = 24
+    keys = jax.random.split(jax.random.PRNGKey(3), n_chains)
+    x = jnp.stack([init_phonons_half_filled(ops, params, k)[0] for k in keys])
+    vstep = jax.vmap(lambda x, k: lstep(params, x, k)[0::2])
+    vmeas = jax.jit(jax.vmap(lambda x, k: mstep(params, x, k)))
+
+    def lchunk(x, keys, n):
+        def body(carry, _):
+            x, keys = carry
+            x, keys = vstep(x, keys)
+            return (x, keys), None
+        (x, keys), _ = jax.lax.scan(body, (x, keys), None, length=n)
+        return x, keys
+
+    lchunk = jax.jit(lchunk, static_argnums=2)
+    x, keys = lchunk(x, keys, 300)
+    mspec = MeasurementSpec(nv=8)
+    acc = zero_container(ops, mspec)
+    count = 0
+    for i in range(120):
+        x, keys = lchunk(x, keys, 5)
+        inc, ms, snaps, keys = vmeas(x, keys)
+        inc = jax.tree.map(lambda a: jnp.mean(a, axis=0), inc)
+        acc = jax.tree.map(lambda a, b: a + b, acc, {k: inc[k] for k in acc})
+        count += 1
+    res = process_bin(ops, mspec, acc, bin_size=count)
+    dens = float(res["global"]["density"])
+    xm = float(res["intersite"]["x"][0])
+    x2m = float(res["intersite"]["x2"][0])
+    assert abs(dens - ed["n"]) < 0.08, (dens, ed["n"])
+    assert abs(xm - ed["x"]) < 0.1, (xm, ed["x"])
+    assert abs(x2m - ed["x2"]) < 0.12, (x2m, ed["x2"])

@@ -96,3 +96,34 @@ def test_cg_on_MTM_fermion_system():
     res = solvers.cg(lambda v: H.mulMTM(spec, params, env, v), rhs, tol=1e-10, maxiter=2000)
     got = np.asarray(H.mulM(spec, params, env, res.x))
     assert np.allclose(got, np.asarray(b), atol=1e-6)
+
+
+def test_cg_split_preconditioner():
+    """Split L/Lᵀ CG (IterativeSolvers.jl:64-147) with a Jacobi split against
+    the dense solve; batched RHS."""
+    import jax.numpy as jnp
+    from elphdynamics_tpu.solvers import cg_split
+
+    rng = np.random.default_rng(7)
+    n = 24
+    Q = rng.standard_normal((n, n))
+    A = Q @ Q.T + n * np.eye(n)
+    d = np.sqrt(np.diag(A))
+    Aj = jnp.asarray(A)
+    b = rng.standard_normal((3, n, 2))  # batch of 3, field shape [n, 2]
+    bj = jnp.asarray(b)
+
+    def apply_A(v):
+        return jnp.einsum("ij,...jk->...ik", Aj, v)
+
+    res = cg_split(
+        apply_A, bj,
+        apply_Linv=lambda v: v / jnp.asarray(d)[:, None],
+        apply_LTinv=lambda v: v / jnp.asarray(d)[:, None],
+        tol=1e-10, maxiter=500)
+    expect = np.linalg.solve(A, b.reshape(3, n, 2).transpose(0, 2, 1).reshape(-1, n).T)
+    got = np.asarray(res.x)
+    for bi in range(3):
+        np.testing.assert_allclose(A @ got[bi], b[bi], atol=1e-6)
+    assert np.all(np.asarray(res.converged))
+    assert np.all(np.asarray(res.iters) <= 500)
