@@ -73,41 +73,52 @@ def _site_tables(spec: CheckerboardSpec, cosh_b, sinh_b, reverse: bool, sign: fl
 
 
 def _fold_kernel(mask_ref, c_ref, s_ref, v_ref, o_ref, *, offsets):
+    """Fold on a ``[tk, N]`` block — sites on the LANE axis, so the partner
+    permutation's offset classes become cheap lane rotations."""
     v = v_ref[:]
     G, n_off = offsets.shape
+    N = v.shape[1]
     for g in range(G):                    # static unroll: few groups
         vp = jnp.zeros_like(v)
         for k in range(n_off):            # static offset classes
             d = int(offsets[g, k])
             if d == 0:
                 continue
-            vp = vp + mask_ref[g, k, :][:, None] * pltpu.roll(v, -d, axis=0)
-        v = c_ref[g, :][:, None] * v + s_ref[g, :][:, None] * vp
+            # roll(v, s)[i] = v[i-s]; want vp[i] = v[i+d] → s = (−d) mod N
+            vp = vp + mask_ref[g, k, :][None, :] * pltpu.roll(v, (-d) % N, axis=1)
+        v = c_ref[g, :][None, :] * v + s_ref[g, :][None, :] * vp
     o_ref[:] = v
 
 
 def fold_2d(spec: CheckerboardSpec, cosh_b, sinh_b, v2d, *,
-            reverse: bool = False, sign: float = 1.0, tile_k: int = 512):
+            reverse: bool = False, sign: float = 1.0, tile_k: int = 512,
+            interpret: bool = False):
     """Apply the full group fold to a ``[N, K]`` block in one fused kernel."""
     offsets, mask, c, s = _site_tables(spec, cosh_b, sinh_b, reverse, sign)
     N, K = v2d.shape
-    tk = min(tile_k, K)
+    vkn = v2d.T  # [K, N]: sites on lanes
+    # keep in + out + the vp temporary within a conservative VMEM budget
+    budget = 9 * 2 ** 20
+    tk_max = max(8, (budget // (3 * 4 * N)) // 8 * 8)
+    tk = min(tile_k, K, tk_max)
     grid = (pl.cdiv(K, tk),)
     G, n_off = offsets.shape
-    return pl.pallas_call(
+    out = pl.pallas_call(
         partial(_fold_kernel, offsets=offsets),
-        out_shape=jax.ShapeDtypeStruct((N, K), v2d.dtype),
+        out_shape=jax.ShapeDtypeStruct((K, N), v2d.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((G, n_off, N), lambda k: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((G, N), lambda k: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((G, N), lambda k: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, tk), lambda k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, N), lambda k: (k, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((N, tk), lambda k: (0, k),
+        out_specs=pl.BlockSpec((tk, N), lambda k: (k, 0),
                                memory_space=pltpu.VMEM),
-    )(jnp.asarray(mask, v2d.dtype), c.astype(v2d.dtype), s.astype(v2d.dtype), v2d)
+        interpret=interpret,
+    )(jnp.asarray(mask, v2d.dtype), c.astype(v2d.dtype), s.astype(v2d.dtype), vkn)
+    return out.T
 
 
 def _to_2d(v):

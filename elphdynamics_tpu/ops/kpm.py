@@ -94,18 +94,25 @@ def _avg_operator(ops: ModelOps, params, derived):
     return expnV_bar, cosh_bar, sinh_bar
 
 
+# The preconditioner only steers CG; its accuracy affects iteration counts,
+# never solution correctness (every solve is residual-verified). DEFAULT MXU
+# precision (single-pass bf16 multiply on TPU) is ~3-6x faster than the
+# HIGHEST (f32 multi-pass) used for the fermion operator itself.
+_PRECOND_PRECISION = jax.lax.Precision.DEFAULT
+
+
 def _mulA(st: "KPMState", spec_ckb, v):
     """Ā·v = exp(−Δτ·K̄)·exp(−Δτ·V̄)·v on [..., N, K] single-slice blocks."""
     w = st.expnV_bar[:, None] * v
     if st.expK is not None:
-        return jnp.einsum("ij,...jk->...ik", st.expK.astype(v.dtype), w, precision=jax.lax.Precision.HIGHEST)
+        return jnp.einsum("ij,...jk->...ik", st.expK.astype(v.dtype), w, precision=_PRECOND_PRECISION)
     return ckb.ckb_mul(spec_ckb, st.cosh_bar, st.sinh_bar, w)
 
 
 def _mulA_T(st: "KPMState", spec_ckb, v):
     """Āᵀ·v (KPMPreconditioners.jl:737-752)."""
     if st.expK is not None:
-        w = jnp.einsum("ji,...jk->...ik", st.expK.astype(v.dtype), v, precision=jax.lax.Precision.HIGHEST)
+        w = jnp.einsum("ji,...jk->...ik", st.expK.astype(v.dtype), v, precision=_PRECOND_PRECISION)
     else:
         w = ckb.ckb_transpose_mul(spec_ckb, st.cosh_bar, st.sinh_bar, v)
     return st.expnV_bar[:, None] * w
@@ -114,7 +121,7 @@ def _mulA_T(st: "KPMState", spec_ckb, v):
 def _mulA_inv(st: "KPMState", spec_ckb, v):
     """Ā⁻¹·v (KPMPreconditioners.jl:406-420)."""
     if st.expK_inv is not None:
-        w = jnp.einsum("ij,...jk->...ik", st.expK_inv.astype(v.dtype), v, precision=jax.lax.Precision.HIGHEST)
+        w = jnp.einsum("ij,...jk->...ik", st.expK_inv.astype(v.dtype), v, precision=_PRECOND_PRECISION)
     else:
         w = ckb.ckb_inverse_mul(spec_ckb, st.cosh_bar, st.sinh_bar, v)
     return w / st.expnV_bar[:, None]
