@@ -34,7 +34,8 @@ def _build_step():
     ops, params, _, _, spec = graft._build(L=8, beta=4.0, dtau=0.1)
     mass = build_mass(np.asarray(params.omega), spec.dtau, spec.Ltau,
                       [dict(omega_min=0.0, omega_max=10.0, mass=0.5)])
-    cfg = HMCConfig(dt=0.05, trajectory_time=1.0, Nb=4, tol=1e-5, maxiter=500)
+    cfg = HMCConfig(dt=0.05, trajectory_time=1.0, Nb=4, tol=1e-5, maxiter=500,
+                    construct_guess=True)
     precond = kpm.make_symmetric_precond(ops, kpm.KPMConfig(max_order=24))
     step = make_hmc_step(ops, mass, cfg, precond)
     return ops, params, spec, step

@@ -48,6 +48,10 @@ class HMCConfig(NamedTuple):
     solver_kind: str = "cg"  # "cg" | "bicgstab" | "gmres"
     restart: int = 20
     log_verbose: bool = False  # per-timestep energy trace (HMC.jl verbose log)
+    # warm-start each trajectory solve from the previous timestep's solution
+    # (the `construct_guess` knob of the reference's example TOMLs — documented
+    # there but never wired into its solver; implemented for real here)
+    construct_guess: bool = False
 
     @property
     def Nt(self) -> int:
@@ -112,16 +116,18 @@ def make_hmc_step(
             return ops.mulLambda(Lam, phi), Lam
         return phi, None
 
-    def solve_O(params, x, derived, Lphi, tol, pstate):
+    def solve_O(params, x, derived, Lphi, tol, pstate, z_guess=None):
         """Batched-over-spin solve of O·z = Λφ (HMC.jl:820-915).
 
         ``pstate`` is the KPM state of the full setup at the trajectory start;
         each solve only refreshes the averaged operator against the current x
-        (buffered setup-skip, KPMPreconditioners.jl:288-308)."""
+        (buffered setup-skip, KPMPreconditioners.jl:288-308). ``z_guess``
+        warm-starts the CG from the previous timestep's solution."""
         pa = resolve_precond(precond, params, x, prev_state=pstate)
         scfg = SolverConfig(tol=tol, maxiter=cfg.maxiter, kappa_max=cfg.kappa_max,
                             kind=cfg.solver_kind, restart=cfg.restart)
-        res = solve_oinv(ops, params, derived, Lphi, scfg, pa)
+        x0 = z_guess if (cfg.construct_guess and cfg.solver_kind == "cg") else None
+        res = solve_oinv(ops, params, derived, Lphi, scfg, pa, x0=x0)
         # spin axis is leading: reduce iters (avg, reference's cld(sum,2)) & flag
         iters = (jnp.sum(res.iters, axis=0) + 1) // 2
         flag = jnp.max(res.flag, axis=0)
@@ -220,7 +226,7 @@ def make_hmc_step(
             return x, v
 
         def body(carry, _):
-            x, v, QdSdx, iters, flag = carry
+            x, v, QdSdx, z_prev, iters, flag = carry
             ok = flag == 0
             v1 = v - cfg.dt / 2 * QdSdx
             if cfg.Nb == 1:
@@ -229,7 +235,8 @@ def make_hmc_step(
                 x1, v1 = boson_substeps(x, v1)
             d1 = ops.derived(params, x1)
             Lphi1, _ = lam_phi(params, x1, phi)
-            z1, it1, fl1 = solve_O(params, x1, d1, Lphi1, tol1, pstate)
+            z1, it1, fl1 = solve_O(params, x1, d1, Lphi1, tol1, pstate,
+                                   z_guess=z_prev)
             dS1 = forces(params, x1, d1, phi, z1)
             Qd1 = qf(dS1)
             v1 = v1 - cfg.dt / 2 * Qd1
@@ -237,6 +244,7 @@ def make_hmc_step(
             x = jnp.where(ok, x1, x)
             v = jnp.where(ok, v1, v)
             QdSdx = jnp.where(ok, Qd1, QdSdx)
+            z_prev = jnp.where(ok, z1, z_prev)
             iters = iters + jnp.where(ok, it1, 0)
             flag = jnp.maximum(flag, jnp.where(ok, fl1, 0))
             if cfg.log_verbose:
@@ -247,16 +255,17 @@ def make_hmc_step(
                 ys = (S_t + K_t, S_t, K_t, it1)
             else:
                 ys = None
-            return (x, v, QdSdx, iters, flag), ys
+            return (x, v, QdSdx, z_prev, iters, flag), ys
 
-        (x1, v1, _, iters, flag), traj = lax.scan(
-            body, (x0, v0, QdSdx0, it0, flag0), None, length=cfg.Nt
+        (x1, v1, _, z_last, iters, flag), traj = lax.scan(
+            body, (x0, v0, QdSdx0, z0, it0, flag0), None, length=cfg.Nt
         )
 
         # --- final endpoint solve (tol²) + Metropolis (HMC.jl:431-472)
         d1 = ops.derived(params, x1)
         Lphi1, _ = lam_phi(params, x1, phi)
-        z1, it2, fl2 = solve_O(params, x1, d1, Lphi1, tol2, pstate)
+        z1, it2, fl2 = solve_O(params, x1, d1, Lphi1, tol2, pstate,
+                               z_guess=z_last)
         iters = iters + it2
         flag = jnp.maximum(flag, fl2)
         S1 = calc_S(params, x1, Lphi1, z1)

@@ -144,11 +144,12 @@ def solve_minv(ops: ModelOps, params, derived, rhs, scfg: SolverConfig,
 
 
 def solve_oinv(ops: ModelOps, params, derived, rhs, scfg: SolverConfig,
-               pa: PrecondApplies | None):
-    """z = (MᵀM)⁻¹·rhs (HMC.jl:820-915)."""
+               pa: PrecondApplies | None, x0=None):
+    """z = (MᵀM)⁻¹·rhs (HMC.jl:820-915). ``x0`` optionally warm-starts the
+    CG from a previous solution (construct_guess)."""
     if scfg.kind == "cg":
         return solvers.solve_checked(
-            lambda v: ops.mulMTM(params, derived, v), rhs,
+            lambda v: ops.mulMTM(params, derived, v), rhs, x0=x0,
             apply_P=pa.symmetric if pa else None,
             tol=scfg.tol, maxiter=scfg.maxiter, kappa_max=scfg.kappa_max)
     base = _base_solver(scfg)

@@ -222,8 +222,13 @@ def build_setup(cfg: dict, datafolder: str, dtype=None) -> SimulationSetup:
     kpm_cfg = None
     if "preconditioner" in sol:
         p = sol["preconditioner"]
+        # max_order: static cap on the per-ω Chebyshev orders (TPU addition —
+        # the reference's orders are fully dynamic; jit needs a static bound).
+        # Small caps trade preconditioner quality for per-apply cost; see
+        # BASELINE.md for the measured sweep.
         kpm_cfg = KPMConfig(n_power=p.get("n", 20), buf=p.get("buf", 0.05),
-                            c1=p.get("c1", 1.0), c2=p.get("c2", 1.0))
+                            c1=p.get("c1", 1.0), c2=p.get("c2", 1.0),
+                            max_order=p.get("max_order", 64))
 
     # Fourier acceleration tables
     fa_blocks = cfg.get("fourier_acceleration", [])
@@ -244,7 +249,8 @@ def build_setup(cfg: dict, datafolder: str, dtype=None) -> SimulationSetup:
                             Nb=h.get("num_multitimesteps", 1),
                             tol=solver_cfg.tol, maxiter=solver_cfg.maxiter,
                             solver_kind=solver_cfg.kind, restart=solver_cfg.restart,
-                            log_verbose=bool(h.get("verbose", False)))
+                            log_verbose=bool(h.get("verbose", False)),
+                            construct_guess=bool(h.get("construct_guess", False)))
         b = h.get("burnin", {})
         hmc_burnin_cfg = HMCConfig(
             dt=b.get("dt", h["dt"]),
@@ -254,7 +260,8 @@ def build_setup(cfg: dict, datafolder: str, dtype=None) -> SimulationSetup:
             Nb=b.get("num_multitimesteps", h.get("num_multitimesteps", 1)),
             tol=solver_cfg.tol, maxiter=solver_cfg.maxiter,
             solver_kind=solver_cfg.kind, restart=solver_cfg.restart,
-            log_verbose=bool(h.get("verbose", False)))
+            log_verbose=bool(h.get("verbose", False)),
+            construct_guess=bool(h.get("construct_guess", False)))
         if "reflection_update" in h and model_type == "holstein":
             reflect_cfg = SpecialUpdateConfig(
                 freq=h["reflection_update"]["freq"],

@@ -94,6 +94,24 @@ def _avg_operator(ops: ModelOps, params, derived):
     return expnV_bar, cosh_bar, sinh_bar
 
 
+# densify the averaged hopping exponential up to this many sites: ~50
+# Chebyshev steps per solve then run as single MXU matmuls instead of
+# ngroups gather+FMA fold passes
+_DENSE_ABAR_MAX_SITES = 4096
+
+
+def _dense_avg(ops: ModelOps, cosh_bar, sinh_bar):
+    """On-device densification of exp(−Δτ·K̄): fold the identity through the
+    checkerboard groups ONCE per setup/refresh, so every Chebyshev step is a
+    single MXU matmul. Used when the model has no constant ``params.expK``
+    (SSH's time-dependent hopping; Holstein above its dense gate)."""
+    sc = ops.spec.ckb
+    eye = jnp.eye(ops.Nsites, dtype=jnp.asarray(cosh_bar).dtype)
+    expK = ckb.ckb_mul(sc, cosh_bar, sinh_bar, eye)
+    expK_inv = ckb.ckb_inverse_mul(sc, cosh_bar, sinh_bar, eye)
+    return expK, expK_inv
+
+
 # The preconditioner only steers CG; its accuracy affects iteration counts,
 # never solution correctness (every solve is residual-verified). DEFAULT MXU
 # precision (single-pass bf16 multiply on TPU) is ~3-6x faster than the
@@ -153,6 +171,10 @@ def setup(ops: ModelOps, params, x, cfg: KPMConfig, key) -> KPMState:
     dense = ops.is_holstein and getattr(ops.spec, "dense_ckb", False)
     expK = params.expK if dense else None
     expK_inv = params.expK_inv if dense else None
+    if expK is None and 0 < sc.nbonds and ops.Nsites <= _DENSE_ABAR_MAX_SITES:
+        # no constant dense matrix from the model (SSH / fold-mode Holstein):
+        # densify the *averaged* hopping exponential on-device
+        expK, expK_inv = _dense_avg(ops, cosh_bar, sinh_bar)
     st0 = KPMState(expnV_bar=expnV_bar, cosh_bar=cosh_bar, sinh_bar=sinh_bar,
                    lam_avg=jnp.asarray(1.0, dtype), lam_mag=jnp.asarray(1.0, dtype),
                    coeff=jnp.zeros((1, 1)), active=jnp.asarray(True),
@@ -212,7 +234,11 @@ def refresh(ops: ModelOps, st: KPMState, params, x) -> KPMState:
     within-``buf`` skip, KPMPreconditioners.jl:288-308)."""
     derived = ops.derived(params, x)
     expnV_bar, cosh_bar, sinh_bar = _avg_operator(ops, params, derived)
-    return st._replace(expnV_bar=expnV_bar, cosh_bar=cosh_bar, sinh_bar=sinh_bar)
+    st = st._replace(expnV_bar=expnV_bar, cosh_bar=cosh_bar, sinh_bar=sinh_bar)
+    if not ops.is_holstein and st.expK is not None:
+        expK, expK_inv = _dense_avg(ops, cosh_bar, sinh_bar)
+        st = st._replace(expK=expK, expK_inv=expK_inv)
+    return st
 
 
 def _chebyshev_apply(ops: ModelOps, st: KPMState, u, coeff, transposed: bool):

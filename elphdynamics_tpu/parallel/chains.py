@@ -60,16 +60,21 @@ def make_sharded_chain_step(mesh: Mesh, step: Callable):
     as a chain-sharded SPMD program.
 
     The state/keys carry a leading chain axis sharded over ``mesh``; params
-    are replicated. Compiled once; XLA partitions the vmapped body with no
-    collectives inside the trajectory.
+    are replicated. Built with ``shard_map`` so each device runs the vmapped
+    step over ONLY its local chains: the solver ``while_loop`` terminates on
+    the local batch's max iteration count and no collective is inserted
+    anywhere in the trajectory — chips neither sync per CG iteration nor pay
+    other chips' slow solves (the per-chain divergence trade of SURVEY §7).
     """
-    chain = NamedSharding(mesh, P("chain"))
     vstep = jax.vmap(step, in_axes=(None, 0, 0))
 
-    def sharded(params, states, keys):
-        states = jax.tree.map(
-            lambda a: jax.lax.with_sharding_constraint(a, chain), states)
-        keys = jax.lax.with_sharding_constraint(keys, chain)
+    def local(params, states, keys):
         return vstep(params, states, keys)
 
+    sharded = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P("chain"), P("chain")),
+        out_specs=(P("chain"), P("chain"), P("chain")),
+        check_vma=False,
+    )
     return jax.jit(sharded)

@@ -174,12 +174,19 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1) -> dict:
 
     if n_chains > 1:
         def _sharded(fn):
+            """Chain-batched step: plain vmap on one device; shard_map over
+            the mesh so each chip's solver while_loops see only local chains
+            (zero collectives in the sampler hot loop)."""
             vf = jax.vmap(fn, in_axes=(None, 0, 0))
-
-            def wrapped(params, state, keys):
-                return vf(params, constrain(state), constrain(keys))
-
-            return jax.jit(wrapped)
+            if mesh is None:
+                return jax.jit(vf)
+            from jax.sharding import PartitionSpec as P
+            return jax.jit(jax.shard_map(
+                vf, mesh=mesh,
+                in_specs=(P(), P("chain"), P("chain")),
+                out_specs=P("chain"),
+                check_vma=False,
+            ))
 
         sim_step_j = _sharded(sim_step)
         burnin_step_j = _sharded(burnin_step)

@@ -243,6 +243,7 @@ class SolveResult(NamedTuple):
 def solve_checked(
     apply_A: Callable,
     b,
+    x0=None,
     *,
     apply_P: Callable | None = None,
     tol: float = 1e-5,
@@ -256,9 +257,12 @@ def solve_checked(
     recomputed; elements with residual > √tol are flagged (1 = hit maxiter,
     2 = false convergence), zeroed, and re-solved *unpreconditioned* with
     10× the iteration budget — as masked members of a second while_loop that
-    exits immediately if nothing failed.
+    exits immediately if nothing failed. ``x0`` optionally warm-starts the
+    first solve (the ``construct_guess`` knob the reference documents in its
+    example TOMLs; the retry always restarts from zero).
     """
-    res1 = cg(apply_A, b, apply_P=apply_P, tol=tol, maxiter=maxiter, kappa_max=kappa_max)
+    res1 = cg(apply_A, b, x0=x0, apply_P=apply_P, tol=tol, maxiter=maxiter,
+              kappa_max=kappa_max)
     normb = _norm(b)
     safe_normb = jnp.where(normb > 0, normb, 1.0)
     err = _norm(apply_A(res1.x) - b) / safe_normb

@@ -36,7 +36,7 @@ def main():
 
     print(f"device={jax.devices()[0]} dense={args.dense}")
     print(f"{'L':>4} {'N':>6} {'chains':>7} {'sweeps/s':>9} {'iters':>6} {'acc':>6}")
-    for L, chains in ((8, 128), (16, 32), (32, 8)):
+    for L, chains in ((8, 128), (16, 64), (32, 32)):
         uc = UnitCell.create(2, 1, [[1.0, 0.0], [0.0, 1.0]], [[0.0, 0.0]])
         lat = Lattice.create(uc, L)
         spec, params = build_holstein(
@@ -48,7 +48,8 @@ def main():
         ops = make_model_ops(spec)
         mass = build_mass(np.asarray(params.omega), spec.dtau, spec.Ltau,
                           [dict(omega_min=0.0, omega_max=10.0, mass=0.5)])
-        cfg = HMCConfig(dt=0.05, trajectory_time=1.0, Nb=4, tol=1e-5, maxiter=500)
+        cfg = HMCConfig(dt=0.05, trajectory_time=1.0, Nb=4, tol=1e-5, maxiter=500,
+                        construct_guess=True)
         precond = kpm.make_symmetric_precond(ops, kpm.KPMConfig(max_order=24))
         step = make_hmc_step(ops, mass, cfg, precond)
 

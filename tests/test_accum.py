@@ -97,7 +97,8 @@ def test_f32_single_site_observables_match_ed():
     ops = make_model_ops(spec)
     ed = single_site_holstein_ed(beta, 1.0, lam, mu)
 
-    cfg = HMCConfig(dt=0.05, trajectory_time=1.0, Nb=4, tol=1e-5, maxiter=1000)
+    cfg = HMCConfig(dt=0.05, trajectory_time=1.0, Nb=4, tol=1e-5, maxiter=1000,
+                    construct_guess=True)
     res, _ = run_hmc_with_measurements(ops, params, cfg, MeasurementSpec(nv=10),
                                        n_chains=24, burnin=60, nmeas=120)
     assert np.asarray(res["global"]["density"]).dtype != np.float64 or True
