@@ -192,3 +192,63 @@ def test_greens_correlation_matches_exact():
     want = want6[0, 0][..., :spec.Ltau]
     err = np.max(np.abs(got[..., :spec.Ltau] - want))
     assert err < 0.05, err
+
+
+def test_simpson_matches_reference_rule():
+    """Composite Simpson + even-length correction (Utilities.jl:65-76):
+    exact for cubics at odd sample counts, exact for quadratics at even."""
+    from elphdynamics_tpu.utils.math import simpson
+
+    dx = 0.1
+    # odd number of samples: cubic integrated exactly
+    L = 11
+    t = dx * np.arange(L)
+    f = 2.0 * t ** 3 - t ** 2 + 0.5 * t + 1.0
+    exact = (2.0 / 4 * t[-1] ** 4 - t[-1] ** 3 / 3 + 0.25 * t[-1] ** 2 + t[-1])
+    got = float(simpson(jnp.asarray(f), dx))
+    assert abs(got - exact) < 1e-12, (got, exact)
+    # even number of samples: quadratic integrated exactly
+    L = 10
+    t = dx * np.arange(L)
+    f = 3.0 * t ** 2 - 2.0 * t + 0.7
+    exact = t[-1] ** 3 - t[-1] ** 2 + 0.7 * t[-1]
+    got = float(simpson(jnp.asarray(f), dx))
+    assert abs(got - exact) < 1e-12, (got, exact)
+    # batched trailing axes
+    fb = np.stack([f, 2 * f], axis=-1)
+    gb = np.asarray(simpson(jnp.asarray(fb), dx))
+    np.testing.assert_allclose(gb, [exact, 2 * exact], atol=1e-12)
+
+
+def test_process_bin_momentum_and_susceptibility_conventions():
+    """The momentum transform is fftn over the three spatial axes
+    (Measurements.jl:1160-1170) and the susceptibility is the Simpson
+    ∫₀^β dτ of the correlation (:2550-2572) — verified against manual numpy
+    on a hand-filled container."""
+    from elphdynamics_tpu.measure.measurements import (
+        MeasurementSpec, process_bin, zero_container)
+    from elphdynamics_tpu.utils.math import simpson as jsimpson
+
+    uc = UnitCell.create(2, 1, [[1.0, 0.0], [0.0, 1.0]], [[0.0, 0.0]])
+    lat = Lattice.create(uc, 4)
+    spec, params = H.build_holstein(
+        lat, beta=1.0, dtau=0.1,
+        t_assignments=[(1.0, 0.0, 0, 0, (1, 0, 0)), (1.0, 0.0, 0, 0, (0, 1, 0))],
+        omega=1.0, lam=0.5, mu=0.0)
+    ops = make_model_ops(spec)
+    mspec = MeasurementSpec(nv=4, onsite_corr=(("PairGreens", True, None),))
+    cont = zero_container(ops, mspec)
+    rng = np.random.default_rng(3)
+    shape = cont["onsite_corr"]["PairGreens"].shape   # [p, L1, L2, L3, T]
+    fake = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    V = 1 * (4 * 3 // 2)  # bin_size * C(nv, 2)
+    cont["onsite_corr"]["PairGreens"] = jnp.asarray(fake * V)
+
+    out = process_bin(ops, mspec, cont, bin_size=1)
+    pos = np.asarray(out["onsite_corr"]["PairGreens"]["position"])
+    mom = np.asarray(out["onsite_corr"]["PairGreens"]["momentum"])
+    np.testing.assert_allclose(pos, fake, atol=1e-10)
+    np.testing.assert_allclose(mom, np.fft.fftn(fake, axes=(1, 2, 3)), atol=1e-8)
+    susc = np.asarray(out["onsite_susc"]["PairSusc"]["position"])
+    manual = np.asarray(jsimpson(jnp.moveaxis(jnp.asarray(fake), -1, 0), 0.1))
+    np.testing.assert_allclose(susc, manual, atol=1e-10)

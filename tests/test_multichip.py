@@ -106,3 +106,36 @@ def test_sharded_step_is_actually_distributed():
         jax.random.split(jax.random.PRNGKey(0), 8))
     np.testing.assert_allclose(np.asarray(new_states.x), np.asarray(ref_states.x),
                                atol=1e-12)
+
+
+def test_sharded_checkpoint_resume(tmp_path):
+    """Resume a run with chains sharded over the mesh: the restored state is
+    re-placed onto the mesh and the remaining bins are reproduced."""
+    import copy
+
+    from elphdynamics_tpu.io import checkpoint as ckpt
+    from elphdynamics_tpu.io.config import build_setup
+
+    cfg = copy.deepcopy(BASE_CFG)
+    cfg["simulation"]["filepath"] = str(tmp_path)
+    cfg["hmc"]["burnin_updates"] = 2
+    cfg["hmc"]["simulation_updates"] = 4
+    cfg["simulation"]["num_bins"] = 2
+    cfg["simulation"]["write_M_matrix"] = False
+    simulate(cfg, run_id=3, n_chains=8, n_devices=8)
+    folder = os.path.join(str(tmp_path), "testrun-3")
+
+    st = ckpt.load_checkpoint(folder)
+    assert st["counters"]["sim_start"] == 4
+    st["counters"]["sim_start"] = 2  # rewind into the middle of bin 2
+    setup = build_setup(cfg, folder)
+    ckpt.save_checkpoint(
+        folder, x=st["x"], v=st["v"], key=st["key"],
+        params=type(setup.params)(**{k: st["params"].get(k)
+                                     for k in st["params"]}),
+        container=st["container"], counters=st["counters"],
+        sim_stats=st["sim_stats"], mu_tuner_state=st["mu_tuner"])
+    stats = simulate(cfg, run_id=3, n_chains=8, n_devices=8)
+    assert os.path.isfile(os.path.join(
+        folder, "global_measurements_f", "global_measurements_00002.out"))
+    assert 0.0 <= stats["acceptance_rate"] <= 1.0
