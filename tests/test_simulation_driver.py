@@ -214,3 +214,48 @@ def test_solver_failures_logged_and_masked(tmp_path):
         for line in f:
             vals.append(float(line.split()[-1]))
     assert vals and all(np.isfinite(v) for v in vals)
+
+
+def test_simulate_honeycomb_multiorbital(tmp_path):
+    """Multi-orbital (norbits=2, honeycomb) driver run: per-orbit parameter
+    assignment, orbit-indexed onsite measurements, and multi-orbital
+    correlation tensors all flow through the datafolder IO
+    (examples/holstein_hmc_honeycomb.toml geometry)."""
+    cfg = copy.deepcopy(BASE_CFG)
+    cfg["simulation"]["filepath"] = str(tmp_path)
+    cfg["lattice"] = {
+        "ndim": 2, "norbits": 2,
+        "lattice_vectors": [[1.5, -0.8660254], [1.5, 0.8660254]],
+        "basis_vectors": [[0.0, 0.0], [1.0, 0.0]],
+        "L": 2,
+    }
+    cfg["holstein"]["t"] = [
+        {"val": 1.0, "orbit": [1, 2], "dL": [0, 0, 0]},
+        {"val": 1.0, "orbit": [1, 2], "dL": [-1, 0, 0]},
+        {"val": 1.0, "orbit": [1, 2], "dL": [0, -1, 0]},
+    ]
+    for key in ("omega", "lambda", "mu", "omega4"):
+        for d in cfg["holstein"][key]:
+            d["orbit"] = [1, 2]
+    cfg["hmc"]["burnin_updates"] = 2
+    cfg["hmc"]["simulation_updates"] = 4
+    cfg["hmc"].pop("reflection_update")
+    cfg["hmc"].pop("swap_update")
+    cfg["simulation"]["num_bins"] = 1
+    cfg["simulation"]["write_M_matrix"] = False
+    stats = simulate(cfg, n_chains=2)
+    folder = os.path.join(str(tmp_path), "testrun-1")
+    # onsite file carries both orbits
+    lines = open(os.path.join(
+        folder, "onsite_measurements_f", "onsite_measurements_00001.out")
+    ).read().splitlines()
+    dens = [l for l in lines if l.startswith("density ")]
+    assert len(dens) == 2 and all(np.isfinite(float(l.split()[-1])) for l in dens)
+    # correlation tensors carry the full (o1, o2) pair axis — the reference's
+    # (2L, nₒ, nₒ, L1, L2, L3) layout (GreensFunctions.jl:239-288)
+    corr = np.loadtxt(os.path.join(
+        folder, "Greens_position_f", "Greens_position_00001.out"), skiprows=1)
+    Lt = 10 + 1  # time_dependent: tau = 0..Ltau
+    assert corr.shape[0] == (2 * 2) * 2 * 2 * 1 * Lt
+    assert np.all(np.isfinite(corr))
+    assert 0.0 <= stats["acceptance_rate"] <= 1.0
