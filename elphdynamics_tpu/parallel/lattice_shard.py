@@ -293,3 +293,229 @@ def make_sharded_holstein_solver(model_spec, plan: ShardPlan, mesh: Mesh):
             out_specs=P(plan.axis, None))(params, env, v)
 
     return solve, mulM_sharded, mulMT_sharded
+
+
+# ---------------------------------------------------------------------------
+# FULL lattice-sharded HMC update (Holstein). All cross-shard communication
+# is the checkerboard halo ppermutes plus psum scalar reductions; every
+# other piece of HMC.jl's update (Λ operators, phonon action, Fourier
+# acceleration, leapfrog) is site-local. KPM preconditioning is not yet
+# sharded — the CG runs unpreconditioned (the residual-checked ladder is
+# unaffected); wij phonon dispersion is rejected at build time.
+# ---------------------------------------------------------------------------
+
+def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
+                          mass_table, cfg):
+    """Sharded HMC update ``(params, x, v, key) -> (x', v', stats, key)``
+    with the [N, Lτ] phonon field partitioned P('site', None) over ``mesh``.
+
+    Noise is drawn with the exact key-split order of
+    :func:`elphdynamics_tpu.dynamics.hmc.make_hmc_step` (each shard draws
+    the full field and keeps its rows), so a sharded trajectory reproduces
+    the unsharded one to psum-reduction rounding — asserted by
+    tests/test_lattice_shard.py.
+    """
+    import numpy as _np
+
+    if model_spec.wij_table.shape[1] > 0:
+        raise NotImplementedError("wij dispersion not supported sharded")
+    Ltau = model_spec.Ltau
+    N = model_spec.Nsites
+    dtau = model_spec.dtau
+    B = plan.B
+    D = plan.D
+    Nt = cfg.Nt
+    mass_full = jnp.asarray(mass_table)
+
+    from elphdynamics_tpu.ops.fourier_accel import accelerate
+    from elphdynamics_tpu.utils.dtypes import fdot
+
+    def step_local(params, x_loc, v_loc, key):
+        d = lax.axis_index(plan.axis)
+        rows = d * B + jnp.arange(B)
+        mass = lax.dynamic_slice_in_dim(mass_full, d * B, B, axis=0)
+        lam = lax.dynamic_slice_in_dim(params.lam, d * B, B)[:, None]
+        lam2 = lax.dynamic_slice_in_dim(params.lam2, d * B, B)[:, None]
+        om = lax.dynamic_slice_in_dim(params.omega, d * B, B)[:, None]
+        om4 = lax.dynamic_slice_in_dim(params.omega4, d * B, B)[:, None]
+        mu = lax.dynamic_slice_in_dim(params.mu, d * B, B)[:, None]
+        sgn_first = (-jnp.ones(Ltau, x_loc.dtype)).at[0].set(1.0)
+        sgn_last = (-jnp.ones(Ltau, x_loc.dtype)).at[-1].set(1.0)
+
+        def psum(s):
+            return lax.psum(s, plan.axis)
+
+        def pdot(a, b, axes=None):
+            return psum(jnp.sum(fdot(a, b, axis=axes or tuple(range(a.ndim)))))
+
+        # --- local model ops (models/holstein.py formulas on the block)
+        def env_of(x):
+            return jnp.exp(-dtau * (lam * x + lam2 * x * x - mu))
+
+        def mulM(env, v):
+            y = env * jnp.roll(v, 1, axis=-1)
+            y = ckb_mul_local(plan, params.cosht, params.sinht, y)
+            return v + sgn_first * y
+
+        def mulMT(env, v):
+            z = ckb_transpose_mul_local(plan, params.cosht, params.sinht, v)
+            w = env * z
+            return v + sgn_last * jnp.roll(w, -1, axis=-1)
+
+        def mulMTM(env, v):
+            return mulMT(env, mulM(env, v))
+
+        def muldMdx(env, x, u, v):
+            dd = (-sgn_first) * dtau * (lam + 2.0 * lam2 * x) * env \
+                * jnp.roll(v, 1, axis=-1)
+            y = ckb_transpose_mul_local(plan, params.cosht, params.sinht, u)
+            return y * dd
+
+        def calc_Lam(x):
+            return jnp.exp(-dtau * (lam * x + lam2 * x * x) / 2.0)
+
+        def mulLambda(Lam, v):
+            return sgn_last * jnp.roll(Lam * v, -1, axis=-1)
+
+        def mulLambdaInv(Lam, v):
+            return sgn_first * jnp.roll(v, 1, axis=-1) / Lam
+
+        def muldLambdadx(x, Lam, vl, vr):
+            return (-sgn_first) * vl * dtau * (lam / 2.0 + lam2 * x) * Lam \
+                * jnp.roll(vr, 1, axis=-1)
+
+        def calc_Sb(x):
+            dx = x - jnp.roll(x, 1, axis=-1)
+            sb = om ** 2 * x * x / 2 + om4 * x ** 4 + dx * dx / (2 * dtau ** 2)
+            return dtau * psum(jnp.sum(fdot(sb, jnp.ones_like(sb), axis=(0, 1))))
+
+        def calc_dSbdx(x):
+            lap = jnp.roll(x, 1, axis=-1) + jnp.roll(x, -1, axis=-1) - 2.0 * x
+            return dtau * (om ** 2 * x + 4.0 * om4 * x ** 3) - lap / dtau
+
+        # --- batched-over-spin unpreconditioned CG for MᵀM (psum dots;
+        # spins share one convergence scalar — a simplicity trade)
+        def solve_O(env, rhs, tol):
+            def A(v):
+                return mulMTM(env, v)
+
+            normb = jnp.sqrt(pdot(rhs, rhs))
+            safe = jnp.where(normb > 0, normb, 1.0)
+            r = rhs - 0.0
+            p = r
+            rdot = pdot(r, r)
+
+            def cond(st):
+                j, xs, r, p, rdot, done = st
+                return (j < cfg.maxiter) & ~done
+
+            def body(st):
+                j, xs, r, p, rdot, done = st
+                Ap = A(p)
+                alpha = (rdot / pdot(p, Ap)).astype(xs.dtype)
+                xs = xs + alpha * p
+                r = r - alpha * Ap
+                rdot_new = pdot(r, r)
+                done = jnp.sqrt(rdot_new) / safe < tol
+                p = r + (rdot_new / rdot).astype(xs.dtype) * p
+                return (j + 1, xs, r, p, rdot_new, done)
+
+            j, xs, r, p, rdot, done = lax.while_loop(
+                cond, body,
+                (jnp.asarray(0), jnp.zeros_like(rhs), r, p, rdot,
+                 jnp.asarray(False)))
+            # residual verification (flag per Models.jl ladder)
+            err = jnp.sqrt(pdot(A(xs) - rhs, A(xs) - rhs)) / safe
+            flag = jnp.where(err > jnp.sqrt(tol), 1, 0)
+            return xs, j, flag
+
+        # --- noise in the unsharded step's exact key-split order
+        key, k_v, k_p, k_acc = jax.random.split(key, 4)
+        R_full = jax.random.normal(k_v, (N, Ltau), dtype=x_loc.dtype)
+        R = lax.dynamic_slice_in_dim(R_full, d * B, B, axis=0)
+        Rpm_full = jax.random.normal(k_p, (2, N, Ltau), dtype=x_loc.dtype)
+        Rpm = lax.dynamic_slice_in_dim(Rpm_full, d * B, B, axis=1)
+
+        v0 = cfg.alpha * v_loc + jnp.sqrt(1.0 - cfg.alpha ** 2) \
+            * accelerate(mass, R, -0.5)
+        env0 = env_of(x_loc)
+        MtR = mulMT(env0, Rpm)
+        Lam0 = calc_Lam(x_loc)
+        phi = mulLambdaInv(Lam0, MtR)
+
+        tol1, tol2 = cfg.tol, cfg.tol ** 2
+
+        def S_and_z(x, env, tol):
+            Lam = calc_Lam(x)
+            Lphi = mulLambda(Lam, phi)
+            z, it, flag = solve_O(env, Lphi, tol)
+            Sf = pdot(Lphi, z) / 2
+            return Lphi, z, Sf + calc_Sb(x), it, flag
+
+        def calc_K(v):
+            mv = accelerate(mass, v, 1.0)
+            return pdot(v, mv) / 2
+
+        Lphi0, z0, S0, it0, flag0 = S_and_z(x_loc, env0, tol2)
+        H0 = S0 + calc_K(v0)
+
+        def forces(x, env, z):
+            Mz = mulM(env, z)
+            dSf = -jnp.sum(muldMdx(env, x, Mz, z), axis=0)
+            Lam = calc_Lam(x)
+            dSf = dSf + jnp.sum(muldLambdadx(x, Lam, phi, z), axis=0)
+            return dSf + calc_dSbdx(x)
+
+        def qf(g):
+            return accelerate(mass, g, -1.0)
+
+        Qd0 = qf(forces(x_loc, env0, z0))
+
+        def body(carry, _):
+            x, v, Qd, iters, flag = carry
+            ok = flag == 0
+            v1 = v - cfg.dt / 2 * Qd
+            x1 = x + cfg.dt * v1
+            env1 = env_of(x1)
+            Lam1 = calc_Lam(x1)
+            Lphi1 = mulLambda(Lam1, phi)
+            z1, it1, fl1 = solve_O(env1, Lphi1, tol1)
+            Qd1 = qf(forces(x1, env1, z1))
+            v1 = v1 - cfg.dt / 2 * Qd1
+            x = jnp.where(ok, x1, x)
+            v = jnp.where(ok, v1, v)
+            Qd = jnp.where(ok, Qd1, Qd)
+            iters = iters + jnp.where(ok, it1, 0)
+            flag = jnp.maximum(flag, jnp.where(ok, fl1, 0))
+            return (x, v, Qd, iters, flag), None
+
+        (x1, v1, _, iters, flag), _ = lax.scan(
+            body, (x_loc, v0, Qd0, it0, flag0), None, length=Nt)
+
+        env1 = env_of(x1)
+        Lphi1, z1, S1, it2, fl2 = S_and_z(x1, env1, tol2)
+        iters = iters + it2
+        flag = jnp.maximum(flag, fl2)
+        H1 = S1 + calc_K(v1)
+        dH = H1 - H0
+        P = jnp.minimum(1.0, jnp.exp(-dH))
+        u = jax.random.uniform(k_acc, P.shape, dtype=P.dtype)
+        accept = (u < P) & (flag == 0)
+        x_new = jnp.where(accept, x1, x_loc)
+        v_new = jnp.where(accept, v1, -v0)
+        mean_iters = (iters + Nt + 1) // (Nt + 2)
+        return x_new, v_new, accept, mean_iters.astype(jnp.int32), dH, key
+
+    sharded = jax.shard_map(
+        step_local, mesh=mesh,
+        in_specs=(P(), P(plan.axis, None), P(plan.axis, None), P()),
+        out_specs=(P(plan.axis, None), P(plan.axis, None), P(), P(), P(), P()),
+        check_vma=False,
+    )
+
+    def step(params, x, v, key):
+        x_new, v_new, accept, iters, dH, key = sharded(params, x, v, key)
+        return x_new, v_new, {"accepted": accept, "iters": iters,
+                              "delta_H": dH}, key
+
+    return jax.jit(step)

@@ -87,3 +87,39 @@ def test_plan_rejects_non_adjacent_bonds():
     # but coarser sharding (blocks of 2) makes the +2 bonds adjacent again
     plan = build_shard_plan(ckb, 4)
     assert plan.B == 2
+
+
+def test_sharded_hmc_step_matches_unsharded():
+    """The FULL lattice-sharded HMC update must reproduce the unsharded
+    make_hmc_step trajectory (same key, no preconditioner, tight tol) to
+    psum-reduction rounding: same accept decision, ΔH, and final field."""
+    from elphdynamics_tpu.dynamics.hmc import HMCConfig, HMCState, make_hmc_step
+    from elphdynamics_tpu.parallel.lattice_shard import make_sharded_hmc_step
+    from elphdynamics_tpu.ops.fourier_accel import build_mass
+
+    D = 8
+    assert jax.device_count() >= D
+    spec, params, ops = _build(L=8, beta=1.0, dtau=0.1, lam=0.8)
+    plan = build_shard_plan(spec.ckb, D)
+    mesh = site_mesh(D)
+    mass = build_mass(np.asarray(params.omega), spec.dtau, spec.Ltau,
+                      [dict(omega_min=0.0, omega_max=10.0, mass=0.5)])
+    cfg = HMCConfig(dt=0.1, trajectory_time=0.4, Nb=1, tol=1e-10, maxiter=3000)
+
+    ref_step = jax.jit(make_hmc_step(ops, mass, cfg, precond=None))
+    sh_step = make_sharded_hmc_step(spec, plan, mesh, mass, cfg)
+
+    key = jax.random.PRNGKey(7)
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (spec.Nph, spec.Ltau))
+    v = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (spec.Nph, spec.Ltau))
+
+    ref_state, ref_stats, _ = ref_step(params, HMCState(x=x, v=v), key)
+    xs, vs, stats, _ = sh_step(params, x, v, key)
+
+    assert bool(stats["accepted"]) == bool(ref_stats.accepted)
+    assert abs(float(stats["delta_H"]) - float(ref_stats.delta_H)) < 1e-6, (
+        float(stats["delta_H"]), float(ref_stats.delta_H))
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(ref_state.x),
+                               rtol=1e-6, atol=1e-8)
+    # the output really is distributed
+    assert len(xs.sharding.device_set) == D
