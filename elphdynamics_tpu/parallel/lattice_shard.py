@@ -196,6 +196,11 @@ def ckb_transpose_mul_local(plan, cosh_b, sinh_b, v_loc):
                        range(plan.ngroups - 1, -1, -1), +1)
 
 
+def ckb_inverse_mul_local(plan, cosh_b, sinh_b, v_loc):
+    return _fold_local(plan, cosh_b, sinh_b, v_loc,
+                       range(plan.ngroups - 1, -1, -1), -1)
+
+
 # ---------------------------------------------------------------------------
 # sharded Holstein fermion matrix + CG (mulM structure: models/holstein.py,
 # HolsteinModels.jl:569-684; CG: IterativeSolvers.jl:153-234)
@@ -304,8 +309,119 @@ def make_sharded_holstein_solver(model_spec, plan: ShardPlan, mesh: Mesh):
 # unaffected); wij phonon dispersion is rejected at build time.
 # ---------------------------------------------------------------------------
 
+def _kpm_local(plan: ShardPlan, params, kcfg, Ltau, N, dtype, axis):
+    """Sharded symmetric KPM preconditioner (ops/kpm.py math on local blocks).
+
+    The τ↔ω transform is shard-local (τ on-chip); the Chebyshev recurrence's
+    Ā applications use the halo fold; power-iteration norms psum over the
+    site axis. Returns ``(setup, make_apply)``: ``setup(env_loc, key)`` runs
+    once per sampler update (bounds + coefficients), ``make_apply(state,
+    env_loc)`` binds the per-solve averaged-operator refresh.
+    """
+    from elphdynamics_tpu.ops.timefreqfft import omega_to_tau, tau_to_omega
+
+    cosht, sinht = params.cosht, params.sinht
+    Lw = (Ltau + 1) // 2
+    M = kcfg.max_order
+    phis = jnp.asarray(2.0 * np.pi / Ltau * (np.arange(Lw) + 0.5), dtype)
+    NM = 2 * M
+    theta_n = (np.arange(NM) + 0.5) * np.pi / NM
+    nodes = jnp.asarray(np.cos(theta_n), dtype)
+    cosmat = jnp.asarray(np.cos(np.outer(np.arange(M), theta_n)), dtype)
+    scale = jnp.asarray(np.where(np.arange(M) == 0, 1.0, 2.0), dtype)[:, None] / NM
+    B = plan.B
+
+    def ops_of(env_loc):
+        expnV_bar = jnp.mean(env_loc, axis=-1)
+
+        def mulA(v):
+            return ckb_mul_local(plan, cosht, sinht, expnV_bar[:, None] * v)
+
+        def mulA_T(v):
+            return expnV_bar[:, None] * ckb_transpose_mul_local(
+                plan, cosht, sinht, v)
+
+        def mulA_inv(v):
+            return ckb_inverse_mul_local(plan, cosht, sinht, v) \
+                / expnV_bar[:, None]
+
+        return mulA, mulA_T, mulA_inv
+
+    def setup(env_loc, key):
+        mulA, _, mulA_inv = ops_of(env_loc)
+        d = lax.axis_index(axis)
+
+        def radius(apply_fn, k):
+            v_full = jax.random.normal(k, (N, 1), dtype)
+            v = lax.dynamic_slice_in_dim(v_full, d * B, B, axis=0)
+            v = v / jnp.sqrt(lax.psum(jnp.sum(v * v), axis))
+
+            def body(_, carry):
+                v, lam = carry
+                w = apply_fn(v)
+                nw = jnp.sqrt(lax.psum(jnp.sum(w * w), axis))
+                return w / jnp.where(nw > 0, nw, 1.0), nw
+
+            _, lam = lax.fori_loop(0, kcfg.n_power, body,
+                                   (v, jnp.asarray(1.0, dtype)))
+            return lam
+
+        k1, k2 = jax.random.split(key)
+        e_max = radius(mulA, k1)
+        e_min = 1.0 / radius(mulA_inv, k2)
+        active = (e_min > 0.0) & (e_min < 1.0) & (e_max > 1.0) \
+            & ((e_max - e_min) < 2.0)
+        lam_lo = jnp.maximum(0.0, (1.0 - 2.0 * kcfg.buf) * e_min)
+        lam_hi = (1.0 + 2.0 * kcfg.buf) * e_max
+        lam_avg = (lam_hi + lam_lo) / 2
+        lam_mag = (lam_hi - lam_lo) / 2
+        xs = lam_mag * nodes + lam_avg
+        f = 1.0 / (1.0 - jnp.exp(-1j * phis)[None, :] * xs[:, None])
+        coeff = scale * (cosmat @ f)
+        order = jnp.clip(jnp.floor((lam_hi - lam_lo) * (kcfg.c1 / phis + kcfg.c2)),
+                         1, M)
+        coeff = jnp.where(jnp.arange(M)[:, None] < order[None, :], coeff, 0.0)
+        return dict(lam_avg=lam_avg, lam_mag=lam_mag, coeff=coeff, active=active)
+
+    def make_apply(st, env_loc):
+        mulA, mulA_T, _ = ops_of(env_loc)
+
+        def cheb(u, coeff, transposed):
+            mul = mulA_T if transposed else mulA
+
+            def Ap(v):
+                return mul(v) / st["lam_mag"] - (st["lam_avg"] / st["lam_mag"]) * v
+
+            out = coeff[0] * u
+            u_nm1 = u
+            u_n = Ap(u)
+
+            def body(m, carry):
+                out, u_nm1, u_n = carry
+                out = out + coeff[m] * u_n
+                return (out, u_n, 2.0 * Ap(u_n) - u_nm1)
+
+            out, _, _ = lax.fori_loop(1, M, body, (out, u_nm1, u_n))
+            return out
+
+        def apply_P(v):
+            vw = tau_to_omega(v)
+            u = vw[..., :Lw]
+            u = cheb(u, jnp.conj(st["coeff"]), True)
+            u = cheb(u, st["coeff"], False)
+            full = jnp.concatenate(
+                [u, jnp.flip(jnp.conj(u), axis=-1)[..., (2 * Lw - Ltau):]],
+                axis=-1)
+            out = omega_to_tau(full, real=True).astype(v.dtype)
+            return jnp.where(st["active"], out, v)
+
+        return apply_P
+
+    return setup, make_apply
+
+
 def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
-                          mass_table, cfg):
+                          mass_table, cfg, kpm_cfg=None):
     """Sharded HMC update ``(params, x, v, key) -> (x', v', stats, key)``
     with the [N, Lτ] phonon field partitioned P('site', None) over ``mesh``.
 
@@ -314,6 +430,11 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
     the full field and keeps its rows), so a sharded trajectory reproduces
     the unsharded one to psum-reduction rounding — asserted by
     tests/test_lattice_shard.py.
+
+    ``kpm_cfg`` (a :class:`~elphdynamics_tpu.ops.kpm.KPMConfig`) enables the
+    sharded symmetric KPM preconditioner: spectral setup once per update at
+    the trajectory start, averaged-operator refresh per solve — the same
+    buffered-skip cadence as the unsharded path.
     """
     import numpy as _np
 
@@ -393,36 +514,48 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
             lap = jnp.roll(x, 1, axis=-1) + jnp.roll(x, -1, axis=-1) - 2.0 * x
             return dtau * (om ** 2 * x + 4.0 * om4 * x ** 3) - lap / dtau
 
-        # --- batched-over-spin unpreconditioned CG for MᵀM (psum dots;
+        # --- sharded symmetric KPM preconditioner (optional): full spectral
+        # setup once per update, averaged-operator refresh per solve
+        if kpm_cfg is not None:
+            kpm_setup, kpm_make_apply = _kpm_local(
+                plan, params, kpm_cfg, Ltau, N, x_loc.dtype, plan.axis)
+        else:
+            kpm_setup = kpm_make_apply = None
+
+        # --- batched-over-spin preconditioned CG for MᵀM (psum dots;
         # spins share one convergence scalar — a simplicity trade)
-        def solve_O(env, rhs, tol):
+        def solve_O(env, rhs, tol, kst=None):
             def A(v):
                 return mulMTM(env, v)
 
+            P_apply = (kpm_make_apply(kst, env) if kst is not None
+                       else (lambda v: v))
             normb = jnp.sqrt(pdot(rhs, rhs))
             safe = jnp.where(normb > 0, normb, 1.0)
             r = rhs - 0.0
-            p = r
-            rdot = pdot(r, r)
+            z = P_apply(r)
+            p = z
+            rdotz = pdot(r, z)
 
             def cond(st):
-                j, xs, r, p, rdot, done = st
+                j, xs, r, p, rdotz, done = st
                 return (j < cfg.maxiter) & ~done
 
             def body(st):
-                j, xs, r, p, rdot, done = st
+                j, xs, r, p, rdotz, done = st
                 Ap = A(p)
-                alpha = (rdot / pdot(p, Ap)).astype(xs.dtype)
+                alpha = (rdotz / pdot(p, Ap)).astype(xs.dtype)
                 xs = xs + alpha * p
                 r = r - alpha * Ap
-                rdot_new = pdot(r, r)
-                done = jnp.sqrt(rdot_new) / safe < tol
-                p = r + (rdot_new / rdot).astype(xs.dtype) * p
-                return (j + 1, xs, r, p, rdot_new, done)
+                done = jnp.sqrt(pdot(r, r)) / safe < tol
+                z = P_apply(r)
+                rdotz_new = pdot(r, z)
+                p = z + (rdotz_new / rdotz).astype(xs.dtype) * p
+                return (j + 1, xs, r, p, rdotz_new, done)
 
-            j, xs, r, p, rdot, done = lax.while_loop(
+            j, xs, r, p, rdotz, done = lax.while_loop(
                 cond, body,
-                (jnp.asarray(0), jnp.zeros_like(rhs), r, p, rdot,
+                (jnp.asarray(0), jnp.zeros_like(rhs), r, p, rdotz,
                  jnp.asarray(False)))
             # residual verification (flag per Models.jl ladder)
             err = jnp.sqrt(pdot(A(xs) - rhs, A(xs) - rhs)) / safe
@@ -443,12 +576,17 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
         Lam0 = calc_Lam(x_loc)
         phi = mulLambdaInv(Lam0, MtR)
 
+        # full KPM spectral setup once per update (seed matches
+        # kpm.make_symmetric_precond for parity with the unsharded path)
+        kst = (kpm_setup(env0, jax.random.PRNGKey(1234))
+               if kpm_cfg is not None else None)
+
         tol1, tol2 = cfg.tol, cfg.tol ** 2
 
         def S_and_z(x, env, tol):
             Lam = calc_Lam(x)
             Lphi = mulLambda(Lam, phi)
-            z, it, flag = solve_O(env, Lphi, tol)
+            z, it, flag = solve_O(env, Lphi, tol, kst)
             Sf = pdot(Lphi, z) / 2
             return Lphi, z, Sf + calc_Sb(x), it, flag
 
@@ -479,7 +617,7 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
             env1 = env_of(x1)
             Lam1 = calc_Lam(x1)
             Lphi1 = mulLambda(Lam1, phi)
-            z1, it1, fl1 = solve_O(env1, Lphi1, tol1)
+            z1, it1, fl1 = solve_O(env1, Lphi1, tol1, kst)
             Qd1 = qf(forces(x1, env1, z1))
             v1 = v1 - cfg.dt / 2 * Qd1
             x = jnp.where(ok, x1, x)

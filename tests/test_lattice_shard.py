@@ -123,3 +123,43 @@ def test_sharded_hmc_step_matches_unsharded():
                                rtol=1e-6, atol=1e-8)
     # the output really is distributed
     assert len(xs.sharding.device_set) == D
+
+
+def test_sharded_hmc_with_kpm_matches_unsharded():
+    """Sharded HMC with the sharded symmetric KPM preconditioner: same RNG,
+    same power-iteration seed — trajectory, ΔH and iteration counts match
+    the unsharded KPM-preconditioned step within solver tolerance."""
+    from elphdynamics_tpu.dynamics.hmc import HMCConfig, HMCState, make_hmc_step
+    from elphdynamics_tpu.ops import kpm
+    from elphdynamics_tpu.ops.fourier_accel import build_mass
+    from elphdynamics_tpu.parallel.lattice_shard import make_sharded_hmc_step
+
+    D = 8
+    assert jax.device_count() >= D
+    spec, params, ops = _build(L=8, beta=1.0, dtau=0.1, lam=0.8)
+    plan = build_shard_plan(spec.ckb, D)
+    mesh = site_mesh(D)
+    mass = build_mass(np.asarray(params.omega), spec.dtau, spec.Ltau,
+                      [dict(omega_min=0.0, omega_max=10.0, mass=0.5)])
+    cfg = HMCConfig(dt=0.1, trajectory_time=0.3, Nb=1, tol=1e-9, maxiter=2000)
+    kcfg = kpm.KPMConfig(max_order=16)
+
+    ref_step = jax.jit(make_hmc_step(
+        ops, mass, cfg, kpm.make_symmetric_precond(ops, kcfg)))
+    sh_step = make_sharded_hmc_step(spec, plan, mesh, mass, cfg, kpm_cfg=kcfg)
+
+    key = jax.random.PRNGKey(11)
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(4), (spec.Nph, spec.Ltau))
+    v = 0.1 * jax.random.normal(jax.random.PRNGKey(5), (spec.Nph, spec.Ltau))
+
+    ref_state, ref_stats, _ = ref_step(params, HMCState(x=x, v=v), key)
+    xs, vs, stats, _ = sh_step(params, x, v, key)
+
+    assert bool(stats["accepted"]) == bool(ref_stats.accepted)
+    assert abs(float(stats["delta_H"]) - float(ref_stats.delta_H)) < 1e-5
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(ref_state.x),
+                               rtol=1e-5, atol=1e-7)
+    # preconditioning is actually active: far fewer iterations than the
+    # unpreconditioned sharded test needs at this tolerance
+    assert int(stats["iters"]) < 60, int(stats["iters"])
+    assert abs(int(stats["iters"]) - int(ref_stats.iters)) <= 2
