@@ -85,6 +85,62 @@ def write_bin(datafolder: str, processed: dict, bin_index: int, model_ops: Model
                         f.write(f"{i + 1} {val.real:.8f} {val.imag:.8f}\n")
 
 
+def write_key_files(datafolder: str, ops: ModelOps, mspec, container: dict):
+    """``*_key.out`` index files mapping every flattened row of the per-bin
+    correlation/susceptibility files to its (pair, r/k displacement[, τ])
+    labels (Measurements.jl:385-540). Row order matches
+    :func:`_flatten_reference_order` (τ fastest, then r1, r2, r3, pair)."""
+    from elphdynamics_tpu.measure.measurements import (
+        _corr_pairs, _normalize_kinds)
+
+    lat = ops.spec.lattice
+    no = lat.unit_cell.norbits
+    ndefs = len(ops.spec.bond_defs)
+    susc_map = {"PairGreens": "PairSusc", "DenDen": "ChargeSusc",
+                "SpinSpin": "SpinSusc", "BondPairGreens": "BondPairSusc"}
+
+    def rows(f, pairs, dims, lbl, with_tau, T=1):
+        L1, L2, L3 = dims
+        tau_col = " tau" if with_tau else ""
+        i = 1
+        for p in range(pairs.shape[0]):
+            o1, o2 = int(pairs[p, 0]) + 1, int(pairs[p, 1]) + 1
+            for l3 in range(L3):
+                for l2 in range(L2):
+                    for l1 in range(L1):
+                        for tau in range(T):
+                            tcol = f" {tau}" if with_tau else ""
+                            f.write(f"{i} {o1} {o2} {l3} {l2} {l1}{tcol}\n")
+                            i += 1
+
+    for group, nbase, label, entries, default_pairs in (
+        ("onsite_corr", no, "orbit", mspec.onsite_corr, mspec.onsite_pairs),
+        ("intersite_corr", ndefs, "bond", mspec.intersite_corr,
+         mspec.intersite_pairs),
+    ):
+        for kind, (td, kp) in _normalize_kinds(entries).items():
+            pairs = _corr_pairs(nbase, kp if kp is not None else default_pairs)
+            arr = np.asarray(container[group][kind])
+            _, L1, L2, L3, T = arr.shape
+            for space, lbl in (("position", "r"), ("momentum", "k")):
+                folder = os.path.join(datafolder, f"{kind}_{space}_f")
+                if not os.path.isdir(folder):
+                    continue
+                with open(os.path.join(folder, f"{kind}_{space}_key.out"), "w") as f:
+                    f.write(f"index {label}1 {label}2 {lbl}3 {lbl}2 {lbl}1 tau\n")
+                    rows(f, pairs, (L1, L2, L3), lbl, True, T)
+            if kind in susc_map and T > 1:
+                sname = susc_map[kind]
+                for space, lbl in (("position", "r"), ("momentum", "k")):
+                    folder = os.path.join(datafolder, f"{sname}_{space}_f")
+                    if not os.path.isdir(folder):
+                        continue
+                    with open(os.path.join(folder,
+                                           f"{sname}_{space}_key.out"), "w") as f:
+                        f.write(f"index {label}1 {label}2 {lbl}3 {lbl}2 {lbl}1\n")
+                        rows(f, pairs, (L1, L2, L3), lbl, False)
+
+
 def write_snapshot(datafolder: str, name: str, values: np.ndarray, nmeas: int):
     """Per-measurement snapshot dump (Measurements.jl:1349-1460)."""
     path = os.path.join(datafolder, f"{name}_snapshots_f",

@@ -27,14 +27,14 @@ Reference parity note: the reference has no distributed execution at all
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from elphdynamics_tpu.ops.checkerboard import CheckerboardSpec
 
@@ -436,8 +436,6 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
     the trajectory start, averaged-operator refresh per solve — the same
     buffered-skip cadence as the unsharded path.
     """
-    import numpy as _np
-
     if model_spec.wij_table.shape[1] > 0:
         raise NotImplementedError("wij dispersion not supported sharded")
     Ltau = model_spec.Ltau

@@ -296,6 +296,7 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1) -> dict:
             x = x0
         v = jnp.zeros_like(x)
         out_io.init_measurement_folders(datafolder, container, setup.snapshots)
+        out_io.write_key_files(datafolder, ops, setup.mspec, container)
 
     if n_chains > 1 and key.ndim == 1:
         chain_keys = jax.random.split(key, n_chains)

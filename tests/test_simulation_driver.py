@@ -259,3 +259,30 @@ def test_simulate_honeycomb_multiorbital(tmp_path):
     assert corr.shape[0] == (2 * 2) * 2 * 2 * 1 * Lt
     assert np.all(np.isfinite(corr))
     assert 0.0 <= stats["acceptance_rate"] <= 1.0
+
+
+def test_key_files_written(tmp_path):
+    """*_key.out index files (Measurements.jl:385-540): one label row per
+    flattened bin-file row, same ordering."""
+    cfg = copy.deepcopy(BASE_CFG)
+    cfg["simulation"]["filepath"] = str(tmp_path)
+    cfg["hmc"]["burnin_updates"] = 2
+    cfg["hmc"]["simulation_updates"] = 2
+    cfg["hmc"].pop("reflection_update")
+    cfg["hmc"].pop("swap_update")
+    cfg["simulation"]["num_bins"] = 1
+    cfg["simulation"]["write_M_matrix"] = False
+    simulate(cfg)
+    folder = os.path.join(str(tmp_path), "testrun-1")
+    key = np.loadtxt(os.path.join(folder, "Greens_position_f",
+                                  "Greens_position_key.out"), skiprows=1)
+    bin1 = np.loadtxt(os.path.join(folder, "Greens_position_f",
+                                   "Greens_position_00001.out"), skiprows=1)
+    assert key.shape[0] == bin1.shape[0]
+    assert key[0].tolist() == [1, 1, 1, 0, 0, 0, 0]
+    assert key[1].tolist() == [2, 1, 1, 0, 0, 0, 1]  # tau fastest
+    skey = np.loadtxt(os.path.join(folder, "PairSusc_position_f",
+                                   "PairSusc_position_key.out"), skiprows=1)
+    sbin = np.loadtxt(os.path.join(folder, "PairSusc_position_f",
+                                   "PairSusc_position_00001.out"), skiprows=1)
+    assert skey.shape[0] == sbin.shape[0]
