@@ -22,6 +22,10 @@ def main():
     ap.add_argument("--devices", type=int, default=1,
                     help="devices to shard the chains over (0 = all local "
                          "devices); chains must be a multiple of devices")
+    ap.add_argument("--site-devices", type=int, default=1,
+                    help="shard ONE chain's spatial lattice over this many "
+                         "devices (Holstein HMC; for lattices that outgrow "
+                         "a single chip; 0 = all local devices)")
     ap.add_argument("--x64", action="store_true",
                     help="enable float64 (CPU parity mode; TPU runs f32)")
     ap.add_argument("--profile", metavar="DIR", default=None,
@@ -39,10 +43,12 @@ def main():
     if args.profile:
         with jax.profiler.trace(args.profile):
             stats = simulate(args.input, run_id=args.run_id,
-                             n_chains=args.chains, n_devices=args.devices)
+                             n_chains=args.chains, n_devices=args.devices,
+                             site_devices=args.site_devices)
     else:
         stats = simulate(args.input, run_id=args.run_id,
-                         n_chains=args.chains, n_devices=args.devices)
+                         n_chains=args.chains, n_devices=args.devices,
+                         site_devices=args.site_devices)
     print(stats)
 
 

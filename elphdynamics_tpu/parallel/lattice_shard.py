@@ -596,22 +596,46 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
         H0 = S0 + calc_K(v0)
 
         def forces(x, env, z):
+            """Fermionic force; the bosonic part is added only for the plain
+            leapfrog — the multi-timestep integrator handles it in the Nb
+            substeps (HMC.jl:524,581)."""
             Mz = mulM(env, z)
             dSf = -jnp.sum(muldMdx(env, x, Mz, z), axis=0)
             Lam = calc_Lam(x)
             dSf = dSf + jnp.sum(muldLambdadx(x, Lam, phi, z), axis=0)
-            return dSf + calc_dSbdx(x)
+            if cfg.Nb == 1:
+                return dSf + calc_dSbdx(x)
+            return dSf
 
         def qf(g):
             return accelerate(mass, g, -1.0)
 
         Qd0 = qf(forces(x_loc, env0, z0))
 
+        def boson_substeps(x, v):
+            """Nb small bosonic steps per fermionic step (HMC.jl:535-565);
+            entirely site-local."""
+            QdSb = qf(calc_dSbdx(x))
+
+            def sub(carry, _):
+                x, v, QdSb = carry
+                v = v - cfg.dt_b / 2 * QdSb
+                x = x + cfg.dt_b * v
+                QdSb2 = qf(calc_dSbdx(x))
+                v = v - cfg.dt_b / 2 * QdSb2
+                return (x, v, QdSb2), None
+
+            (x, v, _), _ = lax.scan(sub, (x, v, QdSb), None, length=cfg.Nb)
+            return x, v
+
         def body(carry, _):
             x, v, Qd, iters, flag = carry
             ok = flag == 0
             v1 = v - cfg.dt / 2 * Qd
-            x1 = x + cfg.dt * v1
+            if cfg.Nb == 1:
+                x1 = x + cfg.dt * v1
+            else:
+                x1, v1 = boson_substeps(x, v1)
             env1 = env_of(x1)
             Lam1 = calc_Lam(x1)
             Lphi1 = mulLambda(Lam1, phi)
@@ -640,18 +664,20 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
         x_new = jnp.where(accept, x1, x_loc)
         v_new = jnp.where(accept, v1, -v0)
         mean_iters = (iters + Nt + 1) // (Nt + 2)
-        return x_new, v_new, accept, mean_iters.astype(jnp.int32), dH, key
+        return (x_new, v_new, accept, mean_iters.astype(jnp.int32), dH,
+                flag, key)
 
     sharded = jax.shard_map(
         step_local, mesh=mesh,
         in_specs=(P(), P(plan.axis, None), P(plan.axis, None), P()),
-        out_specs=(P(plan.axis, None), P(plan.axis, None), P(), P(), P(), P()),
+        out_specs=(P(plan.axis, None), P(plan.axis, None), P(), P(), P(),
+                   P(), P()),
         check_vma=False,
     )
 
     def step(params, x, v, key):
-        x_new, v_new, accept, iters, dH, key = sharded(params, x, v, key)
+        x_new, v_new, accept, iters, dH, flag, key = sharded(params, x, v, key)
         return x_new, v_new, {"accepted": accept, "iters": iters,
-                              "delta_H": dH}, key
+                              "delta_H": dH, "flag": flag}, key
 
     return jax.jit(step)

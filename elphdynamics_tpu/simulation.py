@@ -69,18 +69,26 @@ def name_datafolder(filepath: str, foldername: str, run_id: int | None = None) -
 
 
 def simulate(config, run_id: int | None = None, n_chains: int = 1,
-             n_devices: int = 1) -> dict:
+             n_devices: int = 1, site_devices: int = 1) -> dict:
     """Run a full simulation from a TOML path or parsed config dict
     (the reference CLI entry, ElPhDynamics.jl:68-136).
 
     ``n_devices > 1`` shards the ``n_chains`` Markov chains over a device
-    mesh (``n_devices = 0`` auto-detects all local devices)."""
+    mesh (``n_devices = 0`` auto-detects all local devices).
+    ``site_devices > 1`` instead shards the spatial lattice of ONE chain
+    over the mesh (SURVEY §5's context-parallel analog; Holstein HMC only) —
+    for problems whose ``N·Lτ`` footprint outgrows a single chip."""
     if n_devices == 0:
         n_devices = len(jax.devices())
+    if site_devices == 0:
+        site_devices = len(jax.devices())
     if n_devices > 1:
         if n_chains % n_devices != 0:
             raise ValueError(
                 f"n_chains={n_chains} must be a multiple of n_devices={n_devices}")
+    if site_devices > 1 and (n_chains > 1 or n_devices > 1):
+        raise ValueError("site_devices shards a single chain; it is mutually "
+                         "exclusive with n_chains/n_devices > 1")
     if isinstance(config, str):
         cfg = load_toml(config)
     else:
@@ -105,13 +113,15 @@ def simulate(config, run_id: int | None = None, n_chains: int = 1,
         import elphdynamics_tpu
         logger.info("elphdynamics_tpu version: %s", elphdynamics_tpu.__version__)
         logger.info("Random Seed: %d", setup.sim_params.random_seed)
-        logger.info("Devices: %s (using %d)", jax.devices(), n_devices)
-        return _run(setup, n_chains, n_devices)
+        logger.info("Devices: %s (using %d chain / %d site)", jax.devices(),
+                    n_devices, site_devices)
+        return _run(setup, n_chains, n_devices, site_devices)
     finally:
         logger.removeHandler(handler)
 
 
-def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1) -> dict:
+def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
+         site_devices: int = 1) -> dict:
     ops = setup.ops
     params = setup.params
     sp = setup.sim_params
@@ -148,7 +158,48 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1) -> dict:
         precond = kpm.make_precond(ops, setup.kpm_cfg)
 
     # ---- step functions
-    if setup.dynamics_type == "hmc":
+    if site_devices > 1:
+        # spatial lattice sharding: the single chain's [N, Lτ] field lives
+        # partitioned over the site mesh; measurements/special updates run
+        # on the (automatically gathered) global field
+        if setup.dynamics_type != "hmc" or not ops.is_holstein:
+            raise NotImplementedError(
+                "site_devices currently supports Holstein HMC only")
+        from elphdynamics_tpu.parallel.lattice_shard import (
+            build_shard_plan, make_sharded_hmc_step, site_mesh)
+        plan = build_shard_plan(ops.spec.ckb, site_devices)
+        smesh = site_mesh(site_devices)
+
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+        _rep = NamedSharding(smesh, _P())
+        _xsh = NamedSharding(smesh, _P("site", None))
+
+        def _adapt(raw_step):
+            def step(params, state, key):
+                # place everything onto the site mesh so the sharded program
+                # sees one consistent device set even after params/key/x
+                # round-tripped through unsharded measurement or
+                # special-update jits (tiny transfers, off the hot loop)
+                params = jax.tree.map(
+                    lambda a: jax.device_put(a, _rep) if a is not None else a,
+                    params)
+                key = jax.device_put(key, _rep)
+                x = jax.device_put(state.x, _xsh)
+                v = jax.device_put(state.v, _xsh)
+                x, v, stats, key = raw_step(params, x, v, key)
+                # ... and pin the key back to the default device for the
+                # (unsharded) measurement / special-update jits
+                return HMCState(x=x, v=v), stats, \
+                    jax.device_put(key, jax.devices()[0])
+            return step
+
+        sim_step = _adapt(make_sharded_hmc_step(
+            ops.spec, plan, smesh, setup.fa_mass, setup.hmc_cfg,
+            kpm_cfg=setup.kpm_cfg))
+        burnin_step = _adapt(make_sharded_hmc_step(
+            ops.spec, plan, smesh, setup.fa_mass, setup.hmc_burnin_cfg,
+            kpm_cfg=setup.kpm_cfg))
+    elif setup.dynamics_type == "hmc":
         sim_step = make_hmc_step(ops, setup.fa_mass, setup.hmc_cfg, precond)
         burnin_step = make_hmc_step(ops, setup.fa_mass, setup.hmc_burnin_cfg, precond)
     else:
@@ -217,8 +268,15 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1) -> dict:
         reflect_j = _sharded(reflect)
         swap_j = _sharded(swap)
     else:
-        sim_step_j = jax.jit(sim_step)
-        burnin_step_j = jax.jit(burnin_step)
+        if site_devices > 1:
+            # the site-sharded steps are already jitted shard_map programs
+            # over their own (sub)mesh — re-jitting over the default device
+            # set must be avoided
+            sim_step_j = sim_step
+            burnin_step_j = burnin_step
+        else:
+            sim_step_j = jax.jit(sim_step)
+            burnin_step_j = jax.jit(burnin_step)
 
         def _mstep_one(params, x, keys):
             inc, ms, snaps, keys = mstep(params, x, keys)
@@ -325,19 +383,28 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1) -> dict:
         delta = new_mu - float(np.mean(np.asarray(params.mu)))
         return params._replace(mu=params.mu + delta)
 
+    def gather_x(x):
+        """Site-sharded fields are gathered to one device before the
+        measurement sweep / special updates (their spatial FFT convolutions
+        need the whole lattice; measurements are off the hot loop). The next
+        sampler step re-shards via its shard_map in_specs."""
+        if site_devices > 1:
+            return jax.device_put(x, jax.devices()[0])
+        return x
+
     def do_special(params, state, keys, n):
         nonlocal sim_stats
         if setup.reflect_cfg.n_moves and setup.reflect_cfg.freq and \
                 n % setup.reflect_cfg.freq == 0:
             t0 = time.time()
-            xn, acc, keys = reflect_j(params, state.x, keys)
+            xn, acc, keys = reflect_j(params, gather_x(state.x), keys)
             state = HMCState(x=xn, v=state.v)
             sim_stats["simulation_time"] += time.time() - t0
             sim_stats["reflect_acceptance_rate"] += float(np.mean(np.asarray(acc)))
         if setup.swap_cfg.n_moves and setup.swap_cfg.freq and \
                 n % setup.swap_cfg.freq == 0:
             t0 = time.time()
-            xn, acc, keys = swap_j(params, state.x, keys)
+            xn, acc, keys = swap_j(params, gather_x(state.x), keys)
             state = HMCState(x=xn, v=state.v)
             sim_stats["simulation_time"] += time.time() - t0
             sim_stats["swap_acceptance_rate"] += float(np.mean(np.asarray(acc)))
@@ -409,7 +476,7 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1) -> dict:
         state, chain_keys = do_special(params, state, chain_keys, n + 1)
         if mu_tuner.active and (n + 1) % mu_update_freq == 0:
             t0 = time.time()
-            inc, mstats, snaps, chain_keys = mstep_j(params, state.x, chain_keys)
+            inc, mstats, snaps, chain_keys = mstep_j(params, gather_x(state.x), chain_keys)
             npairs = setup.mspec.nv * (setup.mspec.nv - 1) // 2
             Nm = float(inc["global"]["density"]) / npairs * ops.Nsites
             N2m = float(inc["global"]["Nsqr"]) / npairs
@@ -433,7 +500,7 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1) -> dict:
         if (n + 1) % sp.meas_freq == 0:
             nmeas = (n + 1) // sp.meas_freq
             t0 = time.time()
-            inc, mstats, snaps, chain_keys = mstep_j(params, state.x, chain_keys)
+            inc, mstats, snaps, chain_keys = mstep_j(params, gather_x(state.x), chain_keys)
             container = accum_j(container, {k: inc[k] for k in container})
             sim_stats["measurement_time"] += time.time() - t0
             nfl = int(np.asarray(mstats.get("n_flagged", 0)))

@@ -163,3 +163,41 @@ def test_sharded_hmc_with_kpm_matches_unsharded():
     # unpreconditioned sharded test needs at this tolerance
     assert int(stats["iters"]) < 60, int(stats["iters"])
     assert abs(int(stats["iters"]) - int(ref_stats.iters)) <= 2
+
+
+def test_site_sharded_driver_matches_unsharded(tmp_path):
+    """`--site-devices`: the production driver with ONE chain's lattice
+    sharded over the mesh reproduces the single-device run's measurement
+    bins (same seed; trajectories agree to psum rounding)."""
+    import copy
+    import os
+
+    from elphdynamics_tpu.simulation import simulate
+    from test_simulation_driver import BASE_CFG
+
+    cfg = copy.deepcopy(BASE_CFG)
+    cfg["hmc"]["burnin_updates"] = 2
+    cfg["hmc"]["simulation_updates"] = 4
+    cfg["hmc"].pop("reflection_update")
+    cfg["hmc"].pop("swap_update")
+    cfg["lattice"]["L"] = 4  # 16 sites over 4 shards: one row each
+    cfg["simulation"]["num_bins"] = 2
+    cfg["simulation"]["write_M_matrix"] = False
+
+    folders = {}
+    for sub, sd in (("one", 1), ("site", 4)):
+        cfg["simulation"]["filepath"] = str(tmp_path / sub)
+        os.makedirs(str(tmp_path / sub), exist_ok=True)
+        stats = simulate(cfg, site_devices=sd)
+        assert 0.0 <= stats["acceptance_rate"] <= 1.0
+        folders[sub] = os.path.join(str(tmp_path / sub), "testrun-1")
+
+    for b in (1, 2):
+        f1 = os.path.join(folders["one"], "global_measurements_f",
+                          f"global_measurements_{b:05d}.out")
+        f8 = os.path.join(folders["site"], "global_measurements_f",
+                          f"global_measurements_{b:05d}.out")
+        g1 = {l.split()[0]: float(l.split()[1]) for l in open(f1)}
+        g8 = {l.split()[0]: float(l.split()[1]) for l in open(f8)}
+        for k in g1:
+            assert abs(g1[k] - g8[k]) < 1e-5, (b, k, g1[k], g8[k])
