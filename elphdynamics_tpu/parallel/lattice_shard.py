@@ -142,45 +142,241 @@ def site_mesh(D: int, devices=None) -> Mesh:
     return Mesh(np.asarray(devices[:D]), axis_names=("site",))
 
 
+@dataclass(frozen=True)
+class WijPlan:
+    """Halo plan for the dispersive ωᵢⱼ phonon coupling (PhononAction.jl's
+    (xᵢ±xⱼ)² terms) under site sharding.
+
+    Each pair ``k = (i, j, sign)`` is evaluated twice, once from each side:
+    the i-side entry lives on i's shard (contributing ∂S/∂xᵢ and, alone, the
+    action term), the j-side entry on j's shard (contributing ∂S/∂xⱼ). The
+    remote partner row is fetched with the same one-ppermute-per-direction
+    pattern as the checkerboard halos; pairs must connect ring-adjacent
+    shards (asserted at plan time).
+
+    All tables are [D, Kmax]-padded numpy with ``mask_*`` validity masks;
+    ``row_*`` are local row offsets, ``ext_*`` index the extended block
+    ``[local B | prev halo Hp | next halo Hn]``, ``k_*`` index the pair
+    (→ ``params.wij`` / ``wij_sign``).
+    """
+
+    D: int
+    B: int
+    hp: int
+    hn: int
+    send_next: np.ndarray    # [D, Hp] local rows shipped to the next shard
+    send_prev: np.ndarray    # [D, Hn] local rows shipped to the prev shard
+    row_i: np.ndarray        # [D, Ki] i-side local rows
+    ext_j: np.ndarray        # [D, Ki] extended index of the j partner
+    k_i: np.ndarray          # [D, Ki] pair index
+    mask_i: np.ndarray       # [D, Ki]
+    row_j: np.ndarray        # [D, Kj] j-side local rows
+    ext_i: np.ndarray        # [D, Kj] extended index of the i partner
+    k_j: np.ndarray          # [D, Kj]
+    mask_j: np.ndarray       # [D, Kj]
+
+    def __hash__(self):
+        return hash((self.D, self.B, self.hp, self.hn,
+                     self.row_i.shape, self.row_j.shape))
+
+
+def build_wij_plan(wij_table: np.ndarray, N: int, D: int) -> WijPlan | None:
+    """Plan the halo exchange for the ωᵢⱼ pair list ``wij_table`` ([2, Nwij]
+    site indices) under D contiguous site blocks. Returns None when there is
+    no dispersion."""
+    nw = wij_table.shape[1]
+    if nw == 0:
+        return None
+    B = N // D
+
+    # remote rows each shard needs, per ring direction
+    prev_need = [[] for _ in range(D)]
+    next_need = [[] for _ in range(D)]
+
+    def need(d, p):
+        sp = p // B
+        if sp == d:
+            return
+        if sp == (d - 1) % D:
+            if p not in prev_need[d]:
+                prev_need[d].append(p)
+        elif sp == (d + 1) % D:
+            if p not in next_need[d]:
+                next_need[d].append(p)
+        else:
+            raise NotImplementedError(
+                f"wij pair reaches non-adjacent shard ({d}->{sp}); "
+                "order sites so dispersion crosses at most one block boundary")
+
+    side_i = [[] for _ in range(D)]   # (local_row, partner_global, k)
+    side_j = [[] for _ in range(D)]
+    for k in range(nw):
+        i = int(wij_table[0, k])
+        j = int(wij_table[1, k])
+        di, dj = i // B, j // B
+        side_i[di].append((i - di * B, j, k))
+        need(di, j)
+        side_j[dj].append((j - dj * B, i, k))
+        need(dj, i)
+
+    prev_need = [sorted(x) for x in prev_need]
+    next_need = [sorted(x) for x in next_need]
+    Hp = max((len(x) for x in prev_need), default=0)
+    Hn = max((len(x) for x in next_need), default=0)
+
+    def ext_of(d, p):
+        if p // B == d:
+            return p - d * B
+        if p in prev_need[d]:
+            return B + prev_need[d].index(p)
+        return B + Hp + next_need[d].index(p)
+
+    Ki = max((len(x) for x in side_i), default=0)
+    Kj = max((len(x) for x in side_j), default=0)
+    row_i = np.zeros((D, Ki), dtype=np.int64)
+    ext_j = np.zeros((D, Ki), dtype=np.int64)
+    k_i = np.zeros((D, Ki), dtype=np.int64)
+    mask_i = np.zeros((D, Ki), dtype=bool)
+    row_j = np.zeros((D, Kj), dtype=np.int64)
+    ext_i = np.zeros((D, Kj), dtype=np.int64)
+    k_j = np.zeros((D, Kj), dtype=np.int64)
+    mask_j = np.zeros((D, Kj), dtype=bool)
+    for d in range(D):
+        for a, (r, p, k) in enumerate(side_i[d]):
+            row_i[d, a] = r
+            ext_j[d, a] = ext_of(d, p)
+            k_i[d, a] = k
+            mask_i[d, a] = True
+        for a, (r, p, k) in enumerate(side_j[d]):
+            row_j[d, a] = r
+            ext_i[d, a] = ext_of(d, p)
+            k_j[d, a] = k
+            mask_j[d, a] = True
+
+    # send tables: what shard d ships next = what shard d+1 needs from prev
+    for d in range(D):
+        prev_need[d] += [((d - 1) % D) * B] * (Hp - len(prev_need[d]))
+        next_need[d] += [((d + 1) % D) * B] * (Hn - len(next_need[d]))
+    send_next = np.asarray([[p - d * B for p in prev_need[(d + 1) % D]]
+                            for d in range(D)], dtype=np.int64).reshape(D, Hp)
+    send_prev = np.asarray([[p - d * B for p in next_need[(d - 1) % D]]
+                            for d in range(D)], dtype=np.int64).reshape(D, Hn)
+
+    return WijPlan(D=D, B=B, hp=Hp, hn=Hn,
+                   send_next=send_next, send_prev=send_prev,
+                   row_i=row_i, ext_j=ext_j, k_i=k_i, mask_i=mask_i,
+                   row_j=row_j, ext_i=ext_i, k_j=k_j, mask_j=mask_j)
+
+
+def _wij_extend(wplan: WijPlan, axis: str, x_loc):
+    """Extended ``[B + Hp + Hn, Lτ]`` block with the dispersion halo rows."""
+    d = lax.axis_index(axis)
+    D = wplan.D
+    parts = [x_loc]
+    if wplan.hp > 0:
+        rows = jnp.take(jnp.asarray(wplan.send_next), d, axis=0)
+        parts.append(lax.ppermute(jnp.take(x_loc, rows, axis=-2), axis,
+                                  [(i, (i + 1) % D) for i in range(D)]))
+    if wplan.hn > 0:
+        rows = jnp.take(jnp.asarray(wplan.send_prev), d, axis=0)
+        parts.append(lax.ppermute(jnp.take(x_loc, rows, axis=-2), axis,
+                                  [(i, (i - 1) % D) for i in range(D)]))
+    return jnp.concatenate(parts, axis=-2) if len(parts) > 1 else x_loc
+
+
+def wij_sb_local(wplan: WijPlan, axis: str, wij_vals, wij_sign, dtau, x_loc):
+    """Local (pre-psum) ωᵢⱼ action contribution Δτ·Σ_k ω_k²(xᵢ±xⱼ)²/2,
+    counted once per pair on the i-side shard (PhononAction.jl:33-44)."""
+    d = lax.axis_index(axis)
+    ext = _wij_extend(wplan, axis, x_loc)
+    row = jnp.take(jnp.asarray(wplan.row_i), d, axis=0)
+    pj = jnp.take(jnp.asarray(wplan.ext_j), d, axis=0)
+    kk = jnp.take(jnp.asarray(wplan.k_i), d, axis=0)
+    m = jnp.take(jnp.asarray(wplan.mask_i), d, axis=0)[:, None]
+    sgn = jnp.take(jnp.asarray(wij_sign).astype(x_loc.dtype), kk)[:, None]
+    w2 = (jnp.take(wij_vals, kk) ** 2)[:, None]
+    pair = jnp.take(x_loc, row, axis=-2) + sgn * jnp.take(ext, pj, axis=-2)
+    return dtau * jnp.sum(jnp.where(m, w2 * pair * pair / 2, 0.0))
+
+
+def wij_dsb_local(wplan: WijPlan, axis: str, wij_vals, wij_sign, dtau,
+                  x_loc, d_loc):
+    """Add the ωᵢⱼ gradient to the local ∂Sb/∂x block: ∂/∂xᵢ = Δτ·ω²·pair on
+    the i side, ∂/∂xⱼ = ±Δτ·ω²·pair on the j side (PhononAction.jl:158-187).
+    Each side is evaluated on its owner shard — no remote scatter."""
+    d = lax.axis_index(axis)
+    ext = _wij_extend(wplan, axis, x_loc)
+    sgn_all = jnp.asarray(wij_sign).astype(x_loc.dtype)
+
+    def side(rows_t, ext_t, k_t, mask_t, from_j):
+        row = jnp.take(jnp.asarray(rows_t), d, axis=0)
+        pp = jnp.take(jnp.asarray(ext_t), d, axis=0)
+        kk = jnp.take(jnp.asarray(k_t), d, axis=0)
+        m = jnp.take(jnp.asarray(mask_t), d, axis=0)[:, None]
+        sgn = jnp.take(sgn_all, kk)[:, None]
+        w2 = (jnp.take(wij_vals, kk) ** 2)[:, None]
+        mine = jnp.take(x_loc, row, axis=-2)
+        theirs = jnp.take(ext, pp, axis=-2)
+        # pair is always xᵢ + sgn·xⱼ
+        pair = (theirs + sgn * mine) if from_j else (mine + sgn * theirs)
+        g = dtau * w2 * pair
+        if from_j:
+            g = sgn * g
+        return row, jnp.where(m, g, 0.0)
+
+    ri, gi = side(wplan.row_i, wplan.ext_j, wplan.k_i, wplan.mask_i, False)
+    rj, gj = side(wplan.row_j, wplan.ext_i, wplan.k_j, wplan.mask_j, True)
+    d_loc = d_loc.at[..., ri, :].add(gi)
+    d_loc = d_loc.at[..., rj, :].add(gj)
+    return d_loc
+
+
 # ---------------------------------------------------------------------------
 # shard-local checkerboard fold with ppermute halos
 # ---------------------------------------------------------------------------
+
+def _group_coeffs(plan: ShardPlan, g: int, cosh_b, sinh_b, dtype):
+    """Per-local-site (c, s) tables of group ``g``: [B, 1] for per-bond
+    scalars (Holstein), [B, Lτ] for per-(bond,τ) coefficients (SSH)."""
+    d = lax.axis_index(plan.axis)
+    bos = jnp.take(jnp.asarray(plan.bond_of_site[g]), d, axis=0)       # [B]
+    m = jnp.take(jnp.asarray(plan.mask[g]), d, axis=0)[:, None]
+    c = jnp.asarray(cosh_b)[bos]
+    s = jnp.asarray(sinh_b)[bos]
+    if c.ndim == 1:
+        c = c[:, None]
+        s = s[:, None]
+    c = jnp.where(m, c, jnp.ones((), c.dtype))
+    s = jnp.where(m, s, jnp.zeros((), s.dtype))
+    return c, s
+
+
+def _extend_group(plan: ShardPlan, g: int, v_loc):
+    """``[local B | prev halo | next halo]`` extended block for group ``g``
+    (one ppermute per boundary-crossing direction)."""
+    d = lax.axis_index(plan.axis)
+    D = plan.D
+    parts = [v_loc]
+    if plan.hp[g] > 0:
+        rows = jnp.take(jnp.asarray(plan.send_next[g]), d, axis=0)
+        parts.append(lax.ppermute(jnp.take(v_loc, rows, axis=-2), plan.axis,
+                                  [(i, (i + 1) % D) for i in range(D)]))
+    if plan.hn[g] > 0:
+        rows = jnp.take(jnp.asarray(plan.send_prev[g]), d, axis=0)
+        parts.append(lax.ppermute(jnp.take(v_loc, rows, axis=-2), plan.axis,
+                                  [(i, (i - 1) % D) for i in range(D)]))
+    return jnp.concatenate(parts, axis=-2) if len(parts) > 1 else v_loc
+
 
 def _fold_local(plan: ShardPlan, cosh_b, sinh_b, v_loc, group_order, sign):
     """One checkerboard fold on the local ``[..., B, K]`` block; halo rows
     are fetched per boundary-crossing group with a single ppermute each."""
     d = lax.axis_index(plan.axis)
-    D = plan.D
-    fwd = [(i, (i + 1) % D) for i in range(D)]
-    bwd = [(i, (i - 1) % D) for i in range(D)]
-    cosh_b = jnp.asarray(cosh_b)
-    sinh_b = jnp.asarray(sinh_b)
-
     for g in group_order:
-        bos = jnp.take(jnp.asarray(plan.bond_of_site[g]), d, axis=0)   # [B]
-        m = jnp.take(jnp.asarray(plan.mask[g]), d, axis=0)[:, None]
-        c = cosh_b[bos]
-        s = sinh_b[bos]
-        if c.ndim == 1:
-            c = c[:, None]
-            s = s[:, None]
-        c = jnp.where(m, c, jnp.ones((), c.dtype))
-        s = jnp.where(m, s, jnp.zeros((), s.dtype))
+        c, s = _group_coeffs(plan, g, cosh_b, sinh_b, v_loc.dtype)
         if sign < 0:
             s = -s
-
-        parts = [v_loc]
-        if plan.hp[g] > 0:
-            rows = jnp.take(jnp.asarray(plan.send_next[g]), d, axis=0)
-            halo_prev = lax.ppermute(jnp.take(v_loc, rows, axis=-2),
-                                     plan.axis, fwd)
-            parts.append(halo_prev)
-        if plan.hn[g] > 0:
-            rows = jnp.take(jnp.asarray(plan.send_prev[g]), d, axis=0)
-            halo_next = lax.ppermute(jnp.take(v_loc, rows, axis=-2),
-                                     plan.axis, bwd)
-            parts.append(halo_next)
-        ext = jnp.concatenate(parts, axis=-2) if len(parts) > 1 else v_loc
+        ext = _extend_group(plan, g, v_loc)
         pl = jnp.take(jnp.asarray(plan.partner_local[g]), d, axis=0)   # [B]
         vp = jnp.take(ext, pl, axis=-2)
         v_loc = c * v_loc + s * vp
@@ -309,18 +505,21 @@ def make_sharded_holstein_solver(model_spec, plan: ShardPlan, mesh: Mesh):
 # unaffected); wij phonon dispersion is rejected at build time.
 # ---------------------------------------------------------------------------
 
-def _kpm_local(plan: ShardPlan, params, kcfg, Ltau, N, dtype, axis):
+def _kpm_local(plan: ShardPlan, kcfg, Ltau, N, dtype, axis, ops_of):
     """Sharded symmetric KPM preconditioner (ops/kpm.py math on local blocks).
 
     The τ↔ω transform is shard-local (τ on-chip); the Chebyshev recurrence's
     Ā applications use the halo fold; power-iteration norms psum over the
-    site axis. Returns ``(setup, make_apply)``: ``setup(env_loc, key)`` runs
-    once per sampler update (bounds + coefficients), ``make_apply(state,
-    env_loc)`` binds the per-solve averaged-operator refresh.
+    site axis. ``ops_of(env_loc)`` builds the local averaged-operator
+    triple ``(mulA, mulA_T, mulA_inv)`` for the current derived state
+    (model-specific — Holstein folds the constant hopping, SSH the τ-mean of
+    the time-dependent coefficients). Returns ``(setup, make_apply)``:
+    ``setup(env_loc, key)`` runs once per sampler update (bounds +
+    coefficients), ``make_apply(state, env_loc)`` binds the per-solve
+    averaged-operator refresh.
     """
     from elphdynamics_tpu.ops.timefreqfft import omega_to_tau, tau_to_omega
 
-    cosht, sinht = params.cosht, params.sinht
     Lw = (Ltau + 1) // 2
     M = kcfg.max_order
     phis = jnp.asarray(2.0 * np.pi / Ltau * (np.arange(Lw) + 0.5), dtype)
@@ -330,22 +529,6 @@ def _kpm_local(plan: ShardPlan, params, kcfg, Ltau, N, dtype, axis):
     cosmat = jnp.asarray(np.cos(np.outer(np.arange(M), theta_n)), dtype)
     scale = jnp.asarray(np.where(np.arange(M) == 0, 1.0, 2.0), dtype)[:, None] / NM
     B = plan.B
-
-    def ops_of(env_loc):
-        expnV_bar = jnp.mean(env_loc, axis=-1)
-
-        def mulA(v):
-            return ckb_mul_local(plan, cosht, sinht, expnV_bar[:, None] * v)
-
-        def mulA_T(v):
-            return expnV_bar[:, None] * ckb_transpose_mul_local(
-                plan, cosht, sinht, v)
-
-        def mulA_inv(v):
-            return ckb_inverse_mul_local(plan, cosht, sinht, v) \
-                / expnV_bar[:, None]
-
-        return mulA, mulA_T, mulA_inv
 
     def setup(env_loc, key):
         mulA, _, mulA_inv = ops_of(env_loc)
@@ -436,8 +619,8 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
     the trajectory start, averaged-operator refresh per solve — the same
     buffered-skip cadence as the unsharded path.
     """
-    if model_spec.wij_table.shape[1] > 0:
-        raise NotImplementedError("wij dispersion not supported sharded")
+    wplan = build_wij_plan(model_spec.wij_table, model_spec.Nsites, plan.D)
+    wij_sign = model_spec.wij_sign
     Ltau = model_spec.Ltau
     N = model_spec.Nsites
     dtau = model_spec.dtau
@@ -506,17 +689,43 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
         def calc_Sb(x):
             dx = x - jnp.roll(x, 1, axis=-1)
             sb = om ** 2 * x * x / 2 + om4 * x ** 4 + dx * dx / (2 * dtau ** 2)
-            return dtau * psum(jnp.sum(fdot(sb, jnp.ones_like(sb), axis=(0, 1))))
+            total = jnp.sum(fdot(sb, jnp.ones_like(sb), axis=(0, 1)))
+            if wplan is not None:
+                total = total + wij_sb_local(
+                    wplan, plan.axis, params.wij, wij_sign, 1.0, x)
+            return dtau * psum(total)
 
         def calc_dSbdx(x):
             lap = jnp.roll(x, 1, axis=-1) + jnp.roll(x, -1, axis=-1) - 2.0 * x
-            return dtau * (om ** 2 * x + 4.0 * om4 * x ** 3) - lap / dtau
+            g = dtau * (om ** 2 * x + 4.0 * om4 * x ** 3) - lap / dtau
+            if wplan is not None:
+                g = wij_dsb_local(wplan, plan.axis, params.wij, wij_sign,
+                                  dtau, x, g)
+            return g
 
         # --- sharded symmetric KPM preconditioner (optional): full spectral
         # setup once per update, averaged-operator refresh per solve
         if kpm_cfg is not None:
+            def _kpm_ops_of(env_loc):
+                expnV_bar = jnp.mean(env_loc, axis=-1)
+
+                def mulA(v):
+                    return ckb_mul_local(plan, params.cosht, params.sinht,
+                                         expnV_bar[:, None] * v)
+
+                def mulA_T(v):
+                    return expnV_bar[:, None] * ckb_transpose_mul_local(
+                        plan, params.cosht, params.sinht, v)
+
+                def mulA_inv(v):
+                    return ckb_inverse_mul_local(
+                        plan, params.cosht, params.sinht, v) \
+                        / expnV_bar[:, None]
+
+                return mulA, mulA_T, mulA_inv
+
             kpm_setup, kpm_make_apply = _kpm_local(
-                plan, params, kpm_cfg, Ltau, N, x_loc.dtype, plan.axis)
+                plan, kpm_cfg, Ltau, N, x_loc.dtype, plan.axis, _kpm_ops_of)
         else:
             kpm_setup = kpm_make_apply = None
 
@@ -672,6 +881,395 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
         in_specs=(P(), P(plan.axis, None), P(plan.axis, None), P()),
         out_specs=(P(plan.axis, None), P(plan.axis, None), P(), P(), P(),
                    P(), P()),
+        check_vma=False,
+    )
+
+    def step(params, x, v, key):
+        x_new, v_new, accept, iters, dH, flag, key = sharded(params, x, v, key)
+        return x_new, v_new, {"accepted": accept, "iters": iters,
+                              "delta_H": dH, "flag": flag}, key
+
+    return jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# SSH under site sharding. The electron vectors (φ, z, CG workspace — the
+# memory- and FLOP-dominant state) are partitioned P('site', None); the
+# phonon field x lives on BONDS and is kept replicated: every shard runs the
+# identical leapfrog on it, with the fermionic force psum-assembled from
+# per-shard bond contributions. Cross-shard traffic = the checkerboard halo
+# ppermutes + one [Nph, Lτ] force psum per force evaluation + scalar psums.
+# Fold-mode only (the dense per-τ path would shard as a pjit matmul).
+# ---------------------------------------------------------------------------
+
+def _ssh_group_phonons(model_spec, plan: ShardPlan):
+    """Per (group, shard) phonon tables for the sharded SSH ``muldMdx``:
+    ``ph_of_site[g][d, s]`` = phonon index of the bond at local site s in
+    group g (0 when masked), ``ph_mask[g][d, s]`` = site has a
+    phonon-carrying bond in g."""
+    ckb = model_spec.ckb
+    D, B = plan.D, plan.B
+    ph_of_site, ph_mask = [], []
+    for g in range(ckb.ngroups):
+        bond_ckb = ckb.bond_of_site[g]              # [N] ckb bond index
+        orig = model_spec.ckb_to_bond[bond_ckb]     # original bond order
+        ph = model_spec.bond_to_phonon[orig]        # [-1 if no phonon]
+        valid = ckb.mask[g] & (ph >= 0)
+        ph_of_site.append(np.maximum(ph, 0).reshape(D, B).copy())
+        ph_mask.append(valid.reshape(D, B).copy())
+    return tuple(ph_of_site), tuple(ph_mask)
+
+
+def _ssh_local_ops(model_spec, plan: ShardPlan, params):
+    """Shard-local SSH fermion-matrix applies (SSHModels.jl:581-701 with the
+    fold replaced by the halo fold). ``coeffs`` = (cosh, sinh) [Nbonds, Lτ]
+    derived from the replicated phonon field; vectors are local blocks."""
+    Ltau = model_spec.Ltau
+    B = plan.B
+
+    def expmu_loc(dtype):
+        d = lax.axis_index(plan.axis)
+        return jnp.exp(model_spec.dtau
+                       * lax.dynamic_slice_in_dim(params.mu, d * B, B)
+                       ).astype(dtype)[:, None]
+
+    def mulM(coeffs, v):
+        cosh_b, sinh_b = coeffs[0], coeffs[1]
+        sgn_first = (-jnp.ones(Ltau, v.dtype)).at[0].set(1.0)
+        y = expmu_loc(v.dtype) * jnp.roll(v, 1, axis=-1)
+        y = ckb_mul_local(plan, cosh_b, sinh_b, y)
+        return v + sgn_first * y
+
+    def mulMT(coeffs, v):
+        cosh_b, sinh_b = coeffs[0], coeffs[1]
+        sgn_last = (-jnp.ones(Ltau, v.dtype)).at[-1].set(1.0)
+        z = ckb_transpose_mul_local(plan, cosh_b, sinh_b, v)
+        w = expmu_loc(v.dtype) * z
+        return v + sgn_last * jnp.roll(w, -1, axis=-1)
+
+    return mulM, mulMT, expmu_loc
+
+
+def make_sharded_ssh_solver(model_spec, plan: ShardPlan, mesh: Mesh):
+    """``solve(params, coeffs, b) -> (x, iters)`` for MᵀM·x = Mᵀ·b with the
+    electron site axis sharded; ``coeffs`` (the [Nbonds, Lτ] cosh/sinh from
+    :func:`elphdynamics_tpu.models.ssh.ckb_coeffs`) enter replicated."""
+
+    def solve_local(params, cosh_b, sinh_b, b_loc, tol, maxiter):
+        mulM, mulMT, _ = _ssh_local_ops(model_spec, plan, params)
+        coeffs = (cosh_b, sinh_b)
+
+        def pdot(a, b):
+            return lax.psum(jnp.sum(a * b), plan.axis)
+
+        def A(v):
+            return mulMT(coeffs, mulM(coeffs, v))
+
+        rhs = mulMT(coeffs, b_loc)
+        normb = jnp.sqrt(pdot(rhs, rhs))
+        safe = jnp.where(normb > 0, normb, 1.0)
+        r = rhs
+        p = r
+        rdot = pdot(r, r)
+
+        def cond(st):
+            j, x, r, p, rdot, done = st
+            return (j < maxiter) & ~done
+
+        def body(st):
+            j, x, r, p, rdot, done = st
+            Ap = A(p)
+            alpha = rdot / pdot(p, Ap)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            rdot_new = pdot(r, r)
+            done = jnp.sqrt(rdot_new) / safe < tol
+            p = r + (rdot_new / rdot) * p
+            return (j + 1, x, r, p, rdot_new, done)
+
+        j, x, *_ = lax.while_loop(
+            cond, body,
+            (jnp.asarray(0), jnp.zeros_like(rhs), r, p, rdot,
+             jnp.asarray(False)))
+        return x, j
+
+    def solve(params, coeffs, b, tol=1e-5, maxiter=1000):
+        fn = jax.shard_map(
+            partial(solve_local, tol=tol, maxiter=maxiter),
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(plan.axis, None)),
+            out_specs=(P(plan.axis, None), P()),
+        )
+        return fn(params, coeffs[0], coeffs[1], b)
+
+    def _wrap_mul(which):
+        def f(params, cosh_b, sinh_b, v_loc):
+            mulM, mulMT, _ = _ssh_local_ops(model_spec, plan, params)
+            return (mulM if which == "M" else mulMT)((cosh_b, sinh_b), v_loc)
+
+        def apply(params, coeffs, v):
+            return jax.shard_map(
+                f, mesh=mesh,
+                in_specs=(P(), P(), P(), P(plan.axis, None)),
+                out_specs=P(plan.axis, None))(params, coeffs[0], coeffs[1], v)
+
+        return apply
+
+    return solve, _wrap_mul("M"), _wrap_mul("MT")
+
+
+def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
+                              mass_table, cfg, kpm_cfg=None):
+    """Sharded SSH HMC update ``(params, x, v, key) -> (x', v', stats, key)``.
+
+    The [Nph, Lτ] bond-phonon field (and momenta) stay replicated — every
+    shard integrates the identical trajectory; the fermionic force is
+    psum-assembled from shard-local bond contributions via the group-fold
+    ``muldMdx`` walk (SSHModels.jl:707-829) with halo-extended partial
+    products. Noise follows the exact key-split order of
+    :func:`elphdynamics_tpu.dynamics.hmc.make_hmc_step` for parity testing.
+    ``kpm_cfg`` enables the sharded symmetric KPM preconditioner on the
+    τ-averaged hopping (setup once per update, refresh per solve).
+    """
+    from elphdynamics_tpu.models import ssh as S
+    from elphdynamics_tpu.ops.fourier_accel import accelerate
+    from elphdynamics_tpu.utils.dtypes import fdot
+
+    Ltau = model_spec.Ltau
+    N = model_spec.Nsites
+    Nph = model_spec.Nph
+    dtau = model_spec.dtau
+    B = plan.B
+    Nt = cfg.Nt
+    mass_full = jnp.asarray(mass_table)
+    prim = jnp.asarray(model_spec.primary_phonon)
+    prim_mask_np = (model_spec.primary_phonon
+                    == np.arange(model_spec.Nph))
+    ph_of_site, ph_mask = _ssh_group_phonons(model_spec, plan)
+
+    def step_local(params, x, v, key):
+        d = lax.axis_index(plan.axis)
+        mulM, mulMT, expmu_loc = _ssh_local_ops(model_spec, plan, params)
+
+        def psum(s):
+            return lax.psum(s, plan.axis)
+
+        def pdot(a, b, axes=None):
+            return psum(jnp.sum(fdot(a, b, axis=axes or tuple(range(a.ndim)))))
+
+        def coeffs_of(x):
+            tp = S.hopping_t_prime(model_spec, params, x)
+            tp_ckb = jnp.take(tp, jnp.asarray(model_spec.ckb_to_bond), axis=-2)
+            arg = dtau * tp_ckb
+            return (jnp.cosh(arg), jnp.sinh(arg))
+
+        def tie(a):
+            return jnp.take(a, prim, axis=-2)
+
+        def muldmdx_partial(coeffs, x_full, u_loc, v_loc):
+            """Shard-local slice of uᵀ(∂M/∂x)v scattered onto the FULL
+            [.., Nph, Lτ] array (pre-psum). Walks the checkerboard groups
+            carrying b ← G_g b and c ← G_g⁻¹ c; within a group the partner's
+            updated value is locally reconstructible (the 2×2 bond rotation
+            is shared), so no second halo fetch is needed."""
+            cosh_b, sinh_b = coeffs
+            b = expmu_loc(v_loc.dtype) * jnp.roll(v_loc, 1, axis=-1)
+            c = ckb_transpose_mul_local(plan, cosh_b, sinh_b, u_loc)
+            # ∂(Δτ·t')/∂x = −Δτ(α + 2α₂x) up to the fold's sign convention —
+            # the reference's expression verbatim (SSHModels.jl:809)
+            dKdx_full = (params.alpha[:, None]
+                         + 2.0 * params.alpha2[:, None] * x_full)
+            sgn = jnp.ones(Ltau, x_full.dtype).at[0].set(-1.0)  # −sgn_first
+            batch = jnp.broadcast_shapes(u_loc.shape[:-2], v_loc.shape[:-2])
+            out = jnp.zeros(batch + (Nph, Ltau), dtype=x_full.dtype)
+            for g in range(plan.ngroups):
+                cg, sg = _group_coeffs(plan, g, cosh_b, sinh_b, b.dtype)
+                ext_b = _extend_group(plan, g, b)
+                ext_c = _extend_group(plan, g, c)
+                pl = jnp.take(jnp.asarray(plan.partner_local[g]), d, axis=0)
+                bp = jnp.take(ext_b, pl, axis=-2)
+                cp_old = jnp.take(ext_c, pl, axis=-2)
+                b_new = cg * b + sg * bp
+                cp_new = cg * cp_old - sg * c   # partner's updated c
+                c = cg * c - sg * cp_old
+                b = b_new
+                ph = jnp.take(jnp.asarray(ph_of_site[g]), d, axis=0)   # [B]
+                pm = jnp.take(jnp.asarray(ph_mask[g]), d, axis=0)[:, None]
+                dk = jnp.take(dKdx_full, ph, axis=-2)                  # [B, Lτ]
+                term = sgn * dtau * dk * cp_new * b
+                out = out.at[..., ph, :].add(jnp.where(pm, term, 0.0))
+            return out
+
+        # --- bosonic action/grad: primary fields only, replicated x
+        def calc_Sb(x):
+            return S.calc_Sb(model_spec, params, x, False)
+
+        def calc_dSbdx(x):
+            return S.calc_dSbdx(model_spec, params, x, False)
+
+        # --- sharded symmetric KPM on the τ-averaged hopping (optional)
+        if kpm_cfg is not None:
+            def _kpm_ops_of(env):
+                cosh_b, sinh_b = env
+                cosh_bar = jnp.mean(cosh_b, axis=-1)
+                sinh_bar = jnp.mean(sinh_b, axis=-1)
+                ex = expmu_loc(cosh_b.dtype)
+
+                def mulA(v):
+                    return ckb_mul_local(plan, cosh_bar, sinh_bar, ex * v)
+
+                def mulA_T(v):
+                    return ex * ckb_transpose_mul_local(
+                        plan, cosh_bar, sinh_bar, v)
+
+                def mulA_inv(v):
+                    return ckb_inverse_mul_local(
+                        plan, cosh_bar, sinh_bar, v) / ex
+
+                return mulA, mulA_T, mulA_inv
+
+            kpm_setup, kpm_make_apply = _kpm_local(
+                plan, kpm_cfg, Ltau, N, x.dtype, plan.axis, _kpm_ops_of)
+        else:
+            kpm_setup = kpm_make_apply = None
+
+        def solve_O(coeffs, rhs, tol, kst=None):
+            def A(v):
+                return mulMT(coeffs, mulM(coeffs, v))
+
+            P_apply = (kpm_make_apply(kst, coeffs) if kst is not None
+                       else (lambda v: v))
+            normb = jnp.sqrt(pdot(rhs, rhs))
+            safe = jnp.where(normb > 0, normb, 1.0)
+            r = rhs - 0.0
+            z = P_apply(r)
+            p = z
+            rdotz = pdot(r, z)
+
+            def cond(st):
+                j, xs, r, p, rdotz, done = st
+                return (j < cfg.maxiter) & ~done
+
+            def body(st):
+                j, xs, r, p, rdotz, done = st
+                Ap = A(p)
+                alpha = (rdotz / pdot(p, Ap)).astype(xs.dtype)
+                xs = xs + alpha * p
+                r = r - alpha * Ap
+                done = jnp.sqrt(pdot(r, r)) / safe < tol
+                z = P_apply(r)
+                rdotz_new = pdot(r, z)
+                p = z + (rdotz_new / rdotz).astype(xs.dtype) * p
+                return (j + 1, xs, r, p, rdotz_new, done)
+
+            j, xs, r, p, rdotz, done = lax.while_loop(
+                cond, body,
+                (jnp.asarray(0), jnp.zeros_like(rhs), r, p, rdotz,
+                 jnp.asarray(False)))
+            err = jnp.sqrt(pdot(A(xs) - rhs, A(xs) - rhs)) / safe
+            flag = jnp.where(err > jnp.sqrt(tol), 1, 0)
+            return xs, j, flag
+
+        # --- noise in the unsharded step's exact key-split order
+        key, k_v, k_p, k_acc = jax.random.split(key, 4)
+        R = tie(jax.random.normal(k_v, (Nph, Ltau), dtype=x.dtype))
+        v0 = cfg.alpha * v + jnp.sqrt(1.0 - cfg.alpha ** 2) \
+            * accelerate(mass_full, R, -0.5)
+        Rpm_full = jax.random.normal(k_p, (2, N, Ltau), dtype=x.dtype)
+        Rpm = lax.dynamic_slice_in_dim(Rpm_full, d * B, B, axis=1)
+
+        coeffs0 = coeffs_of(x)
+        phi = mulMT(coeffs0, Rpm)            # [2, B, Lτ] — no Λ for SSH
+
+        kst = (kpm_setup(coeffs0, jax.random.PRNGKey(1234))
+               if kpm_cfg is not None else None)
+
+        tol1, tol2 = cfg.tol, cfg.tol ** 2
+
+        def S_of(x, coeffs, tol):
+            z, it, flag = solve_O(coeffs, phi, tol, kst)
+            Sf = pdot(phi, z) / 2
+            return z, Sf + calc_Sb(x), it, flag
+
+        prim_mask = jnp.asarray(prim_mask_np, x.dtype)[:, None]
+
+        def calc_K(v):
+            mv = accelerate(mass_full, v, 1.0)
+            return fdot(prim_mask * v, mv, axis=(-2, -1)) / 2
+
+        z0, S0, it0, flag0 = S_of(x, coeffs0, tol2)
+        H0 = S0 + calc_K(v0)
+
+        def forces(x_full, coeffs, z_loc):
+            Mz = mulM(coeffs, z_loc)
+            part = muldmdx_partial(coeffs, x_full, Mz, z_loc)
+            dSf = -psum(jnp.sum(part, axis=0))
+            tied = jnp.zeros_like(dSf).at[prim].add(dSf)
+            dSf = jnp.take(tied, prim, axis=-2)
+            if cfg.Nb == 1:
+                return dSf + calc_dSbdx(x_full)
+            return dSf
+
+        def qf(g):
+            return accelerate(mass_full, g, -1.0)
+
+        Qd0 = qf(forces(x, coeffs0, z0))
+
+        def boson_substeps(x, v):
+            QdSb = qf(calc_dSbdx(x))
+
+            def sub(carry, _):
+                x, v, QdSb = carry
+                v = v - cfg.dt_b / 2 * QdSb
+                x = x + cfg.dt_b * v
+                QdSb2 = qf(calc_dSbdx(x))
+                v = v - cfg.dt_b / 2 * QdSb2
+                return (x, v, QdSb2), None
+
+            (x, v, _), _ = lax.scan(sub, (x, v, QdSb), None, length=cfg.Nb)
+            return x, v
+
+        def body(carry, _):
+            x, v, Qd, iters, flag = carry
+            ok = flag == 0
+            v1 = v - cfg.dt / 2 * Qd
+            if cfg.Nb == 1:
+                x1 = x + cfg.dt * v1
+            else:
+                x1, v1 = boson_substeps(x, v1)
+            coeffs1 = coeffs_of(x1)
+            z1, it1, fl1 = solve_O(coeffs1, phi, tol1, kst)
+            Qd1 = qf(forces(x1, coeffs1, z1))
+            v1 = v1 - cfg.dt / 2 * Qd1
+            x = jnp.where(ok, x1, x)
+            v = jnp.where(ok, v1, v)
+            Qd = jnp.where(ok, Qd1, Qd)
+            iters = iters + jnp.where(ok, it1, 0)
+            flag = jnp.maximum(flag, jnp.where(ok, fl1, 0))
+            return (x, v, Qd, iters, flag), None
+
+        (x1, v1, _, iters, flag), _ = lax.scan(
+            body, (x, v0, Qd0, it0, flag0), None, length=Nt)
+
+        coeffs1 = coeffs_of(x1)
+        z1, S1, it2, fl2 = S_of(x1, coeffs1, tol2)
+        iters = iters + it2
+        flag = jnp.maximum(flag, fl2)
+        H1 = S1 + calc_K(v1)
+        dH = H1 - H0
+        Pacc = jnp.minimum(1.0, jnp.exp(-dH))
+        u = jax.random.uniform(k_acc, Pacc.shape, dtype=Pacc.dtype)
+        accept = (u < Pacc) & (flag == 0)
+        x_new = jnp.where(accept, x1, x)
+        v_new = jnp.where(accept, v1, -v0)
+        mean_iters = (iters + Nt + 1) // (Nt + 2)
+        return (x_new, v_new, accept, mean_iters.astype(jnp.int32), dH,
+                flag, key)
+
+    sharded = jax.shard_map(
+        step_local, mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P(), P(), P()),
         check_vma=False,
     )
 

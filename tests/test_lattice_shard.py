@@ -165,6 +165,50 @@ def test_sharded_hmc_with_kpm_matches_unsharded():
     assert abs(int(stats["iters"]) - int(ref_stats.iters)) <= 2
 
 
+def test_sharded_hmc_with_wij_matches_unsharded():
+    """ωᵢⱼ phonon dispersion under site sharding: the pair terms are
+    evaluated from each owner side with ppermute-fetched partner rows
+    (build_wij_plan); trajectory and ΔH must match the unsharded step,
+    including boundary-crossing pairs (dL=(0,1)) and sign=-1 pairs."""
+    from elphdynamics_tpu.dynamics.hmc import HMCConfig, HMCState, make_hmc_step
+    from elphdynamics_tpu.ops.fourier_accel import build_mass
+    from elphdynamics_tpu.parallel.lattice_shard import make_sharded_hmc_step
+
+    D = 4
+    assert jax.device_count() >= D
+    uc = UnitCell.create(2, 1, [[1.0, 0.0], [0.0, 1.0]], [[0.0, 0.0]])
+    lat = Lattice.create(uc, 8)
+    spec, params = H.build_holstein(
+        lat, beta=1.0, dtau=0.1,
+        t_assignments=[(1.0, 0.0, 0, 0, (1, 0, 0)), (1.0, 0.0, 0, 0, (0, 1, 0))],
+        omega=1.0, lam=0.7, mu=0.0, dense_threshold=0,
+        wij_assignments=[(0.3, 0.0, 1, 0, 0, (0, 1, 0)),    # crosses shards
+                         (0.2, 0.0, -1, 0, 0, (1, 0, 0))])  # shard-local
+    assert spec.wij_table.shape[1] > 0
+    ops = make_model_ops(spec)
+    plan = build_shard_plan(spec.ckb, D)
+    mesh = site_mesh(D)
+    mass = build_mass(np.asarray(params.omega), spec.dtau, spec.Ltau,
+                      [dict(omega_min=0.0, omega_max=10.0, mass=0.5)])
+    cfg = HMCConfig(dt=0.1, trajectory_time=0.4, Nb=1, tol=1e-10, maxiter=3000)
+
+    ref_step = jax.jit(make_hmc_step(ops, mass, cfg, precond=None))
+    sh_step = make_sharded_hmc_step(spec, plan, mesh, mass, cfg)
+
+    key = jax.random.PRNGKey(21)
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(8), (spec.Nph, spec.Ltau))
+    v = 0.1 * jax.random.normal(jax.random.PRNGKey(9), (spec.Nph, spec.Ltau))
+
+    ref_state, ref_stats, _ = ref_step(params, HMCState(x=x, v=v), key)
+    xs, vs, stats, _ = sh_step(params, x, v, key)
+
+    assert bool(stats["accepted"]) == bool(ref_stats.accepted)
+    assert abs(float(stats["delta_H"]) - float(ref_stats.delta_H)) < 1e-6, (
+        float(stats["delta_H"]), float(ref_stats.delta_H))
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(ref_state.x),
+                               rtol=1e-6, atol=1e-8)
+
+
 def test_site_sharded_driver_matches_unsharded(tmp_path):
     """`--site-devices`: the production driver with ONE chain's lattice
     sharded over the mesh reproduces the single-device run's measurement
@@ -201,3 +245,139 @@ def test_site_sharded_driver_matches_unsharded(tmp_path):
         g8 = {l.split()[0]: float(l.split()[1]) for l in open(f8)}
         for k in g1:
             assert abs(g1[k] - g8[k]) < 1e-5, (b, k, g1[k], g8[k])
+
+
+# ---------------------------------------------------------------------------
+# SSH under site sharding (make_sharded_ssh_solver / make_sharded_ssh_hmc_step)
+# ---------------------------------------------------------------------------
+
+def _build_ssh_2d(L=8, Ltau=10):
+    from elphdynamics_tpu.models import ssh as S
+
+    uc = UnitCell.create(2, 1, [[1.0, 0.0], [0.0, 1.0]], [[0.0, 0.0]])
+    lat = Lattice.create(uc, L)
+    spec, params = S.build_ssh(
+        lat, beta=Ltau * 0.1, dtau=0.1,
+        hoppings=[dict(t=1.0, omega=1.0, alpha=0.4, alpha2=0.0,
+                       o1=0, o2=0, dL=(1, 0, 0), name="phx"),
+                  dict(t=1.0, omega=1.2, alpha=0.3, alpha2=0.1,
+                       o1=0, o2=0, dL=(0, 1, 0), name="phy")],
+        mu_assignments=[(-0.2, 0.0, None)],
+        rng=np.random.default_rng(3),
+    )
+    return spec, params
+
+
+def test_sharded_ssh_matvecs_and_cg():
+    """SSH fermion-matrix applies with the time-dependent halo fold, and the
+    psum-CG on MᵀM, against the unsharded SSH operators."""
+    from elphdynamics_tpu.models import ssh as S
+    from elphdynamics_tpu.parallel.lattice_shard import make_sharded_ssh_solver
+
+    D = 4
+    assert jax.device_count() >= D
+    spec, params = _build_ssh_2d()
+    plan = build_shard_plan(spec.ckb, D)
+    mesh = site_mesh(D)
+    solve, mulM_s, mulMT_s = make_sharded_ssh_solver(spec, plan, mesh)
+
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (spec.Nph, spec.Ltau))
+    x = S.tie_fields(spec, x)
+    coeffs = S.ckb_coeffs(spec, params, x)
+    co = (coeffs[0], coeffs[1])
+    v = jax.random.normal(jax.random.PRNGKey(2), (spec.Nsites, spec.Ltau))
+
+    ref_M = np.asarray(S.mulM(spec, params, coeffs, v))
+    ref_MT = np.asarray(S.mulMT(spec, params, coeffs, v))
+    np.testing.assert_allclose(np.asarray(mulM_s(params, co, v)), ref_M,
+                               atol=1e-11)
+    np.testing.assert_allclose(np.asarray(mulMT_s(params, co, v)), ref_MT,
+                               atol=1e-11)
+
+    sol, iters = jax.jit(lambda p, c, b: solve(p, c, b, tol=1e-9,
+                                               maxiter=3000))(params, co, v)
+    rhs = S.mulMT(spec, params, coeffs, v)
+    r = S.mulMTM(spec, params, coeffs, sol) - rhs
+    rel = float(jnp.linalg.norm(r) / jnp.linalg.norm(rhs))
+    assert rel < 1e-8, (rel, int(iters))
+    assert len(sol.sharding.device_set) == D
+
+
+def test_sharded_ssh_hmc_matches_unsharded():
+    """FULL sharded SSH HMC (group-fold muldMdx with halo-extended partial
+    products, psum force assembly, primary-field tying) reproduces the
+    unsharded make_hmc_step trajectory with the same key."""
+    from elphdynamics_tpu.dynamics.hmc import HMCConfig, HMCState, make_hmc_step
+    from elphdynamics_tpu.models import ssh as S
+    from elphdynamics_tpu.ops.fourier_accel import build_mass
+    from elphdynamics_tpu.parallel.lattice_shard import make_sharded_ssh_hmc_step
+
+    D = 4
+    assert jax.device_count() >= D
+    spec, params = _build_ssh_2d(L=8, Ltau=8)
+    ops = make_model_ops(spec)
+    plan = build_shard_plan(spec.ckb, D)
+    mesh = site_mesh(D)
+    mass = build_mass(np.asarray(params.omega), spec.dtau, spec.Ltau,
+                      [dict(omega_min=0.0, omega_max=10.0, mass=0.5)])
+    cfg = HMCConfig(dt=0.1, trajectory_time=0.3, Nb=1, tol=1e-10, maxiter=3000)
+
+    ref_step = jax.jit(make_hmc_step(ops, mass, cfg, precond=None))
+    sh_step = make_sharded_ssh_hmc_step(spec, plan, mesh, mass, cfg)
+
+    key = jax.random.PRNGKey(31)
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(12), (spec.Nph, spec.Ltau))
+    x = S.tie_fields(spec, x)
+    v = 0.1 * jax.random.normal(jax.random.PRNGKey(13), (spec.Nph, spec.Ltau))
+    v = S.tie_fields(spec, v)
+
+    ref_state, ref_stats, _ = ref_step(params, HMCState(x=x, v=v), key)
+    xs, vs, stats, _ = sh_step(params, x, v, key)
+
+    assert bool(stats["accepted"]) == bool(ref_stats.accepted)
+    assert abs(float(stats["delta_H"]) - float(ref_stats.delta_H)) < 1e-6, (
+        float(stats["delta_H"]), float(ref_stats.delta_H))
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(ref_state.x),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_sharded_ssh_hmc_with_kpm_matches_unsharded():
+    """Sharded SSH HMC with the sharded symmetric KPM on the τ-averaged
+    hopping: trajectory and iteration counts track the unsharded
+    KPM-preconditioned step."""
+    from elphdynamics_tpu.dynamics.hmc import HMCConfig, HMCState, make_hmc_step
+    from elphdynamics_tpu.models import ssh as S
+    from elphdynamics_tpu.ops import kpm
+    from elphdynamics_tpu.ops.fourier_accel import build_mass
+    from elphdynamics_tpu.parallel.lattice_shard import make_sharded_ssh_hmc_step
+
+    D = 4
+    assert jax.device_count() >= D
+    spec, params = _build_ssh_2d(L=8, Ltau=8)
+    ops = make_model_ops(spec)
+    plan = build_shard_plan(spec.ckb, D)
+    mesh = site_mesh(D)
+    mass = build_mass(np.asarray(params.omega), spec.dtau, spec.Ltau,
+                      [dict(omega_min=0.0, omega_max=10.0, mass=0.5)])
+    cfg = HMCConfig(dt=0.1, trajectory_time=0.2, Nb=1, tol=1e-9, maxiter=2000)
+    kcfg = kpm.KPMConfig(max_order=16)
+
+    ref_step = jax.jit(make_hmc_step(
+        ops, mass, cfg, kpm.make_symmetric_precond(ops, kcfg)))
+    sh_step = make_sharded_ssh_hmc_step(spec, plan, mesh, mass, cfg,
+                                        kpm_cfg=kcfg)
+
+    key = jax.random.PRNGKey(41)
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(14), (spec.Nph, spec.Ltau))
+    x = S.tie_fields(spec, x)
+    v = 0.1 * jax.random.normal(jax.random.PRNGKey(15), (spec.Nph, spec.Ltau))
+    v = S.tie_fields(spec, v)
+
+    ref_state, ref_stats, _ = ref_step(params, HMCState(x=x, v=v), key)
+    xs, vs, stats, _ = sh_step(params, x, v, key)
+
+    assert bool(stats["accepted"]) == bool(ref_stats.accepted)
+    assert abs(float(stats["delta_H"]) - float(ref_stats.delta_H)) < 1e-5
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(ref_state.x),
+                               rtol=1e-5, atol=1e-7)
+    assert int(stats["iters"]) < 60, int(stats["iters"])
