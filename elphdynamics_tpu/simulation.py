@@ -162,17 +162,22 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
         # spatial lattice sharding: the single chain's [N, Lτ] field lives
         # partitioned over the site mesh; measurements/special updates run
         # on the (automatically gathered) global field
-        if setup.dynamics_type != "hmc" or not ops.is_holstein:
+        if setup.dynamics_type != "hmc":
             raise NotImplementedError(
-                "site_devices currently supports Holstein HMC only")
+                "site_devices currently supports HMC only")
         from elphdynamics_tpu.parallel.lattice_shard import (
-            build_shard_plan, make_sharded_hmc_step, site_mesh)
+            build_shard_plan, make_sharded_hmc_step,
+            make_sharded_ssh_hmc_step, site_mesh)
         plan = build_shard_plan(ops.spec.ckb, site_devices)
         smesh = site_mesh(site_devices)
 
         from jax.sharding import NamedSharding, PartitionSpec as _P
         _rep = NamedSharding(smesh, _P())
-        _xsh = NamedSharding(smesh, _P("site", None))
+        # Holstein shards the [N, Lτ] site field; SSH keeps the bond-phonon
+        # field replicated (the sharded state is the electron vectors inside
+        # the step) — see parallel/lattice_shard.py
+        _xsh = (NamedSharding(smesh, _P("site", None)) if ops.is_holstein
+                else _rep)
 
         def _adapt(raw_step):
             def step(params, state, key):
@@ -193,10 +198,12 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
                     jax.device_put(key, jax.devices()[0])
             return step
 
-        sim_step = _adapt(make_sharded_hmc_step(
+        _maker = (make_sharded_hmc_step if ops.is_holstein
+                  else make_sharded_ssh_hmc_step)
+        sim_step = _adapt(_maker(
             ops.spec, plan, smesh, setup.fa_mass, setup.hmc_cfg,
             kpm_cfg=setup.kpm_cfg))
-        burnin_step = _adapt(make_sharded_hmc_step(
+        burnin_step = _adapt(_maker(
             ops.spec, plan, smesh, setup.fa_mass, setup.hmc_burnin_cfg,
             kpm_cfg=setup.kpm_cfg))
     elif setup.dynamics_type == "hmc":

@@ -381,3 +381,49 @@ def test_sharded_ssh_hmc_with_kpm_matches_unsharded():
     np.testing.assert_allclose(np.asarray(xs), np.asarray(ref_state.x),
                                rtol=1e-5, atol=1e-7)
     assert int(stats["iters"]) < 60, int(stats["iters"])
+
+
+def test_site_sharded_ssh_driver_matches_unsharded(tmp_path):
+    """`--site-devices` with an SSH model: the production driver reproduces
+    the single-device run's measurement bins."""
+    import copy
+    import os
+
+    from elphdynamics_tpu.simulation import simulate
+    from test_simulation_driver import BASE_CFG
+
+    cfg = copy.deepcopy(BASE_CFG)
+    cfg["lattice"]["L"] = 4  # 16 sites over 4 shards
+    cfg.pop("holstein")
+    cfg["ssh"] = {
+        "beta": 1.0, "dtau": 0.1,
+        "hopping": [{"t_avg": 1.0, "alpha_avg": 0.2, "omega_avg": 0.5,
+                     "orbits": [1, 1], "dL": [1, 0, 0], "name": "x"},
+                    {"t_avg": 1.0, "alpha_avg": 0.2, "omega_avg": 0.5,
+                     "orbits": [1, 1], "dL": [0, 1, 0], "name": "y"}],
+        "mu": [{"orbit": [1], "val": 0.0}],
+    }
+    cfg["hmc"]["burnin_updates"] = 2
+    cfg["hmc"]["simulation_updates"] = 4
+    cfg["hmc"].pop("reflection_update")
+    cfg["hmc"].pop("swap_update", None)
+    cfg["simulation"]["num_bins"] = 2
+    cfg["simulation"]["write_M_matrix"] = False
+
+    folders = {}
+    for sub, sd in (("one", 1), ("site", 4)):
+        cfg["simulation"]["filepath"] = str(tmp_path / sub)
+        os.makedirs(str(tmp_path / sub), exist_ok=True)
+        stats = simulate(cfg, site_devices=sd)
+        assert 0.0 <= stats["acceptance_rate"] <= 1.0
+        folders[sub] = os.path.join(str(tmp_path / sub), "testrun-1")
+
+    for b in (1, 2):
+        f1 = os.path.join(folders["one"], "global_measurements_f",
+                          f"global_measurements_{b:05d}.out")
+        f8 = os.path.join(folders["site"], "global_measurements_f",
+                          f"global_measurements_{b:05d}.out")
+        g1 = {l.split()[0]: float(l.split()[1]) for l in open(f1)}
+        g8 = {l.split()[0]: float(l.split()[1]) for l in open(f8)}
+        for k in g1:
+            assert abs(g1[k] - g8[k]) < 1e-5, (b, k, g1[k], g8[k])
