@@ -1279,3 +1279,355 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
                               "delta_H": dH, "flag": flag}, key
 
     return jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# Sharded Langevin dynamics (LangevinDynamics.jl over the site mesh).
+# One stochastic force per evaluation: g ~ N(0,1), solve MᵀM·z = Mᵀg with
+# psum-CG, dS_f/dx = −2·gᵀ(∂M/∂x)z. Holstein shards the phonon field with
+# the electron vectors; SSH keeps the bond field replicated (as in the
+# sharded HMC) and psum-assembles the force.
+# ---------------------------------------------------------------------------
+
+def _cg_local(A, rhs, tol, maxiter, pdot, P_apply=None):
+    """Shard-local preconditioned CG on the normal system (psum dots via
+    ``pdot``); returns (x, iters, flag) with the residual-verification flag
+    of the Models.jl ladder."""
+    P_apply = P_apply or (lambda v: v)
+    normb = jnp.sqrt(pdot(rhs, rhs))
+    safe = jnp.where(normb > 0, normb, 1.0)
+    r = rhs - 0.0
+    z = P_apply(r)
+    p = z
+    rdotz = pdot(r, z)
+
+    def cond(st):
+        j, xs, r, p, rdotz, done = st
+        return (j < maxiter) & ~done
+
+    def body(st):
+        j, xs, r, p, rdotz, done = st
+        Ap = A(p)
+        alpha = (rdotz / pdot(p, Ap)).astype(xs.dtype)
+        xs = xs + alpha * p
+        r = r - alpha * Ap
+        done = jnp.sqrt(pdot(r, r)) / safe < tol
+        z = P_apply(r)
+        rdotz_new = pdot(r, z)
+        p = z + (rdotz_new / rdotz).astype(xs.dtype) * p
+        return (j + 1, xs, r, p, rdotz_new, done)
+
+    j, xs, *_ = lax.while_loop(
+        cond, body,
+        (jnp.asarray(0), jnp.zeros_like(rhs), r, p, rdotz,
+         jnp.asarray(False)))
+    err = jnp.sqrt(pdot(A(xs) - rhs, A(xs) - rhs)) / safe
+    flag = jnp.where(err > jnp.sqrt(tol), 1, 0)
+    return xs, j, flag
+
+
+def make_sharded_langevin_step(model_spec, plan: ShardPlan, mesh: Mesh,
+                               Q_table, dt: float, method: str = "euler",
+                               scfg=None, kpm_cfg=None):
+    """Sharded Holstein Langevin update ``(params, x, key) -> (x', stats,
+    key)`` with the [N, Lτ] field partitioned P('site', None); Euler / RK /
+    Heun integrators (LangevinDynamics.jl:81-324). Noise follows the exact
+    key-split order of :func:`elphdynamics_tpu.dynamics.langevin.
+    make_langevin_step` for parity testing."""
+    from elphdynamics_tpu.dynamics.solve import SolverConfig
+    from elphdynamics_tpu.ops.fourier_accel import accelerate
+
+    scfg = scfg or SolverConfig()
+    wplan = build_wij_plan(model_spec.wij_table, model_spec.Nsites, plan.D)
+    wij_sign = model_spec.wij_sign
+    Ltau = model_spec.Ltau
+    N = model_spec.Nsites
+    dtau = model_spec.dtau
+    B = plan.B
+    Q_full = jnp.asarray(Q_table)
+
+    def step_local(params, x_loc, key):
+        d = lax.axis_index(plan.axis)
+        Q = lax.dynamic_slice_in_dim(Q_full, d * B, B, axis=0)
+        lam = lax.dynamic_slice_in_dim(params.lam, d * B, B)[:, None]
+        lam2 = lax.dynamic_slice_in_dim(params.lam2, d * B, B)[:, None]
+        om = lax.dynamic_slice_in_dim(params.omega, d * B, B)[:, None]
+        om4 = lax.dynamic_slice_in_dim(params.omega4, d * B, B)[:, None]
+        mu = lax.dynamic_slice_in_dim(params.mu, d * B, B)[:, None]
+        sgn_first = (-jnp.ones(Ltau, x_loc.dtype)).at[0].set(1.0)
+        sgn_last = (-jnp.ones(Ltau, x_loc.dtype)).at[-1].set(1.0)
+
+        def pdot(a, b):
+            return lax.psum(jnp.sum(a * b), plan.axis)
+
+        def env_of(x):
+            return jnp.exp(-dtau * (lam * x + lam2 * x * x - mu))
+
+        def mulM(env, v):
+            y = env * jnp.roll(v, 1, axis=-1)
+            y = ckb_mul_local(plan, params.cosht, params.sinht, y)
+            return v + sgn_first * y
+
+        def mulMT(env, v):
+            z = ckb_transpose_mul_local(plan, params.cosht, params.sinht, v)
+            w = env * z
+            return v + sgn_last * jnp.roll(w, -1, axis=-1)
+
+        def muldMdx(env, x, u, v):
+            dd = (-sgn_first) * dtau * (lam + 2.0 * lam2 * x) * env \
+                * jnp.roll(v, 1, axis=-1)
+            y = ckb_transpose_mul_local(plan, params.cosht, params.sinht, u)
+            return y * dd
+
+        def calc_dSbdx(x):
+            lap = jnp.roll(x, 1, axis=-1) + jnp.roll(x, -1, axis=-1) - 2.0 * x
+            g = dtau * (om ** 2 * x + 4.0 * om4 * x ** 3) - lap / dtau
+            g = g - dtau * lam   # shifted (Langevin convention)
+            if wplan is not None:
+                g = wij_dsb_local(wplan, plan.axis, params.wij, wij_sign,
+                                  dtau, x, g)
+            return g
+
+        if kpm_cfg is not None:
+            def _kpm_ops_of(env_loc):
+                expnV_bar = jnp.mean(env_loc, axis=-1)
+
+                def mulA(v):
+                    return ckb_mul_local(plan, params.cosht, params.sinht,
+                                         expnV_bar[:, None] * v)
+
+                def mulA_T(v):
+                    return expnV_bar[:, None] * ckb_transpose_mul_local(
+                        plan, params.cosht, params.sinht, v)
+
+                def mulA_inv(v):
+                    return ckb_inverse_mul_local(
+                        plan, params.cosht, params.sinht, v) \
+                        / expnV_bar[:, None]
+
+                return mulA, mulA_T, mulA_inv
+
+            kpm_setup, kpm_make_apply = _kpm_local(
+                plan, kpm_cfg, Ltau, N, x_loc.dtype, plan.axis, _kpm_ops_of)
+        else:
+            kpm_setup = kpm_make_apply = None
+
+        def force(x, key, kst):
+            """One stochastic force evaluation (fresh g), exact unsharded
+            key-split order (total_force: key, kg = split(key))."""
+            env = env_of(x)
+            key, kg = jax.random.split(key)
+            g_full = jax.random.normal(kg, (N, Ltau), dtype=x.dtype)
+            g = lax.dynamic_slice_in_dim(g_full, d * B, B, axis=0)
+
+            def A(v):
+                return mulMT(env, mulM(env, v))
+
+            P_apply = (kpm_make_apply(kst, env) if kst is not None else None)
+            rhs = mulMT(env, g)
+            z, it, flag = _cg_local(A, rhs, scfg.tol, scfg.maxiter, pdot,
+                                    P_apply)
+            dSf = -2.0 * muldMdx(env, x, g, z)
+            return dSf + calc_dSbdx(x), it, flag, key
+
+        # noise: key, kn = split(key) then eta = normal(kn, [N, Lτ])
+        key, kn = jax.random.split(key)
+        eta_full = jax.random.normal(kn, (N, Ltau), dtype=x_loc.dtype)
+        eta = lax.dynamic_slice_in_dim(eta_full, d * B, B, axis=0)
+        kst = (kpm_setup(env_of(x_loc), jax.random.PRNGKey(1234))
+               if kpm_cfg is not None else None)
+
+        if method == "euler":
+            dS, it, flag, key = force(x_loc, key, kst)
+            QdSdx = accelerate(Q, dS, 1.0)
+            sqrtQeta = accelerate(Q, eta, 0.5)
+            x_new = x_loc + jnp.sqrt(2.0 * dt) * sqrtQeta - dt * QdSdx
+        elif method == "rk":
+            f1, it1, fl1, key = force(x_loc, key, kst)
+            dx = jnp.sqrt(2.0 * dt) * eta - dt * f1
+            f2, it, fl2, key = force(x_loc + dx, key, kst)
+            favg = (f1 + f2) / 2.0
+            QdSdx = accelerate(Q, favg, 1.0)
+            sqrtQeta = accelerate(Q, eta, 0.5)
+            x_new = x_loc + jnp.sqrt(2.0 * dt) * sqrtQeta - dt * QdSdx
+            flag = jnp.maximum(fl1, fl2)
+        elif method == "heun":
+            xi = accelerate(Q, eta, 0.5)
+            f1, it1, fl1, key = force(x_loc, key, kst)
+            dG1 = accelerate(Q, f1, 1.0)
+            dx = jnp.sqrt(2.0 * dt) * xi - dt * dG1
+            f2, it2, fl2, key = force(x_loc + dx, key, kst)
+            dG2 = accelerate(Q, f2, 1.0)
+            x_new = x_loc + jnp.sqrt(2.0 * dt) * xi - dt * (dG1 + dG2) / 2.0
+            it = (it1 + it2) // 2
+            flag = jnp.maximum(fl1, fl2)
+        else:
+            raise ValueError(method)
+        return x_new, it.astype(jnp.int32), flag, key
+
+    sharded = jax.shard_map(
+        step_local, mesh=mesh,
+        in_specs=(P(), P(plan.axis, None), P()),
+        out_specs=(P(plan.axis, None), P(), P(), P()),
+        check_vma=False,
+    )
+
+    def step(params, x, key):
+        x_new, iters, flag, key = sharded(params, x, key)
+        return x_new, {"iters": iters, "flag": flag}, key
+
+    return jax.jit(step)
+
+
+def make_sharded_ssh_langevin_step(model_spec, plan: ShardPlan, mesh: Mesh,
+                                   Q_table, dt: float, method: str = "euler",
+                                   scfg=None, kpm_cfg=None):
+    """Sharded SSH Langevin update: bond-phonon field replicated, electron
+    vectors sharded, fermionic force psum-assembled (as in
+    :func:`make_sharded_ssh_hmc_step`)."""
+    from elphdynamics_tpu.dynamics.solve import SolverConfig
+    from elphdynamics_tpu.models import ssh as S
+    from elphdynamics_tpu.ops.fourier_accel import accelerate
+
+    scfg = scfg or SolverConfig()
+    Ltau = model_spec.Ltau
+    N = model_spec.Nsites
+    Nph = model_spec.Nph
+    dtau = model_spec.dtau
+    B = plan.B
+    Q_full = jnp.asarray(Q_table)
+    prim = jnp.asarray(model_spec.primary_phonon)
+    ph_of_site, ph_mask = _ssh_group_phonons(model_spec, plan)
+
+    def step_local(params, x, key):
+        d = lax.axis_index(plan.axis)
+        mulM, mulMT, expmu_loc = _ssh_local_ops(model_spec, plan, params)
+
+        def pdot(a, b):
+            return lax.psum(jnp.sum(a * b), plan.axis)
+
+        def coeffs_of(x):
+            tp = S.hopping_t_prime(model_spec, params, x)
+            tp_ckb = jnp.take(tp, jnp.asarray(model_spec.ckb_to_bond), axis=-2)
+            arg = dtau * tp_ckb
+            return (jnp.cosh(arg), jnp.sinh(arg))
+
+        def muldmdx_partial(coeffs, x_full, u_loc, v_loc):
+            cosh_b, sinh_b = coeffs
+            b = expmu_loc(v_loc.dtype) * jnp.roll(v_loc, 1, axis=-1)
+            c = ckb_transpose_mul_local(plan, cosh_b, sinh_b, u_loc)
+            dKdx_full = (params.alpha[:, None]
+                         + 2.0 * params.alpha2[:, None] * x_full)
+            sgn = jnp.ones(Ltau, x_full.dtype).at[0].set(-1.0)
+            batch = jnp.broadcast_shapes(u_loc.shape[:-2], v_loc.shape[:-2])
+            out = jnp.zeros(batch + (Nph, Ltau), dtype=x_full.dtype)
+            for g in range(plan.ngroups):
+                cg, sg = _group_coeffs(plan, g, cosh_b, sinh_b, b.dtype)
+                ext_b = _extend_group(plan, g, b)
+                ext_c = _extend_group(plan, g, c)
+                pl = jnp.take(jnp.asarray(plan.partner_local[g]), d, axis=0)
+                bp = jnp.take(ext_b, pl, axis=-2)
+                cp_old = jnp.take(ext_c, pl, axis=-2)
+                b_new = cg * b + sg * bp
+                cp_new = cg * cp_old - sg * c
+                c = cg * c - sg * cp_old
+                b = b_new
+                ph = jnp.take(jnp.asarray(ph_of_site[g]), d, axis=0)
+                pm = jnp.take(jnp.asarray(ph_mask[g]), d, axis=0)[:, None]
+                dk = jnp.take(dKdx_full, ph, axis=-2)
+                term = sgn * dtau * dk * cp_new * b
+                out = out.at[..., ph, :].add(jnp.where(pm, term, 0.0))
+            return out
+
+        if kpm_cfg is not None:
+            def _kpm_ops_of(env):
+                cosh_b, sinh_b = env
+                cosh_bar = jnp.mean(cosh_b, axis=-1)
+                sinh_bar = jnp.mean(sinh_b, axis=-1)
+                ex = expmu_loc(cosh_b.dtype)
+
+                def mulA(v):
+                    return ckb_mul_local(plan, cosh_bar, sinh_bar, ex * v)
+
+                def mulA_T(v):
+                    return ex * ckb_transpose_mul_local(
+                        plan, cosh_bar, sinh_bar, v)
+
+                def mulA_inv(v):
+                    return ckb_inverse_mul_local(
+                        plan, cosh_bar, sinh_bar, v) / ex
+
+                return mulA, mulA_T, mulA_inv
+
+            kpm_setup, kpm_make_apply = _kpm_local(
+                plan, kpm_cfg, Ltau, N, x.dtype, plan.axis, _kpm_ops_of)
+        else:
+            kpm_setup = kpm_make_apply = None
+
+        def force(x, key, kst):
+            coeffs = coeffs_of(x)
+            key, kg = jax.random.split(key)
+            g_full = jax.random.normal(kg, (N, Ltau), dtype=x.dtype)
+            g = lax.dynamic_slice_in_dim(g_full, d * B, B, axis=0)
+
+            def A(v):
+                return mulMT(coeffs, mulM(coeffs, v))
+
+            P_apply = (kpm_make_apply(kst, coeffs) if kst is not None
+                       else None)
+            rhs = mulMT(coeffs, g)
+            z, it, flag = _cg_local(A, rhs, scfg.tol, scfg.maxiter, pdot,
+                                    P_apply)
+            part = muldmdx_partial(coeffs, x, g, z)
+            dSf = -2.0 * lax.psum(part, plan.axis)
+            tied = jnp.zeros_like(dSf).at[prim].add(dSf)
+            dSf = jnp.take(tied, prim, axis=-2)
+            return dSf + S.calc_dSbdx(model_spec, params, x, True), it, \
+                flag, key
+
+        key, kn = jax.random.split(key)
+        eta = jnp.take(jax.random.normal(kn, (Nph, Ltau), dtype=x.dtype),
+                       prim, axis=-2)   # ops.tie on the noise
+        kst = (kpm_setup(coeffs_of(x), jax.random.PRNGKey(1234))
+               if kpm_cfg is not None else None)
+
+        if method == "euler":
+            dS, it, flag, key = force(x, key, kst)
+            QdSdx = accelerate(Q_full, dS, 1.0)
+            sqrtQeta = accelerate(Q_full, eta, 0.5)
+            x_new = x + jnp.sqrt(2.0 * dt) * sqrtQeta - dt * QdSdx
+        elif method == "rk":
+            f1, it1, fl1, key = force(x, key, kst)
+            dx = jnp.sqrt(2.0 * dt) * eta - dt * f1
+            f2, it, fl2, key = force(x + dx, key, kst)
+            favg = (f1 + f2) / 2.0
+            QdSdx = accelerate(Q_full, favg, 1.0)
+            sqrtQeta = accelerate(Q_full, eta, 0.5)
+            x_new = x + jnp.sqrt(2.0 * dt) * sqrtQeta - dt * QdSdx
+            flag = jnp.maximum(fl1, fl2)
+        elif method == "heun":
+            xi = accelerate(Q_full, eta, 0.5)
+            f1, it1, fl1, key = force(x, key, kst)
+            dG1 = accelerate(Q_full, f1, 1.0)
+            dx = jnp.sqrt(2.0 * dt) * xi - dt * dG1
+            f2, it2, fl2, key = force(x + dx, key, kst)
+            dG2 = accelerate(Q_full, f2, 1.0)
+            x_new = x + jnp.sqrt(2.0 * dt) * xi - dt * (dG1 + dG2) / 2.0
+            it = (it1 + it2) // 2
+            flag = jnp.maximum(fl1, fl2)
+        else:
+            raise ValueError(method)
+        return x_new, it.astype(jnp.int32), flag, key
+
+    sharded = jax.shard_map(
+        step_local, mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+
+    def step(params, x, key):
+        x_new, iters, flag, key = sharded(params, x, key)
+        return x_new, {"iters": iters, "flag": flag}, key
+
+    return jax.jit(step)

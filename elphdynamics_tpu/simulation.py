@@ -162,12 +162,10 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
         # spatial lattice sharding: the single chain's [N, Lτ] field lives
         # partitioned over the site mesh; measurements/special updates run
         # on the (automatically gathered) global field
-        if setup.dynamics_type != "hmc":
-            raise NotImplementedError(
-                "site_devices currently supports HMC only")
         from elphdynamics_tpu.parallel.lattice_shard import (
             build_shard_plan, make_sharded_hmc_step,
-            make_sharded_ssh_hmc_step, site_mesh)
+            make_sharded_langevin_step, make_sharded_ssh_hmc_step,
+            make_sharded_ssh_langevin_step, site_mesh)
         plan = build_shard_plan(ops.spec.ckb, site_devices)
         smesh = site_mesh(site_devices)
 
@@ -198,14 +196,35 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
                     jax.device_put(key, jax.devices()[0])
             return step
 
-        _maker = (make_sharded_hmc_step if ops.is_holstein
-                  else make_sharded_ssh_hmc_step)
-        sim_step = _adapt(_maker(
-            ops.spec, plan, smesh, setup.fa_mass, setup.hmc_cfg,
-            kpm_cfg=setup.kpm_cfg))
-        burnin_step = _adapt(_maker(
-            ops.spec, plan, smesh, setup.fa_mass, setup.hmc_burnin_cfg,
-            kpm_cfg=setup.kpm_cfg))
+        if setup.dynamics_type == "hmc":
+            _maker = (make_sharded_hmc_step if ops.is_holstein
+                      else make_sharded_ssh_hmc_step)
+            sim_step = _adapt(_maker(
+                ops.spec, plan, smesh, setup.fa_mass, setup.hmc_cfg,
+                kpm_cfg=setup.kpm_cfg))
+            burnin_step = _adapt(_maker(
+                ops.spec, plan, smesh, setup.fa_mass, setup.hmc_burnin_cfg,
+                kpm_cfg=setup.kpm_cfg))
+        else:
+            _lmaker = (make_sharded_langevin_step if ops.is_holstein
+                       else make_sharded_ssh_langevin_step)
+            _lraw = _lmaker(ops.spec, plan, smesh, setup.fa_Q,
+                            setup.langevin_dt, setup.langevin_method,
+                            setup.solver_cfg, kpm_cfg=setup.kpm_cfg)
+
+            def _lwrap(params, state, key):
+                params = jax.tree.map(
+                    lambda a: jax.device_put(a, _rep) if a is not None else a,
+                    params)
+                key = jax.device_put(key, _rep)
+                x = jax.device_put(state.x, _xsh)
+                x, stats, key = _lraw(params, x, key)
+                return HMCState(x=x, v=state.v), \
+                    {"accepted": jnp.asarray(True), "iters": stats["iters"],
+                     "flag": stats["flag"]}, \
+                    jax.device_put(key, jax.devices()[0])
+
+            sim_step = burnin_step = _lwrap
     elif setup.dynamics_type == "hmc":
         sim_step = make_hmc_step(ops, setup.fa_mass, setup.hmc_cfg, precond)
         burnin_step = make_hmc_step(ops, setup.fa_mass, setup.hmc_burnin_cfg, precond)

@@ -427,3 +427,121 @@ def test_site_sharded_ssh_driver_matches_unsharded(tmp_path):
         g8 = {l.split()[0]: float(l.split()[1]) for l in open(f8)}
         for k in g1:
             assert abs(g1[k] - g8[k]) < 1e-5, (b, k, g1[k], g8[k])
+
+
+# ---------------------------------------------------------------------------
+# Sharded Langevin (make_sharded_langevin_step / make_sharded_ssh_langevin_step)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("method", ["euler", "rk", "heun"])
+def test_sharded_langevin_matches_unsharded(method):
+    """Holstein Langevin under site sharding: same key → same stochastic
+    force vectors → identical trajectory (to psum rounding) for all three
+    integrators, including wij dispersion."""
+    from elphdynamics_tpu.dynamics.langevin import make_langevin_step
+    from elphdynamics_tpu.dynamics.solve import SolverConfig
+    from elphdynamics_tpu.ops.fourier_accel import build_Q
+    from elphdynamics_tpu.parallel.lattice_shard import make_sharded_langevin_step
+
+    D = 4
+    assert jax.device_count() >= D
+    uc = UnitCell.create(2, 1, [[1.0, 0.0], [0.0, 1.0]], [[0.0, 0.0]])
+    lat = Lattice.create(uc, 8)
+    spec, params = H.build_holstein(
+        lat, beta=1.0, dtau=0.1,
+        t_assignments=[(1.0, 0.0, 0, 0, (1, 0, 0)), (1.0, 0.0, 0, 0, (0, 1, 0))],
+        omega=1.0, lam=0.7, mu=0.0, dense_threshold=0,
+        wij_assignments=[(0.3, 0.0, 1, 0, 0, (0, 1, 0))])
+    ops = make_model_ops(spec)
+    plan = build_shard_plan(spec.ckb, D)
+    mesh = site_mesh(D)
+    Q = build_Q(np.asarray(params.omega), spec.dtau, spec.Ltau,
+                [dict(omega_min=0.0, omega_max=10.0, mass=0.5)])
+    scfg = SolverConfig(tol=1e-10, maxiter=3000)
+
+    ref_step = jax.jit(make_langevin_step(ops, Q, 0.01, method, scfg, None))
+    sh_step = make_sharded_langevin_step(spec, plan, mesh, Q, 0.01, method,
+                                         scfg)
+
+    key = jax.random.PRNGKey(51)
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(16), (spec.Nph, spec.Ltau))
+
+    x_ref, stats_ref, _ = ref_step(params, x, key)
+    x_sh, stats_sh, _ = sh_step(params, x, key)
+
+    np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref),
+                               rtol=1e-7, atol=1e-9)
+    assert int(stats_sh["flag"]) == 0
+    assert len(x_sh.sharding.device_set) == D
+
+
+def test_sharded_ssh_langevin_matches_unsharded():
+    """SSH Langevin under site sharding (replicated bond field, psum force)."""
+    from elphdynamics_tpu.dynamics.langevin import make_langevin_step
+    from elphdynamics_tpu.dynamics.solve import SolverConfig
+    from elphdynamics_tpu.models import ssh as S
+    from elphdynamics_tpu.ops.fourier_accel import build_Q
+    from elphdynamics_tpu.parallel.lattice_shard import (
+        make_sharded_ssh_langevin_step)
+
+    D = 4
+    assert jax.device_count() >= D
+    spec, params = _build_ssh_2d(L=8, Ltau=8)
+    ops = make_model_ops(spec)
+    plan = build_shard_plan(spec.ckb, D)
+    mesh = site_mesh(D)
+    Q = build_Q(np.asarray(params.omega), spec.dtau, spec.Ltau,
+                [dict(omega_min=0.0, omega_max=10.0, mass=0.5)])
+    scfg = SolverConfig(tol=1e-10, maxiter=3000)
+
+    ref_step = jax.jit(make_langevin_step(ops, Q, 0.01, "rk", scfg, None))
+    sh_step = make_sharded_ssh_langevin_step(spec, plan, mesh, Q, 0.01, "rk",
+                                             scfg)
+
+    key = jax.random.PRNGKey(61)
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(17), (spec.Nph, spec.Ltau))
+    x = S.tie_fields(spec, x)
+
+    x_ref, stats_ref, _ = ref_step(params, x, key)
+    x_sh, stats_sh, _ = sh_step(params, x, key)
+
+    np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref),
+                               rtol=1e-7, atol=1e-9)
+    assert int(stats_sh["flag"]) == 0
+
+
+def test_site_sharded_langevin_driver_matches_unsharded(tmp_path):
+    """`--site-devices` with Langevin dynamics: driver parity of the
+    measurement bins against the single-device run."""
+    import copy
+    import os
+
+    from elphdynamics_tpu.simulation import simulate
+    from test_simulation_driver import BASE_CFG
+
+    cfg = copy.deepcopy(BASE_CFG)
+    cfg["lattice"]["L"] = 4
+    cfg.pop("hmc")
+    cfg["langevin"] = {
+        "burnin_timesteps": 4, "simulation_timesteps": 8, "meas_freq": 2,
+        "dt": 0.01, "update_method": 2,
+    }
+    cfg["simulation"]["num_bins"] = 2
+    cfg["simulation"]["write_M_matrix"] = False
+
+    folders = {}
+    for sub, sd in (("one", 1), ("site", 4)):
+        cfg["simulation"]["filepath"] = str(tmp_path / sub)
+        os.makedirs(str(tmp_path / sub), exist_ok=True)
+        simulate(cfg, site_devices=sd)
+        folders[sub] = os.path.join(str(tmp_path / sub), "testrun-1")
+
+    for b in (1, 2):
+        f1 = os.path.join(folders["one"], "global_measurements_f",
+                          f"global_measurements_{b:05d}.out")
+        f8 = os.path.join(folders["site"], "global_measurements_f",
+                          f"global_measurements_{b:05d}.out")
+        g1 = {l.split()[0]: float(l.split()[1]) for l in open(f1)}
+        g8 = {l.split()[0]: float(l.split()[1]) for l in open(f8)}
+        for k in g1:
+            assert abs(g1[k] - g8[k]) < 1e-5, (b, k, g1[k], g8[k])
