@@ -16,6 +16,7 @@ covered by any ``[[fourier_acceleration]]`` block.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -60,8 +61,37 @@ def build_mass(omega: np.ndarray, dtau: float, Ltau: int, blocks) -> np.ndarray:
     return M
 
 
+# ``table^power`` spectra are symmetric in k (both conventions use
+# cos(2πk/L)), so the circulant F⁻¹·diag·F is REAL — one [Lτ, Lτ] matmul per
+# phonon replaces the FFT pair. XLA lowers the small non-power-of-2 FFT far
+# off the MXU; below this τ length the matmul wins decisively (measured on
+# v5e). Built once per (table, power) at trace time — the tables are
+# trace-time constants everywhere except inside shard_map (tracer → FFT).
+_CIRCULANT_MAX_LTAU = 256
+_circ_cache: dict = {}
+
+
+def _circulant(table_np: np.ndarray, power: float) -> np.ndarray:
+    key = (table_np.tobytes(), table_np.shape, float(power))
+    C = _circ_cache.get(key)
+    if C is None:
+        spec = table_np.astype(np.float64) ** power        # [Nph, Lτ]
+        col = np.real(np.fft.ifft(spec, axis=-1))          # first column c
+        Lt = table_np.shape[-1]
+        idx = (np.arange(Lt)[:, None] - np.arange(Lt)[None, :]) % Lt
+        C = col[:, idx]                                    # [Nph, Lτ, Lτ]
+        _circ_cache[key] = C
+    return C
+
+
 def accelerate(table, v, power):
     """v' = F⁻¹ · table^power · F · v along the τ (last) axis; real output."""
+    Lt = v.shape[-1]
+    if not isinstance(table, jax.core.Tracer) and Lt <= _CIRCULANT_MAX_LTAU \
+            and v.ndim >= 2:
+        C = _circulant(np.asarray(table), power)
+        return jnp.einsum("ntk,...nt->...nk", jnp.asarray(C, v.dtype), v,
+                          precision=jax.lax.Precision.HIGHEST).astype(v.dtype)
     vw = jnp.fft.fft(v, axis=-1)
     vw = vw * (jnp.asarray(table, vw.real.dtype) ** power)
     return jnp.real(jnp.fft.ifft(vw, axis=-1)).astype(v.dtype)

