@@ -602,7 +602,8 @@ def _kpm_local(plan: ShardPlan, kcfg, Ltau, N, dtype, axis, ops_of):
 
 
 def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
-                          mass_table, cfg, kpm_cfg=None):
+                          mass_table, cfg, kpm_cfg=None,
+                          chains_axis: str | None = None):
     """Sharded HMC update ``(params, x, v, key) -> (x', v', stats, key)``
     with the [N, Lτ] phonon field partitioned P('site', None) over ``mesh``.
 
@@ -744,19 +745,30 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
 
             def cond(st):
                 j, xs, r, p, rdotz, done = st
-                return (j < cfg.maxiter) & ~done
+                active = ~done
+                if chains_axis is not None:
+                    # couple the trip count across the chain axis: every
+                    # collective inside the body must execute the same
+                    # number of times on every mesh participant, or the
+                    # cross-row rendezvous deadlocks (converged rows run
+                    # masked-idle iterations, as vmapped chains do on chip)
+                    active = lax.psum(active.astype(jnp.int32),
+                                      chains_axis) > 0
+                return (j < cfg.maxiter) & active
 
             def body(st):
                 j, xs, r, p, rdotz, done = st
                 Ap = A(p)
                 alpha = (rdotz / pdot(p, Ap)).astype(xs.dtype)
-                xs = xs + alpha * p
-                r = r - alpha * Ap
-                done = jnp.sqrt(pdot(r, r)) / safe < tol
+                upd = ~done
+                xs = jnp.where(upd, xs + alpha * p, xs)
+                r = jnp.where(upd, r - alpha * Ap, r)
+                done = done | (jnp.sqrt(pdot(r, r)) / safe < tol)
                 z = P_apply(r)
                 rdotz_new = pdot(r, z)
-                p = z + (rdotz_new / rdotz).astype(xs.dtype) * p
-                return (j + 1, xs, r, p, rdotz_new, done)
+                p = jnp.where(upd, z + (rdotz_new / rdotz).astype(xs.dtype) * p, p)
+                rdotz = jnp.where(upd, rdotz_new, rdotz)
+                return (j + 1, xs, r, p, rdotz, done)
 
             j, xs, r, p, rdotz, done = lax.while_loop(
                 cond, body,
@@ -874,13 +886,27 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
         return (x_new, v_new, accept, mean_iters.astype(jnp.int32), dH,
                 flag, key)
 
-    sharded = jax.shard_map(
-        step_local, mesh=mesh,
-        in_specs=(P(), P(plan.axis, None), P(plan.axis, None), P()),
-        out_specs=(P(plan.axis, None), P(plan.axis, None), P(), P(), P(),
-                   P(), P()),
-        check_vma=False,
-    )
+    if chains_axis is None:
+        sharded = jax.shard_map(
+            step_local, mesh=mesh,
+            in_specs=(P(), P(plan.axis, None), P(plan.axis, None), P()),
+            out_specs=(P(plan.axis, None), P(plan.axis, None), P(), P(), P(),
+                       P(), P()),
+            check_vma=False,
+        )
+    else:
+        # 2-D (chain × site) mesh: each device holds its chain block's rows;
+        # the site collectives batch over the local chains, the chain axis
+        # carries no communication (pure data parallel, SURVEY §5)
+        ca = chains_axis
+        sharded = jax.shard_map(
+            jax.vmap(step_local, in_axes=(None, 0, 0, 0)), mesh=mesh,
+            in_specs=(P(), P(ca, plan.axis, None), P(ca, plan.axis, None),
+                      P(ca)),
+            out_specs=(P(ca, plan.axis, None), P(ca, plan.axis, None),
+                       P(ca), P(ca), P(ca), P(ca), P(ca)),
+            check_vma=False,
+        )
 
     def step(params, x, v, key):
         x_new, v_new, accept, iters, dH, flag, key = sharded(params, x, v, key)
@@ -888,6 +914,16 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
                               "delta_H": dH, "flag": flag}, key
 
     return jax.jit(step)
+
+
+def chain_site_mesh(n_chain: int, n_site: int, devices=None) -> Mesh:
+    """2-D mesh composing chain data parallelism with lattice sharding:
+    axis 'chain' (no hot-loop communication) × axis 'site' (halo ppermutes +
+    psum reductions ride the inner, faster dimension)."""
+    if devices is None:
+        devices = jax.devices()
+    devs = np.asarray(devices[: n_chain * n_site]).reshape(n_chain, n_site)
+    return Mesh(devs, axis_names=("chain", "site"))
 
 
 # ---------------------------------------------------------------------------
@@ -1017,7 +1053,8 @@ def make_sharded_ssh_solver(model_spec, plan: ShardPlan, mesh: Mesh):
 
 
 def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
-                              mass_table, cfg, kpm_cfg=None):
+                              mass_table, cfg, kpm_cfg=None,
+                              chains_axis: str | None = None):
     """Sharded SSH HMC update ``(params, x, v, key) -> (x', v', stats, key)``.
 
     The [Nph, Lτ] bond-phonon field (and momenta) stay replicated — every
@@ -1146,19 +1183,27 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
 
             def cond(st):
                 j, xs, r, p, rdotz, done = st
-                return (j < cfg.maxiter) & ~done
+                active = ~done
+                if chains_axis is not None:
+                    # uniform trip count across the chain axis (see the
+                    # Holstein solve_O note)
+                    active = lax.psum(active.astype(jnp.int32),
+                                      chains_axis) > 0
+                return (j < cfg.maxiter) & active
 
             def body(st):
                 j, xs, r, p, rdotz, done = st
                 Ap = A(p)
                 alpha = (rdotz / pdot(p, Ap)).astype(xs.dtype)
-                xs = xs + alpha * p
-                r = r - alpha * Ap
-                done = jnp.sqrt(pdot(r, r)) / safe < tol
+                upd = ~done
+                xs = jnp.where(upd, xs + alpha * p, xs)
+                r = jnp.where(upd, r - alpha * Ap, r)
+                done = done | (jnp.sqrt(pdot(r, r)) / safe < tol)
                 z = P_apply(r)
                 rdotz_new = pdot(r, z)
-                p = z + (rdotz_new / rdotz).astype(xs.dtype) * p
-                return (j + 1, xs, r, p, rdotz_new, done)
+                p = jnp.where(upd, z + (rdotz_new / rdotz).astype(xs.dtype) * p, p)
+                rdotz = jnp.where(upd, rdotz_new, rdotz)
+                return (j + 1, xs, r, p, rdotz, done)
 
             j, xs, r, p, rdotz, done = lax.while_loop(
                 cond, body,
@@ -1264,12 +1309,23 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
         return (x_new, v_new, accept, mean_iters.astype(jnp.int32), dH,
                 flag, key)
 
-    sharded = jax.shard_map(
-        step_local, mesh=mesh,
-        in_specs=(P(), P(), P(), P()),
-        out_specs=(P(), P(), P(), P(), P(), P(), P()),
-        check_vma=False,
-    )
+    if chains_axis is None:
+        sharded = jax.shard_map(
+            step_local, mesh=mesh,
+            in_specs=(P(), P(), P(), P()),
+            out_specs=(P(), P(), P(), P(), P(), P(), P()),
+            check_vma=False,
+        )
+    else:
+        # 2-D (chain × site) mesh: per-chain replicated bond fields over the
+        # site axis, chain axis pure data parallel
+        ca = chains_axis
+        sharded = jax.shard_map(
+            jax.vmap(step_local, in_axes=(None, 0, 0, 0)), mesh=mesh,
+            in_specs=(P(), P(ca), P(ca), P(ca)),
+            out_specs=(P(ca), P(ca), P(ca), P(ca), P(ca), P(ca), P(ca)),
+            check_vma=False,
+        )
 
     def step(params, x, v, key):
         x_new, v_new, accept, iters, dH, flag, key = sharded(params, x, v, key)

@@ -75,9 +75,11 @@ def simulate(config, run_id: int | None = None, n_chains: int = 1,
 
     ``n_devices > 1`` shards the ``n_chains`` Markov chains over a device
     mesh (``n_devices = 0`` auto-detects all local devices).
-    ``site_devices > 1`` instead shards the spatial lattice of ONE chain
-    over the mesh (SURVEY §5's context-parallel analog; Holstein HMC only) —
-    for problems whose ``N·Lτ`` footprint outgrows a single chip."""
+    ``site_devices > 1`` shards the spatial lattice of each chain over the
+    mesh (SURVEY §5's context-parallel analog) — for problems whose
+    ``N·Lτ`` footprint outgrows a single chip. Both may be combined
+    (HMC only): a 2-D ``(chain × site)`` mesh of
+    ``n_devices · site_devices`` chips."""
     if n_devices == 0:
         n_devices = len(jax.devices())
     if site_devices == 0:
@@ -86,9 +88,8 @@ def simulate(config, run_id: int | None = None, n_chains: int = 1,
         if n_chains % n_devices != 0:
             raise ValueError(
                 f"n_chains={n_chains} must be a multiple of n_devices={n_devices}")
-    if site_devices > 1 and (n_chains > 1 or n_devices > 1):
-        raise ValueError("site_devices shards a single chain; it is mutually "
-                         "exclusive with n_chains/n_devices > 1")
+    if site_devices > 1 and n_chains > 1 and n_devices < 1:
+        raise ValueError("invalid n_devices")
     if isinstance(config, str):
         cfg = load_toml(config)
     else:
@@ -132,7 +133,7 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
     # N-independent-processes fleet, ElPhDynamics.jl:90-95, done SPMD)
     mesh = None
     chain_sharding = None
-    if n_devices > 1:
+    if n_devices > 1 and site_devices == 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from elphdynamics_tpu.parallel.chains import chain_mesh
@@ -158,24 +159,40 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
         precond = kpm.make_precond(ops, setup.kpm_cfg)
 
     # ---- step functions
+    combined = site_devices > 1 and n_chains > 1
     if site_devices > 1:
-        # spatial lattice sharding: the single chain's [N, Lτ] field lives
+        # spatial lattice sharding: each chain's [N, Lτ] field lives
         # partitioned over the site mesh; measurements/special updates run
-        # on the (automatically gathered) global field
+        # on the (automatically gathered) global field. With n_chains > 1
+        # the mesh is 2-D (chain × site).
         from elphdynamics_tpu.parallel.lattice_shard import (
-            build_shard_plan, make_sharded_hmc_step,
+            build_shard_plan, chain_site_mesh, make_sharded_hmc_step,
             make_sharded_langevin_step, make_sharded_ssh_hmc_step,
             make_sharded_ssh_langevin_step, site_mesh)
         plan = build_shard_plan(ops.spec.ckb, site_devices)
-        smesh = site_mesh(site_devices)
+        if combined:
+            if setup.dynamics_type != "hmc":
+                raise NotImplementedError(
+                    "combined chain × site sharding supports HMC only")
+            smesh = chain_site_mesh(max(n_devices, 1), site_devices)
+        else:
+            smesh = site_mesh(site_devices)
 
         from jax.sharding import NamedSharding, PartitionSpec as _P
         _rep = NamedSharding(smesh, _P())
         # Holstein shards the [N, Lτ] site field; SSH keeps the bond-phonon
         # field replicated (the sharded state is the electron vectors inside
-        # the step) — see parallel/lattice_shard.py
-        _xsh = (NamedSharding(smesh, _P("site", None)) if ops.is_holstein
-                else _rep)
+        # the step) — see parallel/lattice_shard.py. With a leading chain
+        # axis (combined mode) that axis shards over 'chain'.
+        if combined:
+            _xsh = NamedSharding(
+                smesh, _P("chain", "site", None) if ops.is_holstein
+                else _P("chain"))
+            _ksh = NamedSharding(smesh, _P("chain"))
+        else:
+            _xsh = (NamedSharding(smesh, _P("site", None)) if ops.is_holstein
+                    else _rep)
+            _ksh = _rep
 
         def _adapt(raw_step):
             def step(params, state, key):
@@ -186,7 +203,7 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
                 params = jax.tree.map(
                     lambda a: jax.device_put(a, _rep) if a is not None else a,
                     params)
-                key = jax.device_put(key, _rep)
+                key = jax.device_put(key, _ksh)
                 x = jax.device_put(state.x, _xsh)
                 v = jax.device_put(state.v, _xsh)
                 x, v, stats, key = raw_step(params, x, v, key)
@@ -199,12 +216,13 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
         if setup.dynamics_type == "hmc":
             _maker = (make_sharded_hmc_step if ops.is_holstein
                       else make_sharded_ssh_hmc_step)
+            _ca = "chain" if combined else None
             sim_step = _adapt(_maker(
                 ops.spec, plan, smesh, setup.fa_mass, setup.hmc_cfg,
-                kpm_cfg=setup.kpm_cfg))
+                kpm_cfg=setup.kpm_cfg, chains_axis=_ca))
             burnin_step = _adapt(_maker(
                 ops.spec, plan, smesh, setup.fa_mass, setup.hmc_burnin_cfg,
-                kpm_cfg=setup.kpm_cfg))
+                kpm_cfg=setup.kpm_cfg, chains_axis=_ca))
         else:
             _lmaker = (make_sharded_langevin_step if ops.is_holstein
                        else make_sharded_ssh_langevin_step)
@@ -265,8 +283,14 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
                 check_vma=False,
             ))
 
-        sim_step_j = _sharded(sim_step)
-        burnin_step_j = _sharded(burnin_step)
+        if combined:
+            # the chain×site-sharded steps are already jitted, chain-batched
+            # shard_map programs over the 2-D mesh
+            sim_step_j = sim_step
+            burnin_step_j = burnin_step
+        else:
+            sim_step_j = _sharded(sim_step)
+            burnin_step_j = _sharded(burnin_step)
         _mstep_v = jax.vmap(mstep, in_axes=(None, 0, 0))
 
         def _mstep_mean(params, x, keys):

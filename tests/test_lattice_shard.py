@@ -545,3 +545,83 @@ def test_site_sharded_langevin_driver_matches_unsharded(tmp_path):
         g8 = {l.split()[0]: float(l.split()[1]) for l in open(f8)}
         for k in g1:
             assert abs(g1[k] - g8[k]) < 1e-5, (b, k, g1[k], g8[k])
+
+
+def test_chain_site_2d_mesh_hmc():
+    """2-D (chain × site) mesh: 2 chains × 4 site shards over 8 virtual
+    devices. Each chain's trajectory must match the 1-chain unsharded step
+    with the same key (chain axis is pure data parallel)."""
+    from elphdynamics_tpu.dynamics.hmc import HMCConfig, HMCState, make_hmc_step
+    from elphdynamics_tpu.ops.fourier_accel import build_mass
+    from elphdynamics_tpu.parallel.lattice_shard import (
+        chain_site_mesh, make_sharded_hmc_step)
+
+    Dc, Ds = 2, 4
+    assert jax.device_count() >= Dc * Ds
+    spec, params, ops = _build(L=8, beta=1.0, dtau=0.1, lam=0.8)
+    plan = build_shard_plan(spec.ckb, Ds)
+    mesh = chain_site_mesh(Dc, Ds)
+    mass = build_mass(np.asarray(params.omega), spec.dtau, spec.Ltau,
+                      [dict(omega_min=0.0, omega_max=10.0, mass=0.5)])
+    cfg = HMCConfig(dt=0.1, trajectory_time=0.3, Nb=1, tol=1e-10, maxiter=3000)
+
+    ref_step = jax.jit(make_hmc_step(ops, mass, cfg, precond=None))
+    sh_step = make_sharded_hmc_step(spec, plan, mesh, mass, cfg,
+                                    chains_axis="chain")
+
+    n_chains = 4   # 2 per chain-shard
+    keys = jax.random.split(jax.random.PRNGKey(71), n_chains)
+    xs = 0.3 * jax.random.normal(jax.random.PRNGKey(18),
+                                 (n_chains, spec.Nph, spec.Ltau))
+    vs = 0.1 * jax.random.normal(jax.random.PRNGKey(19),
+                                 (n_chains, spec.Nph, spec.Ltau))
+
+    x_sh, v_sh, stats, _ = sh_step(params, xs, vs, keys)
+    assert len(x_sh.sharding.device_set) == Dc * Ds
+
+    for c in range(n_chains):
+        ref_state, ref_stats, _ = ref_step(
+            params, HMCState(x=xs[c], v=vs[c]), keys[c])
+        assert bool(stats["accepted"][c]) == bool(ref_stats.accepted), c
+        assert abs(float(stats["delta_H"][c])
+                   - float(ref_stats.delta_H)) < 1e-6, c
+        np.testing.assert_allclose(np.asarray(x_sh[c]),
+                                   np.asarray(ref_state.x),
+                                   rtol=1e-6, atol=1e-8)
+
+
+def test_combined_chain_site_driver(tmp_path):
+    """`--chains 4 --devices 2 --site-devices 4`: the full driver on a 2-D
+    (chain × site) mesh reproduces the plain 4-chain single-device run."""
+    import copy
+    import os
+
+    from elphdynamics_tpu.simulation import simulate
+    from test_simulation_driver import BASE_CFG
+
+    cfg = copy.deepcopy(BASE_CFG)
+    cfg["lattice"]["L"] = 4
+    cfg["hmc"]["burnin_updates"] = 2
+    cfg["hmc"]["simulation_updates"] = 4
+    cfg["hmc"].pop("reflection_update")
+    cfg["hmc"].pop("swap_update")
+    cfg["simulation"]["num_bins"] = 2
+    cfg["simulation"]["write_M_matrix"] = False
+
+    folders = {}
+    for sub, (nd, sd) in (("one", (1, 1)), ("mesh2d", (2, 4))):
+        cfg["simulation"]["filepath"] = str(tmp_path / sub)
+        os.makedirs(str(tmp_path / sub), exist_ok=True)
+        stats = simulate(cfg, n_chains=4, n_devices=nd, site_devices=sd)
+        assert 0.0 <= stats["acceptance_rate"] <= 1.0
+        folders[sub] = os.path.join(str(tmp_path / sub), "testrun-1")
+
+    for b in (1, 2):
+        f1 = os.path.join(folders["one"], "global_measurements_f",
+                          f"global_measurements_{b:05d}.out")
+        f8 = os.path.join(folders["mesh2d"], "global_measurements_f",
+                          f"global_measurements_{b:05d}.out")
+        g1 = {l.split()[0]: float(l.split()[1]) for l in open(f1)}
+        g8 = {l.split()[0]: float(l.split()[1]) for l in open(f8)}
+        for k in g1:
+            assert abs(g1[k] - g8[k]) < 1e-5, (b, k, g1[k], g8[k])
