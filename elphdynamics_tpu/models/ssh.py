@@ -190,8 +190,13 @@ def build_ssh(
                     if primary[sb_ + k] == sb_ + k:
                         primary[sb_ + k] = primary[sa + k]
 
-    # dense per-τ fast path, gated on the [Lτ, N, N] memory footprint
-    dense_ckb = nb > 0 and Ltau * N * N <= 8_000_000
+    # Per-τ dense exp(−Δτ·K[x(τ)]) path: OFF by default. The per-(chain,τ)
+    # matrices make every apply a batched MATVEC — measured 4-6× slower than
+    # the group fold on v5e at 8×8/16×16 (172 vs 971 sweeps/s; the fold is
+    # pure gather+FMA over ngroups passes). The densifier (dense_K) remains
+    # for write_K_matrix and testing; the KPM averaged operator keeps its
+    # own single-slice densification (ops/kpm._dense_avg), which IS a win.
+    dense_ckb = False
     spec = SSHSpec(
         lattice=lattice,
         beta=float(beta),
