@@ -52,6 +52,10 @@ class HMCConfig(NamedTuple):
     # (the `construct_guess` knob of the reference's example TOMLs — documented
     # there but never wired into its solver; implemented for real here)
     construct_guess: bool = False
+    # linear extrapolation of the two previous trajectory solutions as the
+    # warm start (2z₁ − z₀); the solution moves smoothly along the leapfrog
+    # so the predicted point starts CG closer than the last solution alone
+    guess_order: int = 1
 
     @property
     def Nt(self) -> int:
@@ -226,7 +230,7 @@ def make_hmc_step(
             return x, v
 
         def body(carry, _):
-            x, v, QdSdx, z_prev, iters, flag = carry
+            x, v, QdSdx, z_prev, z_prev2, z_prev3, z_prev4, iters, flag = carry
             ok = flag == 0
             v1 = v - cfg.dt / 2 * QdSdx
             if cfg.Nb == 1:
@@ -235,8 +239,19 @@ def make_hmc_step(
                 x1, v1 = boson_substeps(x, v1)
             d1 = ops.derived(params, x1)
             Lphi1, _ = lam_phi(params, x1, phi)
+            # polynomial forward extrapolation (binomial coefficients of
+            # Δ^k applied at the next node)
+            if cfg.guess_order >= 4:
+                guess = (4.0 * z_prev - 6.0 * z_prev2 + 4.0 * z_prev3
+                         - z_prev4)
+            elif cfg.guess_order == 3:
+                guess = 3.0 * z_prev - 3.0 * z_prev2 + z_prev3
+            elif cfg.guess_order == 2:
+                guess = 2.0 * z_prev - z_prev2
+            else:
+                guess = z_prev
             z1, it1, fl1 = solve_O(params, x1, d1, Lphi1, tol1, pstate,
-                                   z_guess=z_prev)
+                                   z_guess=guess)
             dS1 = forces(params, x1, d1, phi, z1)
             Qd1 = qf(dS1)
             v1 = v1 - cfg.dt / 2 * Qd1
@@ -244,6 +259,9 @@ def make_hmc_step(
             x = jnp.where(ok, x1, x)
             v = jnp.where(ok, v1, v)
             QdSdx = jnp.where(ok, Qd1, QdSdx)
+            z_prev4 = jnp.where(ok, z_prev3, z_prev4)
+            z_prev3 = jnp.where(ok, z_prev2, z_prev3)
+            z_prev2 = jnp.where(ok, z_prev, z_prev2)
             z_prev = jnp.where(ok, z1, z_prev)
             iters = iters + jnp.where(ok, it1, 0)
             flag = jnp.maximum(flag, jnp.where(ok, fl1, 0))
@@ -255,10 +273,12 @@ def make_hmc_step(
                 ys = (S_t + K_t, S_t, K_t, it1)
             else:
                 ys = None
-            return (x, v, QdSdx, z_prev, iters, flag), ys
+            return (x, v, QdSdx, z_prev, z_prev2, z_prev3, z_prev4,
+                    iters, flag), ys
 
-        (x1, v1, _, z_last, iters, flag), traj = lax.scan(
-            body, (x0, v0, QdSdx0, z0, it0, flag0), None, length=cfg.Nt
+        (x1, v1, _, z_last, _, _, _, iters, flag), traj = lax.scan(
+            body, (x0, v0, QdSdx0, z0, z0, z0, z0, it0, flag0), None,
+            length=cfg.Nt
         )
 
         # --- final endpoint solve (tol²) + Metropolis (HMC.jl:431-472)

@@ -250,7 +250,8 @@ def build_setup(cfg: dict, datafolder: str, dtype=None) -> SimulationSetup:
                             tol=solver_cfg.tol, maxiter=solver_cfg.maxiter,
                             solver_kind=solver_cfg.kind, restart=solver_cfg.restart,
                             log_verbose=bool(h.get("verbose", False)),
-                            construct_guess=bool(h.get("construct_guess", False)))
+                            construct_guess=bool(h.get("construct_guess", False)),
+                            guess_order=int(h.get("guess_order", 3)))
         b = h.get("burnin", {})
         hmc_burnin_cfg = HMCConfig(
             dt=b.get("dt", h["dt"]),
@@ -261,7 +262,8 @@ def build_setup(cfg: dict, datafolder: str, dtype=None) -> SimulationSetup:
             tol=solver_cfg.tol, maxiter=solver_cfg.maxiter,
             solver_kind=solver_cfg.kind, restart=solver_cfg.restart,
             log_verbose=bool(h.get("verbose", False)),
-            construct_guess=bool(h.get("construct_guess", False)))
+            construct_guess=bool(h.get("construct_guess", False)),
+            guess_order=int(h.get("guess_order", 3)))
         if "reflection_update" in h and model_type == "holstein":
             reflect_cfg = SpecialUpdateConfig(
                 freq=h["reflection_update"]["freq"],
