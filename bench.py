@@ -36,7 +36,7 @@ def _build_step():
                       [dict(omega_min=0.0, omega_max=10.0, mass=0.5)])
     cfg = HMCConfig(dt=0.05, trajectory_time=1.0, Nb=4, tol=1e-5, maxiter=500,
                     construct_guess=True, guess_order=3)
-    precond = kpm.make_symmetric_precond(ops, kpm.KPMConfig(max_order=8))
+    precond = kpm.make_symmetric_precond(ops, kpm.KPMConfig(max_order=4))
     step = make_hmc_step(ops, mass, cfg, precond)
     return ops, params, spec, step
 
