@@ -730,7 +730,7 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
 
         # --- batched-over-spin preconditioned CG for MᵀM (psum dots;
         # spins share one convergence scalar — a simplicity trade)
-        def solve_O(env, rhs, tol, kst=None):
+        def solve_O(env, rhs, tol, kst=None, x0=None):
             def A(v):
                 return mulMTM(env, v)
 
@@ -738,7 +738,7 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
                        else (lambda v: v))
             normb = jnp.sqrt(pdot(rhs, rhs))
             safe = jnp.where(normb > 0, normb, 1.0)
-            r = rhs - 0.0
+            r = rhs if x0 is None else rhs - A(x0)
             z = P_apply(r)
             p = z
             rdotz = pdot(r, z)
@@ -772,8 +772,9 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
 
             j, xs, r, p, rdotz, done = lax.while_loop(
                 cond, body,
-                (jnp.asarray(0), jnp.zeros_like(rhs), r, p, rdotz,
-                 jnp.asarray(False)))
+                (jnp.asarray(0),
+                 jnp.zeros_like(rhs) if x0 is None else x0,
+                 r, p, rdotz, jnp.asarray(False)))
             # residual verification (flag per Models.jl ladder)
             err = jnp.sqrt(pdot(A(xs) - rhs, A(xs) - rhs)) / safe
             flag = jnp.where(err > jnp.sqrt(tol), 1, 0)
@@ -799,11 +800,25 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
                if kpm_cfg is not None else None)
 
         tol1, tol2 = cfg.tol, cfg.tol ** 2
+        use_guess = bool(getattr(cfg, "construct_guess", False))
+        g_ord = int(getattr(cfg, "guess_order", 1))
 
-        def S_and_z(x, env, tol):
+        def _guess(zp, zp2, zp3):
+            """Warm-start extrapolation of the previous trajectory solves
+            (hmc.py's construct_guess/guess_order, applied shard-locally)."""
+            if not use_guess:
+                return None
+            if g_ord >= 3:
+                return 3.0 * zp - 3.0 * zp2 + zp3
+            if g_ord == 2:
+                return 2.0 * zp - zp2
+            return zp
+
+        def S_and_z(x, env, tol, x0=None):
             Lam = calc_Lam(x)
             Lphi = mulLambda(Lam, phi)
-            z, it, flag = solve_O(env, Lphi, tol, kst)
+            z, it, flag = solve_O(env, Lphi, tol, kst,
+                                  x0=x0 if use_guess else None)
             Sf = pdot(Lphi, z) / 2
             return Lphi, z, Sf + calc_Sb(x), it, flag
 
@@ -848,7 +863,7 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
             return x, v
 
         def body(carry, _):
-            x, v, Qd, iters, flag = carry
+            x, v, Qd, zp, zp2, zp3, iters, flag = carry
             ok = flag == 0
             v1 = v - cfg.dt / 2 * Qd
             if cfg.Nb == 1:
@@ -858,21 +873,25 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
             env1 = env_of(x1)
             Lam1 = calc_Lam(x1)
             Lphi1 = mulLambda(Lam1, phi)
-            z1, it1, fl1 = solve_O(env1, Lphi1, tol1, kst)
+            z1, it1, fl1 = solve_O(env1, Lphi1, tol1, kst,
+                                   x0=_guess(zp, zp2, zp3))
             Qd1 = qf(forces(x1, env1, z1))
             v1 = v1 - cfg.dt / 2 * Qd1
             x = jnp.where(ok, x1, x)
             v = jnp.where(ok, v1, v)
             Qd = jnp.where(ok, Qd1, Qd)
+            zp3 = jnp.where(ok, zp2, zp3)
+            zp2 = jnp.where(ok, zp, zp2)
+            zp = jnp.where(ok, z1, zp)
             iters = iters + jnp.where(ok, it1, 0)
             flag = jnp.maximum(flag, jnp.where(ok, fl1, 0))
-            return (x, v, Qd, iters, flag), None
+            return (x, v, Qd, zp, zp2, zp3, iters, flag), None
 
-        (x1, v1, _, iters, flag), _ = lax.scan(
-            body, (x_loc, v0, Qd0, it0, flag0), None, length=Nt)
+        (x1, v1, _, z_last, _, _, iters, flag), _ = lax.scan(
+            body, (x_loc, v0, Qd0, z0, z0, z0, it0, flag0), None, length=Nt)
 
         env1 = env_of(x1)
-        Lphi1, z1, S1, it2, fl2 = S_and_z(x1, env1, tol2)
+        Lphi1, z1, S1, it2, fl2 = S_and_z(x1, env1, tol2, x0=z_last)
         iters = iters + it2
         flag = jnp.maximum(flag, fl2)
         H1 = S1 + calc_K(v1)
@@ -1168,7 +1187,7 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
         else:
             kpm_setup = kpm_make_apply = None
 
-        def solve_O(coeffs, rhs, tol, kst=None):
+        def solve_O(coeffs, rhs, tol, kst=None, x0=None):
             def A(v):
                 return mulMT(coeffs, mulM(coeffs, v))
 
@@ -1176,7 +1195,7 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
                        else (lambda v: v))
             normb = jnp.sqrt(pdot(rhs, rhs))
             safe = jnp.where(normb > 0, normb, 1.0)
-            r = rhs - 0.0
+            r = rhs if x0 is None else rhs - A(x0)
             z = P_apply(r)
             p = z
             rdotz = pdot(r, z)
@@ -1207,8 +1226,9 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
 
             j, xs, r, p, rdotz, done = lax.while_loop(
                 cond, body,
-                (jnp.asarray(0), jnp.zeros_like(rhs), r, p, rdotz,
-                 jnp.asarray(False)))
+                (jnp.asarray(0),
+                 jnp.zeros_like(rhs) if x0 is None else x0,
+                 r, p, rdotz, jnp.asarray(False)))
             err = jnp.sqrt(pdot(A(xs) - rhs, A(xs) - rhs)) / safe
             flag = jnp.where(err > jnp.sqrt(tol), 1, 0)
             return xs, j, flag
@@ -1228,9 +1248,21 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
                if kpm_cfg is not None else None)
 
         tol1, tol2 = cfg.tol, cfg.tol ** 2
+        use_guess = bool(getattr(cfg, "construct_guess", False))
+        g_ord = int(getattr(cfg, "guess_order", 1))
 
-        def S_of(x, coeffs, tol):
-            z, it, flag = solve_O(coeffs, phi, tol, kst)
+        def _guess(zp, zp2, zp3):
+            if not use_guess:
+                return None
+            if g_ord >= 3:
+                return 3.0 * zp - 3.0 * zp2 + zp3
+            if g_ord == 2:
+                return 2.0 * zp - zp2
+            return zp
+
+        def S_of(x, coeffs, tol, x0=None):
+            z, it, flag = solve_O(coeffs, phi, tol, kst,
+                                  x0=x0 if use_guess else None)
             Sf = pdot(phi, z) / 2
             return z, Sf + calc_Sb(x), it, flag
 
@@ -1273,7 +1305,7 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
             return x, v
 
         def body(carry, _):
-            x, v, Qd, iters, flag = carry
+            x, v, Qd, zp, zp2, zp3, iters, flag = carry
             ok = flag == 0
             v1 = v - cfg.dt / 2 * Qd
             if cfg.Nb == 1:
@@ -1281,21 +1313,25 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
             else:
                 x1, v1 = boson_substeps(x, v1)
             coeffs1 = coeffs_of(x1)
-            z1, it1, fl1 = solve_O(coeffs1, phi, tol1, kst)
+            z1, it1, fl1 = solve_O(coeffs1, phi, tol1, kst,
+                                   x0=_guess(zp, zp2, zp3))
             Qd1 = qf(forces(x1, coeffs1, z1))
             v1 = v1 - cfg.dt / 2 * Qd1
             x = jnp.where(ok, x1, x)
             v = jnp.where(ok, v1, v)
             Qd = jnp.where(ok, Qd1, Qd)
+            zp3 = jnp.where(ok, zp2, zp3)
+            zp2 = jnp.where(ok, zp, zp2)
+            zp = jnp.where(ok, z1, zp)
             iters = iters + jnp.where(ok, it1, 0)
             flag = jnp.maximum(flag, jnp.where(ok, fl1, 0))
-            return (x, v, Qd, iters, flag), None
+            return (x, v, Qd, zp, zp2, zp3, iters, flag), None
 
-        (x1, v1, _, iters, flag), _ = lax.scan(
-            body, (x, v0, Qd0, it0, flag0), None, length=Nt)
+        (x1, v1, _, z_last, _, _, iters, flag), _ = lax.scan(
+            body, (x, v0, Qd0, z0, z0, z0, it0, flag0), None, length=Nt)
 
         coeffs1 = coeffs_of(x1)
-        z1, S1, it2, fl2 = S_of(x1, coeffs1, tol2)
+        z1, S1, it2, fl2 = S_of(x1, coeffs1, tol2, x0=z_last)
         iters = iters + it2
         flag = jnp.maximum(flag, fl2)
         H1 = S1 + calc_K(v1)

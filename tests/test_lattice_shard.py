@@ -625,3 +625,36 @@ def test_combined_chain_site_driver(tmp_path):
         g8 = {l.split()[0]: float(l.split()[1]) for l in open(f8)}
         for k in g1:
             assert abs(g1[k] - g8[k]) < 1e-5, (b, k, g1[k], g8[k])
+
+
+def test_sharded_hmc_warm_start_matches_unsharded():
+    """construct_guess + quadratic extrapolation inside the sharded step:
+    same guess formula and RNG as the unsharded path → same trajectory."""
+    from elphdynamics_tpu.dynamics.hmc import HMCConfig, HMCState, make_hmc_step
+    from elphdynamics_tpu.ops.fourier_accel import build_mass
+    from elphdynamics_tpu.parallel.lattice_shard import make_sharded_hmc_step
+
+    D = 4
+    assert jax.device_count() >= D
+    spec, params, ops = _build(L=8, beta=1.0, dtau=0.1, lam=0.8)
+    plan = build_shard_plan(spec.ckb, D)
+    mesh = site_mesh(D)
+    mass = build_mass(np.asarray(params.omega), spec.dtau, spec.Ltau,
+                      [dict(omega_min=0.0, omega_max=10.0, mass=0.5)])
+    cfg = HMCConfig(dt=0.1, trajectory_time=0.5, Nb=1, tol=1e-10, maxiter=3000,
+                    construct_guess=True, guess_order=3)
+
+    ref_step = jax.jit(make_hmc_step(ops, mass, cfg, precond=None))
+    sh_step = make_sharded_hmc_step(spec, plan, mesh, mass, cfg)
+
+    key = jax.random.PRNGKey(81)
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(20), (spec.Nph, spec.Ltau))
+    v = 0.1 * jax.random.normal(jax.random.PRNGKey(22), (spec.Nph, spec.Ltau))
+
+    ref_state, ref_stats, _ = ref_step(params, HMCState(x=x, v=v), key)
+    xs, vs, stats, _ = sh_step(params, x, v, key)
+
+    assert bool(stats["accepted"]) == bool(ref_stats.accepted)
+    assert abs(float(stats["delta_H"]) - float(ref_stats.delta_H)) < 1e-6
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(ref_state.x),
+                               rtol=1e-6, atol=1e-8)
