@@ -433,35 +433,8 @@ def make_sharded_holstein_solver(model_spec, plan: ShardPlan, mesh: Mesh):
 
     def solve_local(params, env_loc, b_loc, tol, maxiter):
         mulM, mulMT = local_ops(params, env_loc)
-
-        def A(v):
-            return mulMT(mulM(v))
-
-        rhs = mulMT(b_loc)
-        normb = jnp.sqrt(pdot(rhs, rhs))
-        safe = jnp.where(normb > 0, normb, 1.0)
-        x = jnp.zeros_like(rhs)
-        r = rhs
-        p = r
-        rdot = pdot(r, r)
-
-        def cond(st):
-            j, x, r, p, rdot, done = st
-            return (j < maxiter) & ~done
-
-        def body(st):
-            j, x, r, p, rdot, done = st
-            Ap = A(p)
-            alpha = rdot / pdot(p, Ap)
-            x = x + alpha * p
-            r = r - alpha * Ap
-            rdot_new = pdot(r, r)
-            done = jnp.sqrt(rdot_new) / safe < tol
-            p = r + (rdot_new / rdot) * p
-            return (j + 1, x, r, p, rdot_new, done)
-
-        j, x, r, p, rdot, done = lax.while_loop(
-            cond, body, (jnp.asarray(0), x, r, p, rdot, jnp.asarray(False)))
+        x, j, _ = _cg_local(lambda v: mulMT(mulM(v)), mulMT(b_loc), tol,
+                            maxiter, pdot)
         return x, j
 
     def solve(params, env, b, tol=1e-5, maxiter=1000):
@@ -731,54 +704,9 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
         # --- batched-over-spin preconditioned CG for MᵀM (psum dots;
         # spins share one convergence scalar — a simplicity trade)
         def solve_O(env, rhs, tol, kst=None, x0=None):
-            def A(v):
-                return mulMTM(env, v)
-
-            P_apply = (kpm_make_apply(kst, env) if kst is not None
-                       else (lambda v: v))
-            normb = jnp.sqrt(pdot(rhs, rhs))
-            safe = jnp.where(normb > 0, normb, 1.0)
-            r = rhs if x0 is None else rhs - A(x0)
-            z = P_apply(r)
-            p = z
-            rdotz = pdot(r, z)
-
-            def cond(st):
-                j, xs, r, p, rdotz, done = st
-                active = ~done
-                if chains_axis is not None:
-                    # couple the trip count across the chain axis: every
-                    # collective inside the body must execute the same
-                    # number of times on every mesh participant, or the
-                    # cross-row rendezvous deadlocks (converged rows run
-                    # masked-idle iterations, as vmapped chains do on chip)
-                    active = lax.psum(active.astype(jnp.int32),
-                                      chains_axis) > 0
-                return (j < cfg.maxiter) & active
-
-            def body(st):
-                j, xs, r, p, rdotz, done = st
-                Ap = A(p)
-                alpha = (rdotz / pdot(p, Ap)).astype(xs.dtype)
-                upd = ~done
-                xs = jnp.where(upd, xs + alpha * p, xs)
-                r = jnp.where(upd, r - alpha * Ap, r)
-                done = done | (jnp.sqrt(pdot(r, r)) / safe < tol)
-                z = P_apply(r)
-                rdotz_new = pdot(r, z)
-                p = jnp.where(upd, z + (rdotz_new / rdotz).astype(xs.dtype) * p, p)
-                rdotz = jnp.where(upd, rdotz_new, rdotz)
-                return (j + 1, xs, r, p, rdotz, done)
-
-            j, xs, r, p, rdotz, done = lax.while_loop(
-                cond, body,
-                (jnp.asarray(0),
-                 jnp.zeros_like(rhs) if x0 is None else x0,
-                 r, p, rdotz, jnp.asarray(False)))
-            # residual verification (flag per Models.jl ladder)
-            err = jnp.sqrt(pdot(A(xs) - rhs, A(xs) - rhs)) / safe
-            flag = jnp.where(err > jnp.sqrt(tol), 1, 0)
-            return xs, j, flag
+            P_apply = (kpm_make_apply(kst, env) if kst is not None else None)
+            return _cg_local(lambda v: mulMTM(env, v), rhs, tol, cfg.maxiter,
+                             pdot, P_apply, x0=x0, sync_axis=chains_axis)
 
         # --- noise in the unsharded step's exact key-split order
         key, k_v, k_p, k_acc = jax.random.split(key, 4)
@@ -1015,35 +943,8 @@ def make_sharded_ssh_solver(model_spec, plan: ShardPlan, mesh: Mesh):
         def pdot(a, b):
             return lax.psum(jnp.sum(a * b), plan.axis)
 
-        def A(v):
-            return mulMT(coeffs, mulM(coeffs, v))
-
-        rhs = mulMT(coeffs, b_loc)
-        normb = jnp.sqrt(pdot(rhs, rhs))
-        safe = jnp.where(normb > 0, normb, 1.0)
-        r = rhs
-        p = r
-        rdot = pdot(r, r)
-
-        def cond(st):
-            j, x, r, p, rdot, done = st
-            return (j < maxiter) & ~done
-
-        def body(st):
-            j, x, r, p, rdot, done = st
-            Ap = A(p)
-            alpha = rdot / pdot(p, Ap)
-            x = x + alpha * p
-            r = r - alpha * Ap
-            rdot_new = pdot(r, r)
-            done = jnp.sqrt(rdot_new) / safe < tol
-            p = r + (rdot_new / rdot) * p
-            return (j + 1, x, r, p, rdot_new, done)
-
-        j, x, *_ = lax.while_loop(
-            cond, body,
-            (jnp.asarray(0), jnp.zeros_like(rhs), r, p, rdot,
-             jnp.asarray(False)))
+        x, j, _ = _cg_local(lambda v: mulMT(coeffs, mulM(coeffs, v)),
+                            mulMT(coeffs, b_loc), tol, maxiter, pdot)
         return x, j
 
     def solve(params, coeffs, b, tol=1e-5, maxiter=1000):
@@ -1188,50 +1089,11 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
             kpm_setup = kpm_make_apply = None
 
         def solve_O(coeffs, rhs, tol, kst=None, x0=None):
-            def A(v):
-                return mulMT(coeffs, mulM(coeffs, v))
-
             P_apply = (kpm_make_apply(kst, coeffs) if kst is not None
-                       else (lambda v: v))
-            normb = jnp.sqrt(pdot(rhs, rhs))
-            safe = jnp.where(normb > 0, normb, 1.0)
-            r = rhs if x0 is None else rhs - A(x0)
-            z = P_apply(r)
-            p = z
-            rdotz = pdot(r, z)
-
-            def cond(st):
-                j, xs, r, p, rdotz, done = st
-                active = ~done
-                if chains_axis is not None:
-                    # uniform trip count across the chain axis (see the
-                    # Holstein solve_O note)
-                    active = lax.psum(active.astype(jnp.int32),
-                                      chains_axis) > 0
-                return (j < cfg.maxiter) & active
-
-            def body(st):
-                j, xs, r, p, rdotz, done = st
-                Ap = A(p)
-                alpha = (rdotz / pdot(p, Ap)).astype(xs.dtype)
-                upd = ~done
-                xs = jnp.where(upd, xs + alpha * p, xs)
-                r = jnp.where(upd, r - alpha * Ap, r)
-                done = done | (jnp.sqrt(pdot(r, r)) / safe < tol)
-                z = P_apply(r)
-                rdotz_new = pdot(r, z)
-                p = jnp.where(upd, z + (rdotz_new / rdotz).astype(xs.dtype) * p, p)
-                rdotz = jnp.where(upd, rdotz_new, rdotz)
-                return (j + 1, xs, r, p, rdotz, done)
-
-            j, xs, r, p, rdotz, done = lax.while_loop(
-                cond, body,
-                (jnp.asarray(0),
-                 jnp.zeros_like(rhs) if x0 is None else x0,
-                 r, p, rdotz, jnp.asarray(False)))
-            err = jnp.sqrt(pdot(A(xs) - rhs, A(xs) - rhs)) / safe
-            flag = jnp.where(err > jnp.sqrt(tol), 1, 0)
-            return xs, j, flag
+                       else None)
+            return _cg_local(lambda v: mulMT(coeffs, mulM(coeffs, v)), rhs,
+                             tol, cfg.maxiter, pdot, P_apply, x0=x0,
+                             sync_axis=chains_axis)
 
         # --- noise in the unsharded step's exact key-split order
         key, k_v, k_p, k_acc = jax.random.split(key, 4)
@@ -1379,38 +1241,49 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
 # sharded HMC) and psum-assembles the force.
 # ---------------------------------------------------------------------------
 
-def _cg_local(A, rhs, tol, maxiter, pdot, P_apply=None):
+def _cg_local(A, rhs, tol, maxiter, pdot, P_apply=None, x0=None,
+              sync_axis=None):
     """Shard-local preconditioned CG on the normal system (psum dots via
     ``pdot``); returns (x, iters, flag) with the residual-verification flag
-    of the Models.jl ladder."""
+    of the Models.jl ladder. ``x0`` warm-starts; ``sync_axis`` couples the
+    trip count across an extra mesh axis (2-D chain × site meshes: every
+    collective inside the body must execute the same number of times on
+    every participant or the cross-row rendezvous deadlocks — converged
+    rows run masked-idle iterations, as vmapped chains do on one chip)."""
     P_apply = P_apply or (lambda v: v)
     normb = jnp.sqrt(pdot(rhs, rhs))
     safe = jnp.where(normb > 0, normb, 1.0)
-    r = rhs - 0.0
+    r = rhs if x0 is None else rhs - A(x0)
     z = P_apply(r)
     p = z
     rdotz = pdot(r, z)
 
     def cond(st):
         j, xs, r, p, rdotz, done = st
-        return (j < maxiter) & ~done
+        active = ~done
+        if sync_axis is not None:
+            active = lax.psum(active.astype(jnp.int32), sync_axis) > 0
+        return (j < maxiter) & active
 
     def body(st):
         j, xs, r, p, rdotz, done = st
         Ap = A(p)
         alpha = (rdotz / pdot(p, Ap)).astype(xs.dtype)
-        xs = xs + alpha * p
-        r = r - alpha * Ap
-        done = jnp.sqrt(pdot(r, r)) / safe < tol
+        upd = ~done
+        xs = jnp.where(upd, xs + alpha * p, xs)
+        r = jnp.where(upd, r - alpha * Ap, r)
+        done = done | (jnp.sqrt(pdot(r, r)) / safe < tol)
         z = P_apply(r)
         rdotz_new = pdot(r, z)
-        p = z + (rdotz_new / rdotz).astype(xs.dtype) * p
-        return (j + 1, xs, r, p, rdotz_new, done)
+        p = jnp.where(upd, z + (rdotz_new / rdotz).astype(xs.dtype) * p, p)
+        rdotz = jnp.where(upd, rdotz_new, rdotz)
+        return (j + 1, xs, r, p, rdotz, done)
 
     j, xs, *_ = lax.while_loop(
         cond, body,
-        (jnp.asarray(0), jnp.zeros_like(rhs), r, p, rdotz,
-         jnp.asarray(False)))
+        (jnp.asarray(0),
+         jnp.zeros_like(rhs) if x0 is None else x0,
+         r, p, rdotz, jnp.asarray(False)))
     err = jnp.sqrt(pdot(A(xs) - rhs, A(xs) - rhs)) / safe
     flag = jnp.where(err > jnp.sqrt(tol), 1, 0)
     return xs, j, flag
