@@ -120,8 +120,9 @@ def write_key_files(datafolder: str, ops: ModelOps, mspec, container: dict):
     ):
         for kind, (td, kp) in _normalize_kinds(entries).items():
             pairs = _corr_pairs(nbase, kp if kp is not None else default_pairs)
-            arr = np.asarray(container[group][kind])
-            _, L1, L2, L3, T = arr.shape
+            # only the shape is needed — avoid a host transfer (the axon
+            # runtime cannot fetch complex buffers directly)
+            _, L1, L2, L3, T = container[group][kind].shape
             for space, lbl in (("position", "r"), ("momentum", "k")):
                 folder = os.path.join(datafolder, f"{kind}_{space}_f")
                 if not os.path.isdir(folder):

@@ -96,3 +96,59 @@ def two_site_ssh_ed(beta, omega, t, alpha, mu=0.0, omega4=0.0, nmax=40):
         "x2": avg(np.kron(x2, Iel)),
         "el_ke": el_ke,
     }
+
+
+def two_site_holstein_ed(beta, omega, t, lam, mu=0.0, nmax=10):
+    """Exact thermal averages for the two-site Holstein dimer: one phonon
+    per site, hopping t between the sites, ph-symmetric coupling
+    λxᵢ(nᵢ−1) (the sampled ensemble's Λ-shift normalisation — see
+    single_site_holstein_ed). Returns per-site density, ⟨x⟩, ⟨x²⟩, double
+    occupancy, and the bond kinetic energy ⟨−t·K⟩."""
+    a = np.diag(np.sqrt(np.arange(1, nmax)), 1)
+    xm = (a + a.T) / np.sqrt(2 * omega)
+    Iph1 = np.eye(nmax)
+    hph1 = omega * (a.T @ a + 0.5 * Iph1)
+    Hph = np.kron(hph1, Iph1) + np.kron(Iph1, hph1)
+    X1 = np.kron(xm, Iph1)
+    X2 = np.kron(Iph1, xm)
+
+    # electron sector: 2 sites × 2 spins (same operators as the SSH dimer)
+    c1 = np.zeros((4, 4))
+    c1[0, 1] = 1.0
+    c1[2, 3] = 1.0
+    c2 = np.zeros((4, 4))
+    c2[0, 2] = 1.0
+    c2[1, 3] = -1.0
+    K1 = c1.T @ c2 + c2.T @ c1
+    n1 = c1.T @ c1
+    n2 = c2.T @ c2
+    I4 = np.eye(4)
+    Kel = np.kron(K1, I4) + np.kron(I4, K1)
+    N1el = np.kron(n1, I4) + np.kron(I4, n1)
+    N2el = np.kron(n2, I4) + np.kron(I4, n2)
+    D1 = np.kron(n1, I4) @ np.kron(I4, n1)
+    D2 = np.kron(n2, I4) @ np.kron(I4, n2)
+    Nel = N1el + N2el
+    Iel = np.eye(16)
+    Iph = np.eye(nmax * nmax)
+
+    H = (np.kron(Hph, Iel)
+         - t * np.kron(Iph, Kel)
+         + lam * np.kron(X1, N1el - Iel)
+         + lam * np.kron(X2, N2el - Iel)
+         - mu * np.kron(Iph, Nel))
+    evals, evecs = np.linalg.eigh(H)
+    w = np.exp(-beta * (evals - evals.min()))
+    Z = w.sum()
+    rho = (evecs * w) @ evecs.T / Z
+
+    def avg(op):
+        return float(np.trace(rho @ op))
+
+    return {
+        "n": avg(np.kron(Iph, Nel)) / 2.0,
+        "x": avg(np.kron((X1 + X2) / 2.0, Iel)),
+        "x2": avg(np.kron((X1 @ X1 + X2 @ X2) / 2.0, Iel)),
+        "docc": avg(np.kron(Iph, (D1 + D2) / 2.0)),
+        "el_ke": avg(-t * np.kron(Iph, Kel)),
+    }

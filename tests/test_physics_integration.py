@@ -28,7 +28,8 @@ from elphdynamics_tpu.models import ssh as S
 from elphdynamics_tpu.models.adapter import make_model_ops
 from elphdynamics_tpu.ops import kpm
 from elphdynamics_tpu.ops.fourier_accel import build_Q, build_mass
-from ed_reference import single_site_holstein_ed, two_site_ssh_ed
+from ed_reference import (single_site_holstein_ed,
+                          two_site_holstein_ed, two_site_ssh_ed)
 
 FA = [dict(omega_min=0.0, omega_max=10.0, mass=1.0)]
 
@@ -224,3 +225,33 @@ def test_two_site_ssh_dimer_langevin_matches_ed():
     assert abs(dens - ed["n"]) < 0.08, (dens, ed["n"])
     assert abs(xm - ed["x"]) < 0.1, (xm, ed["x"])
     assert abs(x2m - ed["x2"]) < 0.12, (x2m, ed["x2"])
+
+
+def test_two_site_holstein_dimer_hmc_matches_ed():
+    """Two-site Holstein dimer away from half filling: sampled density,
+    ⟨x⟩, ⟨x²⟩, and double occupancy through the full HMC + estimator +
+    measurement pipeline vs exact diagonalization (validates the
+    hopping/checkerboard + Λ-shift interplay at exact level; the reference
+    has no analog test)."""
+    beta, dtau, t, omega, lam, mu = 2.0, 0.1, 1.0, 1.0, 0.6, -0.4
+    uc = UnitCell.create(1, 2, [[1.0]], [[0.0], [0.5]])
+    lat = Lattice.create(uc, 1)
+    spec, params = H.build_holstein(
+        lat, beta=beta, dtau=dtau,
+        t_assignments=[(t, 0.0, 0, 1, (0, 0, 0))],
+        omega=omega, lam=lam, mu=mu)
+    ops = make_model_ops(spec)
+    ed = two_site_holstein_ed(beta, omega, t, lam, mu=mu)
+
+    cfg = HMCConfig(dt=0.1, trajectory_time=1.0, Nb=10, tol=1e-6, maxiter=2000)
+    mspec = MeasurementSpec(nv=8)
+    res, _ = run_hmc_with_measurements(ops, params, cfg, mspec,
+                                       n_chains=24, burnin=80, nmeas=250)
+    dens = float(res["global"]["density"])
+    xm = float(np.mean(np.asarray(res["onsite"]["x"])))
+    x2m = float(np.mean(np.asarray(res["onsite"]["x2"])))
+    docc = float(np.mean(np.asarray(res["onsite"]["double_occ"])))
+    assert abs(dens - ed["n"]) < 0.08, (dens, ed["n"])
+    assert abs(xm - ed["x"]) < 0.08, (xm, ed["x"])
+    assert abs(x2m - ed["x2"]) < 0.1, (x2m, ed["x2"])
+    assert abs(docc - ed["docc"]) < 0.08, (docc, ed["docc"])
