@@ -33,6 +33,13 @@ def chain_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise RuntimeError(
+                f"chain_mesh needs {n_devices} devices, found {len(devices)}."
+                " For virtual CPU devices set XLA_FLAGS=--xla_force_host_"
+                "platform_device_count and JAX_PLATFORMS=cpu BEFORE the "
+                "first jax use — the platform cannot be switched once a "
+                "backend is initialised.")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), axis_names=("chain",))
 

@@ -139,6 +139,12 @@ def build_shard_plan(spec: CheckerboardSpec, D: int, axis: str = "site") -> Shar
 def site_mesh(D: int, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
+    if len(devices) < D:
+        raise RuntimeError(
+            f"site_mesh needs {D} devices, found {len(devices)}. For virtual "
+            "CPU devices set XLA_FLAGS=--xla_force_host_platform_device_count "
+            "and JAX_PLATFORMS=cpu BEFORE the first jax use — the platform "
+            "cannot be switched once a backend is initialised.")
     return Mesh(np.asarray(devices[:D]), axis_names=("site",))
 
 
@@ -869,6 +875,10 @@ def chain_site_mesh(n_chain: int, n_site: int, devices=None) -> Mesh:
     psum reductions ride the inner, faster dimension)."""
     if devices is None:
         devices = jax.devices()
+    if len(devices) < n_chain * n_site:
+        raise RuntimeError(
+            f"chain_site_mesh needs {n_chain * n_site} devices, found "
+            f"{len(devices)} (see site_mesh on virtual-device setup)")
     devs = np.asarray(devices[: n_chain * n_site]).reshape(n_chain, n_site)
     return Mesh(devs, axis_names=("chain", "site"))
 
