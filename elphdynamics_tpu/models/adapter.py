@@ -16,7 +16,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any, Callable
 
-import numpy as np
 
 from elphdynamics_tpu.models import holstein as Hm
 from elphdynamics_tpu.models import ssh as Sm

@@ -417,9 +417,14 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
         chain_keys = place(chain_keys)
     t_ckpt = time.time()
 
-    def maybe_checkpoint(bstart, sstart, force=False):
+    def maybe_checkpoint(bstart, sstart, force=False, min_interval=None):
+        """``min_interval`` throttles the reference's every-bin-boundary
+        checkpoint (RunSimulation.jl:271-277): with many short bins the
+        host-transfer cost dominated write_time; skipping a bin-boundary
+        checkpoint only means a crash replays those deterministic bins."""
         nonlocal t_ckpt
-        if force or (time.time() - t_ckpt) > sp.chckpnt_freq_s:
+        interval = sp.chckpnt_freq_s if min_interval is None else min_interval
+        if force or (time.time() - t_ckpt) > interval:
             t0 = time.time()
             ckpt.save_checkpoint(
                 datafolder, x=state.x, v=state.v, key=chain_keys, params=params,
@@ -580,7 +585,8 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
                 out_io.write_bin(datafolder, processed, bin_idx, ops)
                 sim_stats["write_time"] += time.time() - t0
                 container = zero_container(ops, setup.mspec)
-                maybe_checkpoint(sp.burnin, n + 1, force=True)
+                maybe_checkpoint(sp.burnin, n + 1,
+                                 min_interval=min(10.0, sp.chckpnt_freq_s))
 
     # ---- finalize (RunSimulation.jl:282-306; SimulationSummary.jl:23-140)
     total = sp.burnin + sp.nsteps

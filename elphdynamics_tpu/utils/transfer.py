@@ -72,8 +72,51 @@ def _reshape_dev(flat_dev, shape):
     return jax.jit(lambda v: v.reshape(shape))(flat_dev)
 
 
+@jax.jit
+def _pack_tree_flat(leaves):
+    """Concatenate every leaf (complex → interleaved re/im) into ONE flat
+    real buffer — a single host fetch replaces one round trip per leaf
+    (the per-leaf axon transfer latency dominated write_time at many-bin
+    cadence). The packing dtype is the widest real dtype present."""
+    wide = any(jnp.asarray(a).dtype in (jnp.float64, jnp.complex128)
+               for a in leaves)
+    dt = jnp.float64 if wide else jnp.float32
+    parts = []
+    for a in leaves:
+        a = jnp.asarray(a)
+        if jnp.iscomplexobj(a):
+            parts.append(jnp.stack([jnp.real(a), jnp.imag(a)],
+                                   axis=-1).reshape(-1).astype(dt))
+        else:
+            parts.append(a.reshape(-1).astype(dt))
+    return jnp.concatenate(parts)
+
+
 def tree_to_host(tree):
-    return jax.tree.map(device_to_host, tree)
+    leaves, treedef = jax.tree.flatten(tree)
+    if not leaves or all(isinstance(a, np.ndarray) or np.isscalar(a)
+                         for a in leaves):
+        return tree
+    if not all(jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+               or jnp.issubdtype(jnp.asarray(a).dtype, jnp.complexfloating)
+               for a in leaves):
+        # non-float leaves (ints/bools): per-leaf fallback
+        return jax.tree.map(device_to_host, tree)
+    flat = np.asarray(_pack_tree_flat(leaves))
+    out = []
+    pos = 0
+    for a in leaves:
+        shape = np.shape(a)
+        n = int(np.prod(shape)) if shape else 1
+        if np.iscomplexobj(a):
+            seg = flat[pos:pos + 2 * n]
+            out.append((seg[0::2] + 1j * seg[1::2]).reshape(shape))
+            pos += 2 * n
+        else:
+            dt = np.dtype(jnp.asarray(a).dtype)
+            out.append(flat[pos:pos + n].reshape(shape).astype(dt))
+            pos += n
+    return jax.tree.unflatten(treedef, out)
 
 
 def tree_to_device(tree):
