@@ -44,16 +44,26 @@ def _unflatten(flat):
 
 def save_checkpoint(datafolder: str, *, x, v, key, params, container,
                     counters: dict, sim_stats: dict, mu_tuner_state: dict):
-    from elphdynamics_tpu.utils.transfer import device_to_host
+    # fetch the whole float/complex state in ONE packed host transfer —
+    # per-leaf transfers cost a full axon round trip each and dominated the
+    # checkpoint cadence (~30 leaves per save)
+    from elphdynamics_tpu.utils.transfer import tree_to_host
 
+    batched = tree_to_host({
+        "x": x, "v": v,
+        "params": {k: val for k, val in params._asdict().items()
+                   if val is not None},
+        "container": container,
+    })
     arrays = {
-        "x": device_to_host(x),
-        "v": device_to_host(v),
+        "x": np.asarray(batched["x"]),
+        "v": np.asarray(batched["v"]),
         "key": np.asarray(key),
     }
-    arrays.update({f"params/{k}": device_to_host(val)
-                   for k, val in params._asdict().items() if val is not None})
-    arrays.update({f"container/{k}": v for k, v in _flatten(container).items()})
+    arrays.update({f"params/{k}": np.asarray(v)
+                   for k, v in batched["params"].items()})
+    arrays.update({f"container/{k}": v
+                   for k, v in _flatten(batched["container"]).items()})
     tmp = os.path.join(datafolder, "checkpoint_tmp.npz")  # np.savez appends .npz
     np.savez(tmp, **arrays)
     os.replace(tmp, os.path.join(datafolder, "checkpoint.npz"))
