@@ -408,6 +408,53 @@ def ckb_inverse_mul_local(plan, cosh_b, sinh_b, v_loc):
 # HolsteinModels.jl:569-684; CG: IterativeSolvers.jl:153-234)
 # ---------------------------------------------------------------------------
 
+
+def _holstein_kpm_ops(plan: ShardPlan, params):
+    """Averaged-operator triple builder for the sharded Holstein KPM
+    (constant hopping tables, per-solve τ-mean of exp(−Δτ·V))."""
+    def ops_of(env_loc):
+        expnV_bar = jnp.mean(env_loc, axis=-1)
+
+        def mulA(v):
+            return ckb_mul_local(plan, params.cosht, params.sinht,
+                                 expnV_bar[:, None] * v)
+
+        def mulA_T(v):
+            return expnV_bar[:, None] * ckb_transpose_mul_local(
+                plan, params.cosht, params.sinht, v)
+
+        def mulA_inv(v):
+            return ckb_inverse_mul_local(
+                plan, params.cosht, params.sinht, v) / expnV_bar[:, None]
+
+        return mulA, mulA_T, mulA_inv
+
+    return ops_of
+
+
+def _ssh_kpm_ops(plan: ShardPlan, expmu_loc):
+    """Averaged-operator triple builder for the sharded SSH KPM (τ-means of
+    the time-dependent coefficients; exp(+Δτμ) diagonal)."""
+    def ops_of(env):
+        cosh_b, sinh_b = env
+        cosh_bar = jnp.mean(cosh_b, axis=-1)
+        sinh_bar = jnp.mean(sinh_b, axis=-1)
+        ex = expmu_loc(cosh_b.dtype)
+
+        def mulA(v):
+            return ckb_mul_local(plan, cosh_bar, sinh_bar, ex * v)
+
+        def mulA_T(v):
+            return ex * ckb_transpose_mul_local(plan, cosh_bar, sinh_bar, v)
+
+        def mulA_inv(v):
+            return ckb_inverse_mul_local(plan, cosh_bar, sinh_bar, v) / ex
+
+        return mulA, mulA_T, mulA_inv
+
+    return ops_of
+
+
 def make_sharded_holstein_solver(model_spec, plan: ShardPlan, mesh: Mesh):
     """Build ``solve(params, env, b) -> (x, iters)`` solving MᵀM·x = Mᵀ·b with
     the site axis sharded over ``mesh``. ``env``/fields enter as full global
@@ -684,26 +731,9 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
         # --- sharded symmetric KPM preconditioner (optional): full spectral
         # setup once per update, averaged-operator refresh per solve
         if kpm_cfg is not None:
-            def _kpm_ops_of(env_loc):
-                expnV_bar = jnp.mean(env_loc, axis=-1)
-
-                def mulA(v):
-                    return ckb_mul_local(plan, params.cosht, params.sinht,
-                                         expnV_bar[:, None] * v)
-
-                def mulA_T(v):
-                    return expnV_bar[:, None] * ckb_transpose_mul_local(
-                        plan, params.cosht, params.sinht, v)
-
-                def mulA_inv(v):
-                    return ckb_inverse_mul_local(
-                        plan, params.cosht, params.sinht, v) \
-                        / expnV_bar[:, None]
-
-                return mulA, mulA_T, mulA_inv
-
             kpm_setup, kpm_make_apply = _kpm_local(
-                plan, kpm_cfg, Ltau, N, x_loc.dtype, plan.axis, _kpm_ops_of)
+                plan, kpm_cfg, Ltau, N, x_loc.dtype, plan.axis,
+                _holstein_kpm_ops(plan, params))
         else:
             kpm_setup = kpm_make_apply = None
 
@@ -982,6 +1012,49 @@ def make_sharded_ssh_solver(model_spec, plan: ShardPlan, mesh: Mesh):
     return solve, _wrap_mul("M"), _wrap_mul("MT")
 
 
+
+def _ssh_muldmdx_builder(model_spec, plan: ShardPlan, ph_of_site, ph_mask,
+                         expmu_loc, params):
+    """Shard-local slice of the SSH uᵀ(∂M/∂x)v group-fold walk
+    (SSHModels.jl:707-829) scattered onto the FULL [.., Nph, Lτ] array
+    (pre-psum). Carries b ← G_g b and c ← G_g⁻¹ c; within a group the
+    partner's updated value is locally reconstructible (the 2×2 bond
+    rotation is shared), so no second halo fetch is needed."""
+    Ltau = model_spec.Ltau
+    Nph = model_spec.Nph
+    dtau = model_spec.dtau
+
+    def muldmdx_partial(coeffs, x_full, u_loc, v_loc):
+        d = lax.axis_index(plan.axis)
+        cosh_b, sinh_b = coeffs
+        b = expmu_loc(v_loc.dtype) * jnp.roll(v_loc, 1, axis=-1)
+        c = ckb_transpose_mul_local(plan, cosh_b, sinh_b, u_loc)
+        dKdx_full = (params.alpha[:, None]
+                     + 2.0 * params.alpha2[:, None] * x_full)
+        sgn = jnp.ones(Ltau, x_full.dtype).at[0].set(-1.0)  # −sgn_first
+        batch = jnp.broadcast_shapes(u_loc.shape[:-2], v_loc.shape[:-2])
+        out = jnp.zeros(batch + (Nph, Ltau), dtype=x_full.dtype)
+        for g in range(plan.ngroups):
+            cg, sg = _group_coeffs(plan, g, cosh_b, sinh_b, b.dtype)
+            ext_b = _extend_group(plan, g, b)
+            ext_c = _extend_group(plan, g, c)
+            pl = jnp.take(jnp.asarray(plan.partner_local[g]), d, axis=0)
+            bp = jnp.take(ext_b, pl, axis=-2)
+            cp_old = jnp.take(ext_c, pl, axis=-2)
+            b_new = cg * b + sg * bp
+            cp_new = cg * cp_old - sg * c   # partner's updated c
+            c = cg * c - sg * cp_old
+            b = b_new
+            ph = jnp.take(jnp.asarray(ph_of_site[g]), d, axis=0)
+            pm = jnp.take(jnp.asarray(ph_mask[g]), d, axis=0)[:, None]
+            dk = jnp.take(dKdx_full, ph, axis=-2)
+            term = sgn * dtau * dk * cp_new * b
+            out = out.at[..., ph, :].add(jnp.where(pm, term, 0.0))
+        return out
+
+    return muldmdx_partial
+
+
 def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
                               mass_table, cfg, kpm_cfg=None,
                               chains_axis: str | None = None):
@@ -1031,39 +1104,8 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
         def tie(a):
             return jnp.take(a, prim, axis=-2)
 
-        def muldmdx_partial(coeffs, x_full, u_loc, v_loc):
-            """Shard-local slice of uᵀ(∂M/∂x)v scattered onto the FULL
-            [.., Nph, Lτ] array (pre-psum). Walks the checkerboard groups
-            carrying b ← G_g b and c ← G_g⁻¹ c; within a group the partner's
-            updated value is locally reconstructible (the 2×2 bond rotation
-            is shared), so no second halo fetch is needed."""
-            cosh_b, sinh_b = coeffs
-            b = expmu_loc(v_loc.dtype) * jnp.roll(v_loc, 1, axis=-1)
-            c = ckb_transpose_mul_local(plan, cosh_b, sinh_b, u_loc)
-            # ∂(Δτ·t')/∂x = −Δτ(α + 2α₂x) up to the fold's sign convention —
-            # the reference's expression verbatim (SSHModels.jl:809)
-            dKdx_full = (params.alpha[:, None]
-                         + 2.0 * params.alpha2[:, None] * x_full)
-            sgn = jnp.ones(Ltau, x_full.dtype).at[0].set(-1.0)  # −sgn_first
-            batch = jnp.broadcast_shapes(u_loc.shape[:-2], v_loc.shape[:-2])
-            out = jnp.zeros(batch + (Nph, Ltau), dtype=x_full.dtype)
-            for g in range(plan.ngroups):
-                cg, sg = _group_coeffs(plan, g, cosh_b, sinh_b, b.dtype)
-                ext_b = _extend_group(plan, g, b)
-                ext_c = _extend_group(plan, g, c)
-                pl = jnp.take(jnp.asarray(plan.partner_local[g]), d, axis=0)
-                bp = jnp.take(ext_b, pl, axis=-2)
-                cp_old = jnp.take(ext_c, pl, axis=-2)
-                b_new = cg * b + sg * bp
-                cp_new = cg * cp_old - sg * c   # partner's updated c
-                c = cg * c - sg * cp_old
-                b = b_new
-                ph = jnp.take(jnp.asarray(ph_of_site[g]), d, axis=0)   # [B]
-                pm = jnp.take(jnp.asarray(ph_mask[g]), d, axis=0)[:, None]
-                dk = jnp.take(dKdx_full, ph, axis=-2)                  # [B, Lτ]
-                term = sgn * dtau * dk * cp_new * b
-                out = out.at[..., ph, :].add(jnp.where(pm, term, 0.0))
-            return out
+        muldmdx_partial = _ssh_muldmdx_builder(
+            model_spec, plan, ph_of_site, ph_mask, expmu_loc, params)
 
         # --- bosonic action/grad: primary fields only, replicated x
         def calc_Sb(x):
@@ -1074,27 +1116,9 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
 
         # --- sharded symmetric KPM on the τ-averaged hopping (optional)
         if kpm_cfg is not None:
-            def _kpm_ops_of(env):
-                cosh_b, sinh_b = env
-                cosh_bar = jnp.mean(cosh_b, axis=-1)
-                sinh_bar = jnp.mean(sinh_b, axis=-1)
-                ex = expmu_loc(cosh_b.dtype)
-
-                def mulA(v):
-                    return ckb_mul_local(plan, cosh_bar, sinh_bar, ex * v)
-
-                def mulA_T(v):
-                    return ex * ckb_transpose_mul_local(
-                        plan, cosh_bar, sinh_bar, v)
-
-                def mulA_inv(v):
-                    return ckb_inverse_mul_local(
-                        plan, cosh_bar, sinh_bar, v) / ex
-
-                return mulA, mulA_T, mulA_inv
-
             kpm_setup, kpm_make_apply = _kpm_local(
-                plan, kpm_cfg, Ltau, N, x.dtype, plan.axis, _kpm_ops_of)
+                plan, kpm_cfg, Ltau, N, x.dtype, plan.axis,
+                _ssh_kpm_ops(plan, expmu_loc))
         else:
             kpm_setup = kpm_make_apply = None
 
@@ -1362,26 +1386,9 @@ def make_sharded_langevin_step(model_spec, plan: ShardPlan, mesh: Mesh,
             return g
 
         if kpm_cfg is not None:
-            def _kpm_ops_of(env_loc):
-                expnV_bar = jnp.mean(env_loc, axis=-1)
-
-                def mulA(v):
-                    return ckb_mul_local(plan, params.cosht, params.sinht,
-                                         expnV_bar[:, None] * v)
-
-                def mulA_T(v):
-                    return expnV_bar[:, None] * ckb_transpose_mul_local(
-                        plan, params.cosht, params.sinht, v)
-
-                def mulA_inv(v):
-                    return ckb_inverse_mul_local(
-                        plan, params.cosht, params.sinht, v) \
-                        / expnV_bar[:, None]
-
-                return mulA, mulA_T, mulA_inv
-
             kpm_setup, kpm_make_apply = _kpm_local(
-                plan, kpm_cfg, Ltau, N, x_loc.dtype, plan.axis, _kpm_ops_of)
+                plan, kpm_cfg, Ltau, N, x_loc.dtype, plan.axis,
+                _holstein_kpm_ops(plan, params))
         else:
             kpm_setup = kpm_make_apply = None
 
@@ -1485,55 +1492,13 @@ def make_sharded_ssh_langevin_step(model_spec, plan: ShardPlan, mesh: Mesh,
             arg = dtau * tp_ckb
             return (jnp.cosh(arg), jnp.sinh(arg))
 
-        def muldmdx_partial(coeffs, x_full, u_loc, v_loc):
-            cosh_b, sinh_b = coeffs
-            b = expmu_loc(v_loc.dtype) * jnp.roll(v_loc, 1, axis=-1)
-            c = ckb_transpose_mul_local(plan, cosh_b, sinh_b, u_loc)
-            dKdx_full = (params.alpha[:, None]
-                         + 2.0 * params.alpha2[:, None] * x_full)
-            sgn = jnp.ones(Ltau, x_full.dtype).at[0].set(-1.0)
-            batch = jnp.broadcast_shapes(u_loc.shape[:-2], v_loc.shape[:-2])
-            out = jnp.zeros(batch + (Nph, Ltau), dtype=x_full.dtype)
-            for g in range(plan.ngroups):
-                cg, sg = _group_coeffs(plan, g, cosh_b, sinh_b, b.dtype)
-                ext_b = _extend_group(plan, g, b)
-                ext_c = _extend_group(plan, g, c)
-                pl = jnp.take(jnp.asarray(plan.partner_local[g]), d, axis=0)
-                bp = jnp.take(ext_b, pl, axis=-2)
-                cp_old = jnp.take(ext_c, pl, axis=-2)
-                b_new = cg * b + sg * bp
-                cp_new = cg * cp_old - sg * c
-                c = cg * c - sg * cp_old
-                b = b_new
-                ph = jnp.take(jnp.asarray(ph_of_site[g]), d, axis=0)
-                pm = jnp.take(jnp.asarray(ph_mask[g]), d, axis=0)[:, None]
-                dk = jnp.take(dKdx_full, ph, axis=-2)
-                term = sgn * dtau * dk * cp_new * b
-                out = out.at[..., ph, :].add(jnp.where(pm, term, 0.0))
-            return out
+        muldmdx_partial = _ssh_muldmdx_builder(
+            model_spec, plan, ph_of_site, ph_mask, expmu_loc, params)
 
         if kpm_cfg is not None:
-            def _kpm_ops_of(env):
-                cosh_b, sinh_b = env
-                cosh_bar = jnp.mean(cosh_b, axis=-1)
-                sinh_bar = jnp.mean(sinh_b, axis=-1)
-                ex = expmu_loc(cosh_b.dtype)
-
-                def mulA(v):
-                    return ckb_mul_local(plan, cosh_bar, sinh_bar, ex * v)
-
-                def mulA_T(v):
-                    return ex * ckb_transpose_mul_local(
-                        plan, cosh_bar, sinh_bar, v)
-
-                def mulA_inv(v):
-                    return ckb_inverse_mul_local(
-                        plan, cosh_bar, sinh_bar, v) / ex
-
-                return mulA, mulA_T, mulA_inv
-
             kpm_setup, kpm_make_apply = _kpm_local(
-                plan, kpm_cfg, Ltau, N, x.dtype, plan.axis, _kpm_ops_of)
+                plan, kpm_cfg, Ltau, N, x.dtype, plan.axis,
+                _ssh_kpm_ops(plan, expmu_loc))
         else:
             kpm_setup = kpm_make_apply = None
 
