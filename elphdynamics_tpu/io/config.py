@@ -228,7 +228,12 @@ def build_setup(cfg: dict, datafolder: str, dtype=None) -> SimulationSetup:
         # BASELINE.md for the measured sweep.
         kpm_cfg = KPMConfig(n_power=p.get("n", 20), buf=p.get("buf", 0.05),
                             c1=p.get("c1", 1.0), c2=p.get("c2", 1.0),
-                            max_order=p.get("max_order", 64))
+                            max_order=p.get("max_order", 64),
+                            # TPU additions (see ops/kpm.py): DFT-matmul
+                            # τ↔ω transforms (auto by Lτ) and the flattened
+                            # Chebyshev stack experiment
+                            dft_matmul=p.get("dft_matmul", None),
+                            stacked=p.get("stacked", False))
 
     # Fourier acceleration tables
     fa_blocks = cfg.get("fourier_acceleration", [])
