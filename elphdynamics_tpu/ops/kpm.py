@@ -71,6 +71,14 @@ class KPMConfig:
     # +31% HMC throughput at 8×8/Lτ=40 on v5e). None = auto: on while the
     # O(Lτ²) table stays cheap, off for very long τ axes.
     dft_matmul: bool | None = None
+    # exact-low-frequency hybrid (beyond-reference): solve the k lowest
+    # Matsubara blocks (I − e^{−iφ}Ā)⁻¹ EXACTLY by dense LU once per setup
+    # and Chebyshev only the rest. The polynomial degree the expansion
+    # needs diverges as 1/φ (KPMPreconditioners.jl:301), which is what
+    # strangles deep-β (large Lτ) runs — the exact blocks remove exactly
+    # those frequencies. Requires the dense Ā path; complex solves run via
+    # the real [[R,−I],[I,R]] embedding (TPU has no complex LU).
+    exact_lowfreq: int = 0
 
     def use_dft(self, Ltau: int) -> bool:
         if self.dft_matmul is None:
@@ -79,7 +87,7 @@ class KPMConfig:
 
     def __hash__(self):
         return hash((self.n_power, self.buf, self.c1, self.c2, self.max_order,
-                     self.stacked, self.dft_matmul))
+                     self.stacked, self.dft_matmul, self.exact_lowfreq))
 
 
 class KPMState(NamedTuple):
@@ -100,6 +108,10 @@ class KPMState(NamedTuple):
     # blocks, forward and per-block-transposed
     S_fwd: jnp.ndarray | None = None
     S_tr: jnp.ndarray | None = None
+    # exact low-frequency blocks (KPMConfig.exact_lowfreq): real/imag parts
+    # of G_j = (I − e^{−iφ_j}Ā)⁻¹ for the k lowest frequencies, [k, N, N]
+    G_re: jnp.ndarray | None = None
+    G_im: jnp.ndarray | None = None
 
 
 def _avg_operator(ops: ModelOps, params, derived):
@@ -250,6 +262,48 @@ def _from_half_spectrum(u, Ltau: int, dtype, use_dft: bool):
     return omega_to_tau(full, real=True).astype(dtype)
 
 
+def _lowfreq_blocks(st: "KPMState", k: int, Ltau: int):
+    """Dense G_j = (I − e^{−iφ_j}Ā)⁻¹ for the k lowest Matsubara
+    frequencies via one batched real [[R,−I],[I,R]] solve (complex LU is
+    unavailable on TPU). Built once per full setup — the ``buf``-window
+    argument that lets the bounds freeze across a trajectory applies to
+    these blocks equally."""
+    N = st.expK.shape[-1]
+    A = st.expK * st.expnV_bar[None, :]
+    dtype = A.dtype
+    eye = jnp.eye(N, dtype=dtype)
+    phis = jnp.asarray(2.0 * np.pi / Ltau * (np.arange(k) + 0.5), dtype)
+    R = eye[None] - jnp.cos(phis)[:, None, None] * A[None]      # [k, N, N]
+    Im = jnp.sin(phis)[:, None, None] * A[None]
+    big = jnp.concatenate([
+        jnp.concatenate([R, -Im], axis=-1),
+        jnp.concatenate([Im, R], axis=-1),
+    ], axis=-2)                                                  # [k, 2N, 2N]
+    rhs = jnp.concatenate([eye, jnp.zeros_like(eye)], axis=0)    # [2N, N]
+    sol = jnp.linalg.solve(big, jnp.broadcast_to(rhs, (k,) + rhs.shape))
+    return sol[:, :N, :], sol[:, N:, :]                          # G_re, G_im
+
+
+def _lowfreq_apply_sym(st: "KPMState", u):
+    """Exact G·Gᴴ on the first k frequency columns of the [.., N, Lω]
+    block (the symmetric-preconditioner role of the Chebyshev pair)."""
+    k = st.G_re.shape[0]
+    ul = u[..., :k]
+    ur_, ui_ = jnp.real(ul), jnp.imag(ul)
+    Gr, Gi = st.G_re.astype(ur_.dtype), st.G_im.astype(ur_.dtype)
+    # t = Gᴴ u  (Gᴴ = Grᵀ − iGiᵀ)
+    tr = jnp.einsum("kmn,...mk->...nk", Gr, ur_) \
+        + jnp.einsum("kmn,...mk->...nk", Gi, ui_)
+    ti = jnp.einsum("kmn,...mk->...nk", Gr, ui_) \
+        - jnp.einsum("kmn,...mk->...nk", Gi, ur_)
+    # w = G t
+    wr = jnp.einsum("knm,...mk->...nk", Gr, tr) \
+        - jnp.einsum("knm,...mk->...nk", Gi, ti)
+    wi = jnp.einsum("knm,...mk->...nk", Gr, ti) \
+        + jnp.einsum("knm,...mk->...nk", Gi, tr)
+    return jax.lax.complex(wr, wi)
+
+
 def _spectral_radius(apply_fn, n_site, n_iter, key, dtype):
     """Power-iteration estimate of the dominant |eigenvalue|."""
     v = jax.random.normal(key, (n_site, 1), dtype=dtype)
@@ -333,6 +387,13 @@ def setup(ops: ModelOps, params, x, cfg: KPMConfig, key) -> KPMState:
     if cfg.stacked and expK is not None:
         S_fwd, S_tr = _build_stack(st, cfg.max_order)
         st = st._replace(S_fwd=S_fwd, S_tr=S_tr)
+    if cfg.exact_lowfreq > 0 and expK is not None:
+        k = min(cfg.exact_lowfreq, Lw)
+        G_re, G_im = _lowfreq_blocks(st, k, Ltau)
+        # the exact blocks replace those columns: zero their Chebyshev
+        # coefficients so the polynomial part contributes nothing there
+        st = st._replace(G_re=G_re, G_im=G_im,
+                         coeff=st.coeff.at[:, :k].set(0.0))
     return st
 
 
@@ -386,13 +447,19 @@ def apply_symmetric(ops: ModelOps, st: KPMState, v, cfg: KPMConfig | None = None
     symmetry for the rest, ω→τ."""
     Ltau = ops.Ltau
     use_dft = cfg is not None and cfg.use_dft(Ltau)
-    u = _to_half_spectrum(v, Ltau, use_dft)
+    u_in = _to_half_spectrum(v, Ltau, use_dft)
     if st.S_fwd is not None:
-        u = _stacked_cheb(st.S_tr, jnp.conj(st.coeff), u)
+        u = _stacked_cheb(st.S_tr, jnp.conj(st.coeff), u_in)
         u = _stacked_cheb(st.S_fwd, st.coeff, u)
     else:
-        u = _chebyshev_apply(ops, st, u, jnp.conj(st.coeff), transposed=True)
+        u = _chebyshev_apply(ops, st, u_in, jnp.conj(st.coeff), transposed=True)
         u = _chebyshev_apply(ops, st, u, st.coeff, transposed=False)
+    if st.G_re is not None:
+        # exact G·Gᴴ on the lowest frequencies (their Chebyshev
+        # coefficients are zeroed at setup)
+        k = st.G_re.shape[0]
+        u = jnp.concatenate([_lowfreq_apply_sym(st, u_in), u[..., k:]],
+                            axis=-1)
     out = _from_half_spectrum(u, Ltau, v.dtype, use_dft)
     return jnp.where(st.active, out, v)
 

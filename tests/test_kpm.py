@@ -79,3 +79,54 @@ def test_kpm_spin_batched():
     for s in range(2):
         ref = np.asarray(kpm.apply_symmetric(ops, st, v[s]))
         assert np.allclose(out[s], ref, atol=1e-12)
+
+
+def test_exact_lowfreq_blocks_match_dense_inverse():
+    """KPMConfig.exact_lowfreq (beyond-reference hybrid): with ALL
+    frequencies exact and a τ-constant field, the symmetric apply IS
+    (MᵀM)⁻¹ — validated against the dense inverse. With only the lowest k
+    exact, CG must converge in (far) fewer iterations than pure Chebyshev
+    at the same order on an ill-conditioned long-τ problem."""
+    from elphdynamics_tpu.dynamics.solve import SolverConfig, solve_oinv
+
+    ops, params, _ = make_model(L=4, beta=3.0, x_scale=0.0)
+    x = jnp.zeros((ops.Nph, ops.Ltau))
+    Lw = (ops.Ltau + 1) // 2
+
+    # all frequencies exact → exact inverse for a τ-constant field
+    st = kpm.setup(ops, params, x,
+                   kpm.KPMConfig(max_order=8, exact_lowfreq=Lw),
+                   jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    v = jnp.asarray(rng.standard_normal((ops.Nsites, ops.Ltau)))
+    got = np.asarray(kpm.apply_symmetric(ops, st, v))
+
+    env = ops.derived(params, x)
+    NL = ops.Nsites * ops.Ltau
+    eye = np.eye(NL)
+    cols = ops.mulMT(params, env, ops.mulM(
+        params, env, jnp.asarray(eye.reshape(NL, ops.Nsites, ops.Ltau))))
+    MtM = np.asarray(cols).reshape(NL, NL).T
+    want = np.linalg.solve(MtM, np.asarray(v).reshape(-1)).reshape(v.shape)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+    # partial: k lowest exact beats pure Chebyshev on a long-τ problem
+    ops2, params2, x2 = make_model(L=4, beta=6.0, lam=1.0, x_scale=0.3)
+    scfg = SolverConfig(tol=1e-6, maxiter=1000)
+    b = jnp.asarray(rng.standard_normal((2, ops2.Nsites, ops2.Ltau)))
+
+    def iters_with(cfg):
+        stp = kpm.setup(ops2, params2, x2, cfg, jax.random.PRNGKey(1))
+        from elphdynamics_tpu.dynamics import solve as S
+        env2 = ops2.derived(params2, x2)
+        res = solve_oinv(ops2, params2, env2, b, scfg,
+                         S.PrecondApplies(
+                             symmetric=lambda w: kpm.apply_symmetric(
+                                 ops2, stp, w, cfg),
+                             left=None, right=None))
+        return int(np.max(np.asarray(res.iters))), int(np.max(np.asarray(res.flag)))
+
+    it_plain, fl1 = iters_with(kpm.KPMConfig(max_order=6))
+    it_hyb, fl2 = iters_with(kpm.KPMConfig(max_order=6, exact_lowfreq=8))
+    assert fl1 == 0 and fl2 == 0
+    assert it_hyb < it_plain, (it_hyb, it_plain)
