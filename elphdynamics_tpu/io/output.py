@@ -261,3 +261,49 @@ def write_M_matrix(ops: ModelOps, params, x, filename: str, threshold=1e-10,
                 nz = np.nonzero(np.abs(colv) > threshold)[0]
                 for row in nz:
                     f.write(f"{start + j + 1} {row + 1} {colv[row]:.10f} {0.0:.10f}\n")
+
+
+def _toml_value(v) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, str):
+        return '"' + v.replace("\\", "\\\\").replace('"', '\\"') + '"'
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_toml_value(x) for x in v) + "]"
+    raise TypeError(f"cannot TOML-serialize {type(v)}")
+
+
+def dump_toml(cfg: dict) -> str:
+    """Minimal TOML rendering of a parsed config dict, for persisting the
+    input file verbatim-equivalent into the datafolder when the caller passed
+    a dict instead of a path (the reference stores the original TOML,
+    ProcessInputFile.jl:50). Round-trips through ``tomllib`` for every config
+    shape the schema uses (scalars, arrays, tables, arrays-of-tables)."""
+    lines: list[str] = []
+
+    def emit_table(prefix: str, d: dict):
+        scalars = {k: v for k, v in d.items()
+                   if not isinstance(v, dict)
+                   and not (isinstance(v, list) and v
+                            and isinstance(v[0], dict))}
+        if prefix and (scalars or not d):
+            lines.append(f"[{prefix}]")
+        for k, v in scalars.items():
+            lines.append(f"{k} = {_toml_value(v)}")
+        if scalars:
+            lines.append("")
+        for k, v in d.items():
+            if isinstance(v, dict):
+                emit_table(f"{prefix}.{k}" if prefix else k, v)
+            elif isinstance(v, list) and v and isinstance(v[0], dict):
+                name = f"{prefix}.{k}" if prefix else k
+                for item in v:
+                    lines.append(f"[[{name}]]")
+                    for kk, vv in item.items():
+                        lines.append(f"{kk} = {_toml_value(vv)}")
+                    lines.append("")
+
+    emit_table("", cfg)
+    return "\n".join(lines) + "\n"

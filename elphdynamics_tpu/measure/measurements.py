@@ -248,12 +248,18 @@ def make_measurement_step(ops: ModelOps, mspec: MeasurementSpec,
                     jnp.zeros(ndefs).at[bdef].add(jnp.sum(ke_b, axis=-1)) / Vb)
             else:
                 from elphdynamics_tpu.models import ssh as Sm
-                # V = div(Nbonds, nbonds)·Lτ — verbatim the reference's
-                # normalisation (Measurements.jl:1094), including its
-                # implicit assumption that every bond definition contributes
-                # the same bond count (true for all stock lattices; a mixed
-                # dedup case would mis-normalise identically in both codes)
-                Vb = (spec.Nbonds // max(ndefs, 1)) * Lt
+                # Per-definition normalisation volume. The reference uses
+                # V = div(Nbonds, nbonds)·Lτ (Measurements.jl:1094), which
+                # implicitly assumes every bond definition contributes the
+                # same bond count; we compute the TRUE per-definition count
+                # instead (identical for every stock lattice, where counts
+                # are equal; correct where the reference would mis-normalise
+                # a mixed/deduped case — divergence documented in
+                # docs/parity.md)
+                def_counts = np.bincount(
+                    np.asarray(spec.bond_to_definition), minlength=ndefs)
+                Vb = jnp.asarray(np.maximum(def_counts, 1) * Lt,
+                                 dtype=x.dtype)               # [ndefs]
                 tp = Sm.hopping_t_prime(spec, params, x)      # [Nbonds, Lt]
                 ke_b = -tp * h
                 out["intersite"]["el_ke"] = (

@@ -858,7 +858,8 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
         Lphi1, z1, S1, it2, fl2 = S_and_z(x1, env1, tol2, x0=z_last)
         iters = iters + it2
         flag = jnp.maximum(flag, fl2)
-        H1 = S1 + calc_K(v1)
+        K1 = calc_K(v1)
+        H1 = S1 + K1
         dH = H1 - H0
         P = jnp.minimum(1.0, jnp.exp(-dH))
         u = jax.random.uniform(k_acc, P.shape, dtype=P.dtype)
@@ -867,14 +868,14 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
         v_new = jnp.where(accept, v1, -v0)
         mean_iters = (iters + Nt + 1) // (Nt + 2)
         return (x_new, v_new, accept, mean_iters.astype(jnp.int32), dH,
-                flag, key)
+                flag, H1, S1, K1, key)
 
     if chains_axis is None:
         sharded = jax.shard_map(
             step_local, mesh=mesh,
             in_specs=(P(), P(plan.axis, None), P(plan.axis, None), P()),
             out_specs=(P(plan.axis, None), P(plan.axis, None), P(), P(), P(),
-                       P(), P()),
+                       P(), P(), P(), P(), P()),
             check_vma=False,
         )
     else:
@@ -887,14 +888,19 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
             in_specs=(P(), P(ca, plan.axis, None), P(ca, plan.axis, None),
                       P(ca)),
             out_specs=(P(ca, plan.axis, None), P(ca, plan.axis, None),
-                       P(ca), P(ca), P(ca), P(ca), P(ca)),
+                       P(ca), P(ca), P(ca), P(ca), P(ca), P(ca), P(ca),
+                       P(ca)),
             check_vma=False,
         )
 
     def step(params, x, v, key):
-        x_new, v_new, accept, iters, dH, flag, key = sharded(params, x, v, key)
+        x_new, v_new, accept, iters, dH, flag, H, S, K, key = sharded(
+            params, x, v, key)
+        # H/S/K restore the hmc_sim_log.out observability of the unsharded
+        # path (HMC.jl:236-304) under --site-devices
         return x_new, v_new, {"accepted": accept, "iters": iters,
-                              "delta_H": dH, "flag": flag}, key
+                              "delta_H": dH, "flag": flag,
+                              "H": H, "S": S, "K": K}, key
 
     return jax.jit(step)
 
@@ -1230,7 +1236,8 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
         z1, S1, it2, fl2 = S_of(x1, coeffs1, tol2, x0=z_last)
         iters = iters + it2
         flag = jnp.maximum(flag, fl2)
-        H1 = S1 + calc_K(v1)
+        K1 = calc_K(v1)
+        H1 = S1 + K1
         dH = H1 - H0
         Pacc = jnp.minimum(1.0, jnp.exp(-dH))
         u = jax.random.uniform(k_acc, Pacc.shape, dtype=Pacc.dtype)
@@ -1239,13 +1246,13 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
         v_new = jnp.where(accept, v1, -v0)
         mean_iters = (iters + Nt + 1) // (Nt + 2)
         return (x_new, v_new, accept, mean_iters.astype(jnp.int32), dH,
-                flag, key)
+                flag, H1, S1, K1, key)
 
     if chains_axis is None:
         sharded = jax.shard_map(
             step_local, mesh=mesh,
             in_specs=(P(), P(), P(), P()),
-            out_specs=(P(), P(), P(), P(), P(), P(), P()),
+            out_specs=(P(), P(), P(), P(), P(), P(), P(), P(), P(), P()),
             check_vma=False,
         )
     else:
@@ -1255,14 +1262,19 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
         sharded = jax.shard_map(
             jax.vmap(step_local, in_axes=(None, 0, 0, 0)), mesh=mesh,
             in_specs=(P(), P(ca), P(ca), P(ca)),
-            out_specs=(P(ca), P(ca), P(ca), P(ca), P(ca), P(ca), P(ca)),
+            out_specs=(P(ca), P(ca), P(ca), P(ca), P(ca), P(ca), P(ca),
+                       P(ca), P(ca), P(ca)),
             check_vma=False,
         )
 
     def step(params, x, v, key):
-        x_new, v_new, accept, iters, dH, flag, key = sharded(params, x, v, key)
+        x_new, v_new, accept, iters, dH, flag, H, S, K, key = sharded(
+            params, x, v, key)
+        # H/S/K restore the hmc_sim_log.out observability of the unsharded
+        # path (HMC.jl:236-304) under --site-devices
         return x_new, v_new, {"accepted": accept, "iters": iters,
-                              "delta_H": dH, "flag": flag}, key
+                              "delta_H": dH, "flag": flag,
+                              "H": H, "S": S, "K": K}, key
 
     return jax.jit(step)
 

@@ -99,10 +99,18 @@ def simulate(config, run_id: int | None = None, n_chains: int = 1,
     setup = build_setup(cfg, datafolder)
     os.makedirs(datafolder, exist_ok=True)
     # persist the input config into the datafolder (the reference copies the
-    # TOML file, ProcessInputFile.jl:50; JSON here so load_model can rebuild)
+    # verbatim TOML file, ProcessInputFile.jl:50; config.json additionally so
+    # load_model can rebuild without a TOML parser round trip)
     import json
     with open(os.path.join(datafolder, "config.json"), "w") as f:
         json.dump(cfg, f, indent=1)
+    import shutil
+    if isinstance(config, str) and os.path.isfile(config):
+        shutil.copy(config, os.path.join(datafolder, os.path.basename(config)))
+    else:
+        from elphdynamics_tpu.io.output import dump_toml
+        with open(os.path.join(datafolder, "input.toml"), "w") as f:
+            f.write(dump_toml(cfg))
 
     # run log (ProcessInputFile.jl:574-583)
     handler = logging.FileHandler(os.path.join(
@@ -309,7 +317,11 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
                 return jnp.where(any_ok, masked, jnp.mean(a, axis=0))
 
             inc = jax.tree.map(chain_mean, inc)
-            snaps = jax.tree.map(chain_mean, snaps)
+            # snapshots are a realizable single configuration, not a
+            # cross-chain average (Measurements.jl:1349-1460 dumps the
+            # current configuration): take the first unflagged chain
+            first_ok = jnp.argmax(ok)
+            snaps = jax.tree.map(lambda a: a[first_ok], snaps)
             ms = dict(ms)
             ms["n_flagged"] = jnp.sum(~ok)
             return inc, ms, snaps, keys
@@ -481,18 +493,23 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
             hmc_log.write("updates accepted timestep tot_energy action kin_energy iters\n")
 
     def log_hmc(n, stats):
-        if hmc_log is None or not hasattr(stats, "H"):
+        # sharded steps report stats as a dict, the unsharded step as
+        # HMCStats — the log columns are identical either way
+        get = (stats.get if isinstance(stats, dict)
+               else lambda k, d=None: getattr(stats, k, d))
+        if hmc_log is None or get("H") is None:
             return
-        acc = np.atleast_1d(np.asarray(stats.accepted))
-        H = np.atleast_1d(np.asarray(stats.H))
-        S = np.atleast_1d(np.asarray(stats.S))
-        K = np.atleast_1d(np.asarray(stats.K))
-        iters = np.atleast_1d(np.asarray(stats.iters))
-        if hmc_verbose and np.ndim(np.asarray(stats.traj_H)) > 0:
-            tH = np.atleast_2d(np.asarray(stats.traj_H))    # [chains, Nt]
-            tS = np.atleast_2d(np.asarray(stats.traj_S))
-            tK = np.atleast_2d(np.asarray(stats.traj_K))
-            tI = np.atleast_2d(np.asarray(stats.traj_iters))
+        acc = np.atleast_1d(np.asarray(get("accepted")))
+        H = np.atleast_1d(np.asarray(get("H")))
+        S = np.atleast_1d(np.asarray(get("S")))
+        K = np.atleast_1d(np.asarray(get("K")))
+        iters = np.atleast_1d(np.asarray(get("iters")))
+        traj_H = get("traj_H", np.nan)
+        if hmc_verbose and np.ndim(np.asarray(traj_H)) > 0:
+            tH = np.atleast_2d(np.asarray(traj_H))          # [chains, Nt]
+            tS = np.atleast_2d(np.asarray(get("traj_S")))
+            tK = np.atleast_2d(np.asarray(get("traj_K")))
+            tI = np.atleast_2d(np.asarray(get("traj_iters")))
             for c in range(tH.shape[0]):
                 for t in range(tH.shape[1]):
                     if not np.isfinite(tH[c, t]):

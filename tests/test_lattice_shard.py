@@ -125,6 +125,7 @@ def test_sharded_hmc_step_matches_unsharded():
     assert len(xs.sharding.device_set) == D
 
 
+@pytest.mark.slow
 def test_sharded_hmc_with_kpm_matches_unsharded():
     """Sharded HMC with the sharded symmetric KPM preconditioner: same RNG,
     same power-iteration seed — trajectory, ΔH and iteration counts match
@@ -165,6 +166,7 @@ def test_sharded_hmc_with_kpm_matches_unsharded():
     assert abs(int(stats["iters"]) - int(ref_stats.iters)) <= 2
 
 
+@pytest.mark.slow
 def test_sharded_hmc_with_wij_matches_unsharded():
     """ωᵢⱼ phonon dispersion under site sharding: the pair terms are
     evaluated from each owner side with ppermute-fetched partner rows
@@ -209,6 +211,7 @@ def test_sharded_hmc_with_wij_matches_unsharded():
                                rtol=1e-6, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_site_sharded_driver_matches_unsharded(tmp_path):
     """`--site-devices`: the production driver with ONE chain's lattice
     sharded over the mesh reproduces the single-device run's measurement
@@ -341,6 +344,7 @@ def test_sharded_ssh_hmc_matches_unsharded():
                                rtol=1e-6, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_sharded_ssh_hmc_with_kpm_matches_unsharded():
     """Sharded SSH HMC with the sharded symmetric KPM on the τ-averaged
     hopping: trajectory and iteration counts track the unsharded
@@ -383,6 +387,7 @@ def test_sharded_ssh_hmc_with_kpm_matches_unsharded():
     assert int(stats["iters"]) < 60, int(stats["iters"])
 
 
+@pytest.mark.slow
 def test_site_sharded_ssh_driver_matches_unsharded(tmp_path):
     """`--site-devices` with an SSH model: the production driver reproduces
     the single-device run's measurement bins."""
@@ -510,6 +515,7 @@ def test_sharded_ssh_langevin_matches_unsharded():
     assert int(stats_sh["flag"]) == 0
 
 
+@pytest.mark.slow
 def test_site_sharded_langevin_driver_matches_unsharded(tmp_path):
     """`--site-devices` with Langevin dynamics: driver parity of the
     measurement bins against the single-device run."""
@@ -547,6 +553,7 @@ def test_site_sharded_langevin_driver_matches_unsharded(tmp_path):
             assert abs(g1[k] - g8[k]) < 1e-5, (b, k, g1[k], g8[k])
 
 
+@pytest.mark.slow
 def test_chain_site_2d_mesh_hmc():
     """2-D (chain × site) mesh: 2 chains × 4 site shards over 8 virtual
     devices. Each chain's trajectory must match the 1-chain unsharded step
@@ -590,6 +597,7 @@ def test_chain_site_2d_mesh_hmc():
                                    rtol=1e-6, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_combined_chain_site_driver(tmp_path):
     """`--chains 4 --devices 2 --site-devices 4`: the full driver on a 2-D
     (chain × site) mesh reproduces the plain 4-chain single-device run."""

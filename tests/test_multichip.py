@@ -8,6 +8,10 @@ the mesh leaves the physics identical to single-device vmap execution —
 per-bin measurement files agree to reduction-order rounding.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import copy
 import os
 

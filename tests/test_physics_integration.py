@@ -11,6 +11,10 @@
    test, examples/ssh_hmc_two_site.toml).
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

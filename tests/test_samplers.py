@@ -59,6 +59,7 @@ def run_chains_hmc(ops, params, cfg, n_chains=48, burnin=80, nsteps=300, seed=0)
     return np.asarray(xhist), np.asarray(acc)
 
 
+@pytest.mark.slow
 def test_hmc_single_site_matches_ed():
     ops, params = single_site_model()
     cfg = HMCConfig(dt=0.05, trajectory_time=1.0, Nb=4, tol=1e-6, maxiter=500)
@@ -130,6 +131,7 @@ def test_hmc_exact_discretized_weight_Ltau2():
     assert abs((xh ** 2).mean() - x2_mean_exact) < 0.08, ((xh ** 2).mean(), x2_mean_exact)
 
 
+@pytest.mark.slow
 def test_langevin_single_site_matches_ed():
     ops, params = single_site_model()
     Q = build_Q(np.asarray(params.omega), ops.dtau, ops.Ltau, FA_BLOCKS)
@@ -158,6 +160,7 @@ def test_langevin_single_site_matches_ed():
     assert abs((xh ** 2).mean() - ed["x2"]) < 0.1, ((xh ** 2).mean(), ed["x2"])
 
 
+@pytest.mark.slow
 def test_langevin_heun_runs_and_stays_sane():
     """Heun integrator (update_method=3) smoke + stability check."""
     ops, params = single_site_model()

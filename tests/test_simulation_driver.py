@@ -1,11 +1,14 @@
 """End-to-end driver test: run a tiny simulation from a config dict, check
 the datafolder layout, the summary, and checkpoint/resume."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import copy
 import os
 
 import numpy as np
-import pytest
 
 from elphdynamics_tpu.simulation import simulate, name_datafolder
 
