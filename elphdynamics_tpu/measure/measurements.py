@@ -176,8 +176,11 @@ def make_measurement_step(ops: ModelOps, mspec: MeasurementSpec,
         tot = jnp.sum(field_site_tau, axis=-1)
         return jnp.zeros(no, tot.dtype).at[site_orbit].add(tot)
 
-    def step(params, x, key):
-        gd, key = G.sample_greens(ops, params, x, key, nv, scfg, precond)
+    def analyze(params, x, gd):
+        """Everything downstream of the nᵥ estimator solves — pure function
+        of (params, x, GreensData); exposed as ``step.analyze`` so the
+        site-sharded driver can run the solves through the sharded CG and
+        only this stage on gathered fields."""
         R, MinvR = gd.R, gd.MinvR
         pt = G.pair_tensor_sums(lat, R, MinvR)
         out: dict[str, Any] = {"global": {}, "onsite": {}, "intersite": {},
@@ -423,8 +426,14 @@ def make_measurement_step(ops: ModelOps, mspec: MeasurementSpec,
         if "phonon_position" in mspec.snapshots:
             snaps["phonon_position"] = jnp.mean(x, axis=-1)
         stats = {"iters": gd.iters, "flag": gd.flag}
+        return out, stats, snaps
+
+    def step(params, x, key):
+        gd, key = G.sample_greens(ops, params, x, key, nv, scfg, precond)
+        out, stats, snaps = analyze(params, x, gd)
         return out, stats, snaps, key
 
+    step.analyze = analyze
     return step
 
 

@@ -1018,6 +1018,132 @@ def make_sharded_ssh_solver(model_spec, plan: ShardPlan, mesh: Mesh):
     return solve, _wrap_mul("M"), _wrap_mul("MT")
 
 
+# ---------------------------------------------------------------------------
+# Sharded measurement sampling: the nᵥ Green's-function estimator solves
+# (GreensFunctions.jl:201-234) are the dominant measurement cost; under
+# --site-devices they run through the same halo-fold + psum-CG machinery as
+# the sampler, with the optional sharded KPM preconditioner. The downstream
+# pair-convolution / estimator stage stays on one device (per-pair
+# [nₒ, L1, L2, L3, 2Lτ] FFT work, off the hot loop) — gathering R/M⁻¹R is
+# exactly the footprint the sampler already holds per chain.
+# ---------------------------------------------------------------------------
+
+def make_sharded_greens_sampler(model_spec, plan: ShardPlan, mesh: Mesh,
+                                nv: int, scfg, kpm_cfg=None):
+    """Holstein ``sample(params, x, key) -> (R, MinvR, iters, flag, key)``
+    with the [nv, N, Lτ] estimator systems solved site-sharded.
+
+    The key-split order and R draw match
+    :func:`elphdynamics_tpu.measure.greens.sample_greens` exactly (each
+    shard draws the full block and keeps its rows), so a sharded measurement
+    sees the same random vectors as the unsharded path; the solutions agree
+    within the solver tolerance ball. The returned flag carries the
+    residual-verification ladder of the Models.jl ldiv! convention.
+    """
+    from elphdynamics_tpu.utils.dtypes import fdot
+
+    Ltau = model_spec.Ltau
+    N = model_spec.Nsites
+    dtau = model_spec.dtau
+    B = plan.B
+
+    def sample_local(params, x_loc, key):
+        d = lax.axis_index(plan.axis)
+        lam = lax.dynamic_slice_in_dim(params.lam, d * B, B)[:, None]
+        lam2 = lax.dynamic_slice_in_dim(params.lam2, d * B, B)[:, None]
+        mu = lax.dynamic_slice_in_dim(params.mu, d * B, B)[:, None]
+        sgn_first = (-jnp.ones(Ltau, x_loc.dtype)).at[0].set(1.0)
+        sgn_last = (-jnp.ones(Ltau, x_loc.dtype)).at[-1].set(1.0)
+        env = jnp.exp(-dtau * (lam * x_loc + lam2 * x_loc * x_loc - mu))
+
+        def mulM(v):
+            y = env * jnp.roll(v, 1, axis=-1)
+            y = ckb_mul_local(plan, params.cosht, params.sinht, y)
+            return v + sgn_first * y
+
+        def mulMT(v):
+            z = ckb_transpose_mul_local(plan, params.cosht, params.sinht, v)
+            w = env * z
+            return v + sgn_last * jnp.roll(w, -1, axis=-1)
+
+        def pdot(a, b):
+            return lax.psum(jnp.sum(fdot(a, b, axis=tuple(range(a.ndim)))),
+                            plan.axis)
+
+        # exact key-split order of sample_greens
+        key, kr = jax.random.split(key)
+        R_full = jax.random.normal(kr, (nv, N, Ltau), dtype=x_loc.dtype)
+        R = lax.dynamic_slice_in_dim(R_full, d * B, B, axis=1)
+
+        P_apply = None
+        if kpm_cfg is not None:
+            kpm_setup, kpm_make_apply = _kpm_local(
+                plan, kpm_cfg, Ltau, N, x_loc.dtype, plan.axis,
+                _holstein_kpm_ops(plan, params))
+            kst = kpm_setup(env, jax.random.PRNGKey(1234))
+            P_apply = kpm_make_apply(kst, env)
+
+        z, it, flag = _cg_local(lambda v: mulMT(mulM(v)), mulMT(R),
+                                scfg.tol, scfg.maxiter, pdot, P_apply)
+        return R, z, it, flag, key
+
+    sharded = jax.shard_map(
+        sample_local, mesh=mesh,
+        in_specs=(P(), P(plan.axis, None), P()),
+        out_specs=(P(None, plan.axis, None), P(None, plan.axis, None),
+                   P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_sharded_ssh_greens_sampler(model_spec, plan: ShardPlan, mesh: Mesh,
+                                    nv: int, scfg, kpm_cfg=None):
+    """SSH counterpart of :func:`make_sharded_greens_sampler`: the bond
+    phonon field enters replicated, the electron vectors shard over sites."""
+    from elphdynamics_tpu.models import ssh as Sm
+    from elphdynamics_tpu.utils.dtypes import fdot
+
+    Ltau = model_spec.Ltau
+    N = model_spec.Nsites
+    B = plan.B
+
+    def sample_local(params, x, key):
+        d = lax.axis_index(plan.axis)
+        mulM, mulMT, expmu_loc = _ssh_local_ops(model_spec, plan, params)
+        coeffs = Sm.ckb_coeffs(model_spec, params, x)
+
+        def pdot(a, b):
+            return lax.psum(jnp.sum(fdot(a, b, axis=tuple(range(a.ndim)))),
+                            plan.axis)
+
+        key, kr = jax.random.split(key)
+        R_full = jax.random.normal(kr, (nv, N, Ltau), dtype=x.dtype)
+        R = lax.dynamic_slice_in_dim(R_full, d * B, B, axis=1)
+
+        P_apply = None
+        if kpm_cfg is not None:
+            kpm_setup, kpm_make_apply = _kpm_local(
+                plan, kpm_cfg, Ltau, N, x.dtype, plan.axis,
+                _ssh_kpm_ops(plan, expmu_loc))
+            kst = kpm_setup(coeffs, jax.random.PRNGKey(1234))
+            P_apply = kpm_make_apply(kst, coeffs)
+
+        z, it, flag = _cg_local(
+            lambda v: mulMT(coeffs, mulM(coeffs, v)), mulMT(coeffs, R),
+            scfg.tol, scfg.maxiter, pdot, P_apply)
+        return R, z, it, flag, key
+
+    sharded = jax.shard_map(
+        sample_local, mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P(None, plan.axis, None), P(None, plan.axis, None),
+                   P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 
 def _ssh_muldmdx_builder(model_spec, plan: ShardPlan, ph_of_site, ph_mask,
                          expmu_loc, params):

@@ -174,8 +174,9 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
         # on the (automatically gathered) global field. With n_chains > 1
         # the mesh is 2-D (chain × site).
         from elphdynamics_tpu.parallel.lattice_shard import (
-            build_shard_plan, chain_site_mesh, make_sharded_hmc_step,
-            make_sharded_langevin_step, make_sharded_ssh_hmc_step,
+            build_shard_plan, chain_site_mesh, make_sharded_greens_sampler,
+            make_sharded_hmc_step, make_sharded_langevin_step,
+            make_sharded_ssh_greens_sampler, make_sharded_ssh_hmc_step,
             make_sharded_ssh_langevin_step, site_mesh)
         plan = build_shard_plan(ops.spec.ckb, site_devices)
         if combined:
@@ -270,6 +271,17 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
     reflect = make_reflection_update(ops, setup.reflect_cfg, precond)
     swap = make_swap_update(ops, setup.swap_cfg, precond)
 
+    # site-sharded measurement sampling: the nᵥ estimator solves — the
+    # dominant measurement cost (GreensFunctions.jl:201-234) — run through
+    # the sharded halo-fold CG; only the pair-convolution/estimator stage
+    # runs on gathered vectors (bounded per-pair FFT work, off the hot loop)
+    sharded_sampler = None
+    if site_devices > 1 and not combined:
+        _gmaker = (make_sharded_greens_sampler if ops.is_holstein
+                   else make_sharded_ssh_greens_sampler)
+        sharded_sampler = _gmaker(ops.spec, plan, smesh, setup.mspec.nv,
+                                  setup.solver_cfg, kpm_cfg=setup.kpm_cfg)
+
     def _stats_of(s):
         if isinstance(s, dict):
             return s["accepted"], s["iters"], s["flag"]
@@ -340,13 +352,40 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
             sim_step_j = jax.jit(sim_step)
             burnin_step_j = jax.jit(burnin_step)
 
-        def _mstep_one(params, x, keys):
-            inc, ms, snaps, keys = mstep(params, x, keys)
-            ms = dict(ms)
-            ms["n_flagged"] = jnp.sum(jnp.asarray(ms["flag"]) != 0)
-            return inc, ms, snaps, keys
+        if sharded_sampler is not None:
+            from elphdynamics_tpu.measure.greens import GreensData
+            analyze_j = jax.jit(mstep.analyze)
+            _dev0 = jax.devices()[0]
 
-        mstep_j = jax.jit(_mstep_one)
+            def _mstep_one(params, x, keys):
+                # the solves run sharded over the site mesh; R/M⁻¹R gather
+                # to one device only for the convolution/estimator stage
+                params_m = jax.tree.map(
+                    lambda a: jax.device_put(a, _rep) if a is not None else a,
+                    params)
+                x_m = jax.device_put(x, _xsh)
+                keys_m = jax.device_put(keys, _rep)
+                R, MinvR, iters, flag, keys = sharded_sampler(
+                    params_m, x_m, keys_m)
+                put0 = lambda a: jax.device_put(a, _dev0)
+                gd = GreensData(R=put0(R), MinvR=put0(MinvR),
+                                iters=put0(iters), flag=put0(flag))
+                inc, ms, snaps = analyze_j(jax.tree.map(put0, params),
+                                           put0(x), gd)
+                keys = put0(keys)
+                ms = dict(ms)
+                ms["n_flagged"] = jnp.sum(jnp.asarray(ms["flag"]) != 0)
+                return inc, ms, snaps, jax.device_put(keys, _dev0)
+
+            mstep_j = _mstep_one
+        else:
+            def _mstep_one(params, x, keys):
+                inc, ms, snaps, keys = mstep(params, x, keys)
+                ms = dict(ms)
+                ms["n_flagged"] = jnp.sum(jnp.asarray(ms["flag"]) != 0)
+                return inc, ms, snaps, keys
+
+            mstep_j = jax.jit(_mstep_one)
         reflect_j = jax.jit(reflect)
         swap_j = jax.jit(swap)
 
@@ -452,12 +491,17 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
 
     def gather_x(x):
         """Site-sharded fields are gathered to one device before the
-        measurement sweep / special updates (their spatial FFT convolutions
-        need the whole lattice; measurements are off the hot loop). The next
-        sampler step re-shards via its shard_map in_specs."""
+        special updates (their Metropolis scans need the whole lattice; they
+        are off the hot loop). The next sampler step re-shards via its
+        shard_map in_specs."""
         if site_devices > 1:
             return jax.device_put(x, jax.devices()[0])
         return x
+
+    def meas_x(x):
+        """Measurement input: stays sharded when the sharded Green's-function
+        sampler runs the estimator solves on the mesh."""
+        return x if sharded_sampler is not None else gather_x(x)
 
     def do_special(params, state, keys, n):
         nonlocal sim_stats
@@ -548,7 +592,7 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
         state, chain_keys = do_special(params, state, chain_keys, n + 1)
         if mu_tuner.active and (n + 1) % mu_update_freq == 0:
             t0 = time.time()
-            inc, mstats, snaps, chain_keys = mstep_j(params, gather_x(state.x), chain_keys)
+            inc, mstats, snaps, chain_keys = mstep_j(params, meas_x(state.x), chain_keys)
             npairs = setup.mspec.nv * (setup.mspec.nv - 1) // 2
             Nm = float(inc["global"]["density"]) / npairs * ops.Nsites
             N2m = float(inc["global"]["Nsqr"]) / npairs
@@ -572,7 +616,7 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
         if (n + 1) % sp.meas_freq == 0:
             nmeas = (n + 1) // sp.meas_freq
             t0 = time.time()
-            inc, mstats, snaps, chain_keys = mstep_j(params, gather_x(state.x), chain_keys)
+            inc, mstats, snaps, chain_keys = mstep_j(params, meas_x(state.x), chain_keys)
             container = accum_j(container, {k: inc[k] for k in container})
             sim_stats["measurement_time"] += time.time() - t0
             nfl = int(np.asarray(mstats.get("n_flagged", 0)))

@@ -247,7 +247,10 @@ def test_site_sharded_driver_matches_unsharded(tmp_path):
         g1 = {l.split()[0]: float(l.split()[1]) for l in open(f1)}
         g8 = {l.split()[0]: float(l.split()[1]) for l in open(f8)}
         for k in g1:
-            assert abs(g1[k] - g8[k]) < 1e-5, (b, k, g1[k], g8[k])
+            # sharded measurement solves sit in the same CG tolerance
+            # ball as the unsharded ones, not bit-identically on it
+            assert abs(g1[k] - g8[k]) < 1e-5 * (1.0 + abs(g1[k])), \
+                (b, k, g1[k], g8[k])
 
 
 # ---------------------------------------------------------------------------
@@ -431,7 +434,10 @@ def test_site_sharded_ssh_driver_matches_unsharded(tmp_path):
         g1 = {l.split()[0]: float(l.split()[1]) for l in open(f1)}
         g8 = {l.split()[0]: float(l.split()[1]) for l in open(f8)}
         for k in g1:
-            assert abs(g1[k] - g8[k]) < 1e-5, (b, k, g1[k], g8[k])
+            # sharded measurement solves sit in the same CG tolerance
+            # ball as the unsharded ones, not bit-identically on it
+            assert abs(g1[k] - g8[k]) < 1e-5 * (1.0 + abs(g1[k])), \
+                (b, k, g1[k], g8[k])
 
 
 # ---------------------------------------------------------------------------
@@ -550,7 +556,10 @@ def test_site_sharded_langevin_driver_matches_unsharded(tmp_path):
         g1 = {l.split()[0]: float(l.split()[1]) for l in open(f1)}
         g8 = {l.split()[0]: float(l.split()[1]) for l in open(f8)}
         for k in g1:
-            assert abs(g1[k] - g8[k]) < 1e-5, (b, k, g1[k], g8[k])
+            # sharded measurement solves sit in the same CG tolerance
+            # ball as the unsharded ones, not bit-identically on it
+            assert abs(g1[k] - g8[k]) < 1e-5 * (1.0 + abs(g1[k])), \
+                (b, k, g1[k], g8[k])
 
 
 @pytest.mark.slow
@@ -632,7 +641,10 @@ def test_combined_chain_site_driver(tmp_path):
         g1 = {l.split()[0]: float(l.split()[1]) for l in open(f1)}
         g8 = {l.split()[0]: float(l.split()[1]) for l in open(f8)}
         for k in g1:
-            assert abs(g1[k] - g8[k]) < 1e-5, (b, k, g1[k], g8[k])
+            # sharded measurement solves sit in the same CG tolerance
+            # ball as the unsharded ones, not bit-identically on it
+            assert abs(g1[k] - g8[k]) < 1e-5 * (1.0 + abs(g1[k])), \
+                (b, k, g1[k], g8[k])
 
 
 def test_sharded_hmc_warm_start_matches_unsharded():
@@ -666,3 +678,72 @@ def test_sharded_hmc_warm_start_matches_unsharded():
     assert abs(float(stats["delta_H"]) - float(ref_stats.delta_H)) < 1e-6
     np.testing.assert_allclose(np.asarray(xs), np.asarray(ref_state.x),
                                rtol=1e-6, atol=1e-8)
+
+
+def test_sharded_greens_sampler_matches_unsharded():
+    """The site-sharded nᵥ-vector Green's-function sampler draws the SAME
+    random vectors as measure.greens.sample_greens (exact key-split parity)
+    and solves MᵀM·z = Mᵀ·R within the solver tolerance of the unsharded
+    solutions — measurements under --site-devices never run an unsharded
+    MᵀM solve."""
+    from elphdynamics_tpu.dynamics.solve import SolverConfig
+    from elphdynamics_tpu.measure import greens as G
+    from elphdynamics_tpu.ops.kpm import KPMConfig
+    from elphdynamics_tpu.parallel.lattice_shard import (
+        make_sharded_greens_sampler)
+
+    D = 4
+    assert jax.device_count() >= D
+    spec, params, ops = _build()
+    plan = build_shard_plan(spec.ckb, D)
+    mesh = site_mesh(D)
+    nv = 4
+    scfg = SolverConfig(tol=1e-7, maxiter=2000)
+    sampler = make_sharded_greens_sampler(spec, plan, mesh, nv, scfg,
+                                          kpm_cfg=KPMConfig(max_order=8))
+
+    key = jax.random.PRNGKey(5)
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(6), (spec.Nph, spec.Ltau))
+    R, MinvR, iters, flag, key_out = sampler(params, x, key)
+
+    gd, key_ref = G.sample_greens(ops, params, x, key, nv, scfg, None)
+    np.testing.assert_allclose(np.asarray(R), np.asarray(gd.R), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(key_out), np.asarray(key_ref))
+    assert int(flag) == 0
+    # both solutions sit in the tol ball around the true M⁻¹R
+    np.testing.assert_allclose(np.asarray(MinvR), np.asarray(gd.MinvR),
+                               atol=2e-5)
+    # solves actually ran distributed
+    assert len(MinvR.sharding.device_set) == D
+    assert int(iters) > 0
+
+
+def test_sharded_ssh_greens_sampler_matches_unsharded():
+    from elphdynamics_tpu.dynamics.solve import SolverConfig
+    from elphdynamics_tpu.measure import greens as G
+    from elphdynamics_tpu.models import ssh as S
+    from elphdynamics_tpu.models.adapter import make_model_ops as mmo
+    from elphdynamics_tpu.parallel.lattice_shard import (
+        make_sharded_ssh_greens_sampler)
+
+    D = 4
+    assert jax.device_count() >= D
+    spec, params = _build_ssh_2d()
+    ops = mmo(spec)
+    plan = build_shard_plan(spec.ckb, D)
+    mesh = site_mesh(D)
+    nv = 3
+    scfg = SolverConfig(tol=1e-7, maxiter=3000)
+    sampler = make_sharded_ssh_greens_sampler(spec, plan, mesh, nv, scfg)
+
+    key = jax.random.PRNGKey(7)
+    x = S.tie_fields(spec, 0.2 * jax.random.normal(
+        jax.random.PRNGKey(8), (spec.Nph, spec.Ltau)))
+    R, MinvR, iters, flag, key_out = sampler(params, x, key)
+    gd, key_ref = G.sample_greens(ops, params, x, key, nv, scfg, None)
+    np.testing.assert_allclose(np.asarray(R), np.asarray(gd.R), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(key_out), np.asarray(key_ref))
+    assert int(flag) == 0
+    np.testing.assert_allclose(np.asarray(MinvR), np.asarray(gd.MinvR),
+                               atol=2e-5)
+    assert len(MinvR.sharding.device_set) == D
