@@ -109,22 +109,10 @@ def _base_solver(scfg: SolverConfig):
         return solvers.bicgstab
 
     def gmres_batched(apply_A, b, x0=None, *, apply_P=None, tol, maxiter):
-        # vmap the unbatched GMRES over leading batch axes
-        lead = b.shape[:-2]
-        if not lead:
-            return solvers.gmres(apply_A, b, x0, apply_P=apply_P,
-                                 tol=tol, maxiter=maxiter, restart=scfg.restart)
-        bb = b.reshape((-1,) + b.shape[-2:])
-        x00 = None if x0 is None else x0.reshape((-1,) + b.shape[-2:])
-
-        def one(bi, xi):
-            return solvers.gmres(apply_A, bi, xi, apply_P=apply_P,
-                                 tol=tol, maxiter=maxiter, restart=scfg.restart)
-
-        res = jax.vmap(one)(bb, jnp.zeros_like(bb) if x00 is None else x00)
-        return solvers.CGResult(x=res.x.reshape(b.shape),
-                                iters=res.iters.reshape(lead),
-                                converged=res.converged.reshape(lead))
+        # natively batched over leading axes: one shared restart/Arnoldi
+        # loop of stacked matvecs (no per-RHS vmap)
+        return solvers.gmres(apply_A, b, x0, apply_P=apply_P,
+                             tol=tol, maxiter=maxiter, restart=scfg.restart)
 
     return gmres_batched
 

@@ -373,11 +373,16 @@ def gmres(
     maxiter: int = 1000,
     restart: int = 20,
 ):
-    """Left-preconditioned restarted GMRES with Givens rotations.
+    """Left-preconditioned restarted GMRES with Givens rotations, batched
+    over arbitrary leading axes of ``b`` like :func:`cg`.
 
-    Unbatched (no leading batch axes) — GMRES is not on the hot path in any
-    stock configuration (CG is the default everywhere); kept for solver
-    parity. Field shape [N, Lτ].
+    All batch elements run one shared restart-cycle loop: the Krylov basis
+    carries the batch axes (``V`` is [m+1, ..., N, Lτ]) and the Hessenberg /
+    rotation state is per-batch ([..., m+1, m] etc.), so nᵥ estimator
+    systems build their Arnoldi bases together as stacked matvecs instead of
+    nᵥ sequential solves (IterativeSolvers.jl:427-550 is one-at-a-time).
+    Converged elements stop counting iterations and stop applying updates at
+    restart boundaries; the loop exits when every element has converged.
     """
     b = jnp.asarray(b)
     if x0 is None:
@@ -385,81 +390,91 @@ def gmres(
     P = apply_P if apply_P is not None else (lambda v: v)
     n_outer = max(1, -(-maxiter // restart))
     m = restart
+    batch = b.shape[:-2]
+    dt = b.dtype
 
     pb = P(b)
-    normb = jnp.sqrt(jnp.sum(pb * pb))
+    normb = _norm(pb).astype(dt)
     normb = jnp.where(normb > 0, normb, 1.0)
 
     def arnoldi_iter(carry, i):
-        V, H, cs, sn, s, x, done, iters = carry
+        V, H, cs, sn, s, done, iters = carry
         w = P(apply_A(V[i]))
         # modified Gram-Schmidt against all columns, masked to k <= i
         def mgs(carry_w, k):
             w = carry_w
-            hk = jnp.where(k <= i, jnp.sum(V[k] * w), 0.0)
-            w = w - hk * V[k]
+            hk = jnp.where(k <= i, _dot_hot(V[k], w).astype(dt), 0.0)
+            w = w - _bc(hk, w) * V[k]
             return w, hk
-        w, hcol = lax.scan(mgs, w, jnp.arange(m + 1))
-        hip = jnp.sqrt(jnp.sum(w * w))
-        V = V.at[i + 1].set(jnp.where(hip > 0, w / jnp.where(hip > 0, hip, 1.0), w))
+        w, hcol = lax.scan(mgs, w, jnp.arange(m + 1))   # hcol: [m+1, ...]
+        hip = _norm_hot(w).astype(dt)
+        safe_hip = jnp.where(hip > 0, hip, 1.0)
+        V = V.at[i + 1].set(jnp.where(_bc(hip > 0, w), w / _bc(safe_hip, w), w))
+        col = jnp.moveaxis(hcol, 0, -1).at[..., i + 1].set(hip)  # [..., m+1]
         # apply previous Givens rotations to the new column
         def rot(carry_col, k):
             col = carry_col
-            hk = col[k]
-            hk1 = col[k + 1]
-            new_k = jnp.where(k < i, cs[k] * hk + sn[k] * hk1, hk)
-            new_k1 = jnp.where(k < i, -sn[k] * hk + cs[k] * hk1, hk1)
-            col = col.at[k].set(new_k).at[k + 1].set(new_k1)
+            hk = col[..., k]
+            hk1 = col[..., k + 1]
+            new_k = jnp.where(k < i, cs[..., k] * hk + sn[..., k] * hk1, hk)
+            new_k1 = jnp.where(k < i, -sn[..., k] * hk + cs[..., k] * hk1, hk1)
+            col = col.at[..., k].set(new_k).at[..., k + 1].set(new_k1)
             return col, None
-        col = hcol.at[i + 1].set(hip)
         col, _ = lax.scan(rot, col, jnp.arange(m))
         # new rotation
-        denom = jnp.sqrt(col[i] ** 2 + col[i + 1] ** 2)
-        ci = jnp.where(denom > 0, col[i] / jnp.where(denom > 0, denom, 1.0), 1.0)
-        si = jnp.where(denom > 0, col[i + 1] / jnp.where(denom > 0, denom, 1.0), 0.0)
-        col = col.at[i].set(ci * col[i] + si * col[i + 1]).at[i + 1].set(0.0)
-        cs = cs.at[i].set(ci)
-        sn = sn.at[i].set(si)
-        s_i = s[i]
-        s = s.at[i].set(ci * s_i).at[i + 1].set(-si * s_i)
-        H = H.at[:, i].set(col)
-        eps = jnp.abs(s[i + 1]) / normb
-        iters = iters + jnp.where(done, 0, 1)
+        denom = jnp.sqrt(col[..., i] ** 2 + col[..., i + 1] ** 2)
+        safe_d = jnp.where(denom > 0, denom, 1.0)
+        ci = jnp.where(denom > 0, col[..., i] / safe_d, 1.0)
+        si = jnp.where(denom > 0, col[..., i + 1] / safe_d, 0.0)
+        col = col.at[..., i].set(ci * col[..., i] + si * col[..., i + 1]) \
+                 .at[..., i + 1].set(0.0)
+        cs = cs.at[..., i].set(ci)
+        sn = sn.at[..., i].set(si)
+        s_i = s[..., i]
+        s = s.at[..., i].set(ci * s_i).at[..., i + 1].set(-si * s_i)
+        H = H.at[..., :, i].set(col)
+        eps = jnp.abs(s[..., i + 1]) / normb
+        iters = iters + (~done).astype(iters.dtype)
         done = done | (eps < tol)
-        return (V, H, cs, sn, s, x, done, iters), None
+        return (V, H, cs, sn, s, done, iters), None
 
     def outer(carry):
         k, x, iters, done_all = carry
         r = P(b - apply_A(x))
-        beta = jnp.sqrt(jnp.sum(r * r))
-        V = jnp.zeros((m + 1,) + b.shape, dtype=b.dtype)
-        V = V.at[0].set(r / jnp.where(beta > 0, beta, 1.0))
-        H = jnp.zeros((m + 1, m), dtype=b.dtype)
-        cs = jnp.zeros(m, dtype=b.dtype)
-        sn = jnp.zeros(m, dtype=b.dtype)
-        s = jnp.zeros(m + 1, dtype=b.dtype).at[0].set(beta)
+        beta = _norm_hot(r).astype(dt)
+        safe_b = jnp.where(beta > 0, beta, 1.0)
+        V = jnp.zeros((m + 1,) + b.shape, dtype=dt).at[0].set(r / _bc(safe_b, r))
+        H = jnp.zeros(batch + (m + 1, m), dtype=dt)
+        cs = jnp.zeros(batch + (m,), dtype=dt)
+        sn = jnp.zeros(batch + (m,), dtype=dt)
+        s = jnp.zeros(batch + (m + 1,), dtype=dt).at[..., 0].set(beta)
         done0 = done_all | (beta / normb < tol)
-        (V, H, cs, sn, s, _, done, iters), _ = lax.scan(
-            arnoldi_iter, (V, H, cs, sn, s, x, done0, iters), jnp.arange(m)
+        (V, H, cs, sn, s, done, iters), _ = lax.scan(
+            arnoldi_iter, (V, H, cs, sn, s, done0, iters), jnp.arange(m)
         )
-        # back-substitution y = H[:m,:m]^-1 s[:m] (upper triangular)
+        # back-substitution y = H[:m,:m]^-1 s[:m] (upper triangular, batched)
         def back(carry_y, idx):
             y = carry_y
             k = m - 1 - idx
-            hkk = H[k, k]
-            val = (s[k] - jnp.sum(H[k] * y)) / jnp.where(hkk != 0, hkk, 1.0)
-            y = y.at[k].set(val)
+            hkk = H[..., k, k]
+            val = (s[..., k] - jnp.sum(H[..., k, :] * y, axis=-1)) \
+                / jnp.where(hkk != 0, hkk, 1.0)
+            y = y.at[..., k].set(val)
             return y, None
-        y, _ = lax.scan(back, jnp.zeros(m, dtype=b.dtype), jnp.arange(m))
-        dx = jnp.tensordot(y, V[:m], axes=1)
-        x = jnp.where(done_all, x, x + dx)
+        y, _ = lax.scan(back, jnp.zeros(batch + (m,), dtype=dt), jnp.arange(m))
+        # dx = Σₖ y[..., k] · V[k] with batch axes
+        dx = jnp.sum(jnp.moveaxis(V[:m], 0, -1)
+                     * y[..., None, None, :].astype(dt), axis=-1)
+        x = jnp.where(_bc(done_all, x), x, x + dx)
         return (k + 1, x, iters, done)
 
-    # while_loop: restart cycles stop once converged instead of always
-    # executing all n_outer of them (VERDICT r1 weak #6)
+    # while_loop: restart cycles stop once every batch element converged
+    # instead of always executing all n_outer of them
     _, x, iters, _ = lax.while_loop(
-        lambda c: (c[0] < n_outer) & ~c[3],
-        outer, (jnp.asarray(0), x0, jnp.zeros((), jnp.int32), jnp.asarray(False))
+        lambda c: (c[0] < n_outer) & ~jnp.all(c[3]),
+        outer, (jnp.asarray(0), x0, jnp.zeros(batch, jnp.int32),
+                jnp.zeros(batch, bool))
     )
-    err = _norm(apply_A(x) - b) / jnp.where(_norm(b) > 0, _norm(b), 1.0)
+    normb_true = _norm(b)
+    err = _norm(apply_A(x) - b) / jnp.where(normb_true > 0, normb_true, 1.0)
     return CGResult(x=x, iters=iters, converged=err < jnp.sqrt(tol))

@@ -119,6 +119,8 @@ def main():
     ap.add_argument("--max-order", type=int, default=None,
                     help="Chebyshev cap (default: 4 holstein / 8 ssh)")
     ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("--chains", type=int, default=0,
+                    help="override the default chain-batch heuristic")
     args = ap.parse_args()
     max_order = args.max_order or (4 if args.model == "holstein" else 8)
     run = run_holstein if args.model == "holstein" else run_ssh
@@ -129,8 +131,9 @@ def main():
           f"{'sweeps/s':>9} {'iters':>6} {'acc':>6} {'flag':>5}")
     for beta in [float(b) for b in args.betas.split(",")]:
         Ltau = int(round(beta / 0.1))
-        chains = max(8, int(128 * 40 / Ltau)) if args.model == "holstein" \
-            else max(8, int(64 * 40 / Ltau))
+        chains = args.chains or (
+            max(8, int(128 * 40 / Ltau)) if args.model == "holstein"
+            else max(8, int(64 * 40 / Ltau)))
         for k in [int(s) for s in args.lowfreq.split(",")]:
             sw, it, acc, fl = run(args.L, beta, chains, args.steps, k, max_order)
             print(f"{beta:>5.0f} {Ltau:>5} {chains:>6} {k:>7} "

@@ -127,3 +127,33 @@ def test_cg_split_preconditioner():
         np.testing.assert_allclose(A @ got[bi], b[bi], atol=1e-6)
     assert np.all(np.asarray(res.converged))
     assert np.all(np.asarray(res.iters) <= 500)
+
+
+def test_gmres_batched_leading_axes():
+    """GMRES carries arbitrary leading batch axes natively (one shared
+    Arnoldi loop of stacked matvecs): each batch element solves ITS system
+    (the operator acts blockwise) and per-element iteration counts reflect
+    per-element difficulty."""
+    rng = np.random.default_rng(4)
+    n = 16
+    easy = np.eye(n) + 0.05 * rng.standard_normal((n, n)) / np.sqrt(n)
+    hard = np.eye(n) + 0.45 * rng.standard_normal((n, n)) / np.sqrt(n)
+    As = jnp.asarray(np.stack([easy, hard]))       # [2, n, n]
+    b = jnp.asarray(rng.standard_normal((2, n, 3)))  # batch axis leading
+
+    res = solvers.gmres(lambda v: jnp.einsum("bij,bjk->bik", As, v), b,
+                        tol=1e-10, maxiter=200, restart=8)
+    got = np.einsum("bij,bjk->bik", np.asarray(As), np.asarray(res.x))
+    assert np.allclose(got, np.asarray(b), atol=1e-6)
+    assert res.iters.shape == (2,)
+    assert int(res.iters[0]) <= int(res.iters[1])
+    assert bool(res.converged.all())
+
+    # 2-D batch shape round-trips too
+    b4 = jnp.asarray(rng.standard_normal((2, 2, n, 3)))
+    A4 = jnp.broadcast_to(As[None], (2, 2, n, n))
+    res4 = solvers.gmres(lambda v: jnp.einsum("cbij,cbjk->cbik", A4, v), b4,
+                         tol=1e-8, maxiter=200, restart=8)
+    got4 = np.einsum("cbij,cbjk->cbik", np.asarray(A4), np.asarray(res4.x))
+    assert np.allclose(got4, np.asarray(b4), atol=1e-5)
+    assert res4.iters.shape == (2, 2)
