@@ -233,7 +233,17 @@ def build_setup(cfg: dict, datafolder: str, dtype=None) -> SimulationSetup:
                             # τ↔ω transforms (auto by Lτ) and the flattened
                             # Chebyshev stack experiment
                             dft_matmul=p.get("dft_matmul", None),
-                            stacked=p.get("stacked", False))
+                            stacked=p.get("stacked", False),
+                            # exact-low-frequency hybrid: dense-LU the k
+                            # lowest Matsubara blocks, Chebyshev the rest.
+                            # Helps when the per-ω polynomial degree is the
+                            # binding constraint (mild/weakly-τ-varying
+                            # fields at long Lτ); measured NOT to help on
+                            # equilibrated strong-coupling deep-β ensembles,
+                            # where the τ-averaged block-diagonal
+                            # approximation itself is what breaks down —
+                            # see BASELINE.md. Off by default.
+                            exact_lowfreq=int(p.get("exact_lowfreq", 0)))
 
     # Fourier acceleration tables
     fa_blocks = cfg.get("fourier_acceleration", [])

@@ -74,10 +74,15 @@ class KPMConfig:
     # exact-low-frequency hybrid (beyond-reference): solve the k lowest
     # Matsubara blocks (I − e^{−iφ}Ā)⁻¹ EXACTLY by dense LU once per setup
     # and Chebyshev only the rest. The polynomial degree the expansion
-    # needs diverges as 1/φ (KPMPreconditioners.jl:301), which is what
-    # strangles deep-β (large Lτ) runs — the exact blocks remove exactly
-    # those frequencies. Requires the dense Ā path; complex solves run via
-    # the real [[R,−I],[I,R]] embedding (TPU has no complex LU).
+    # needs diverges as 1/φ (KPMPreconditioners.jl:301); the exact blocks
+    # remove exactly those frequencies, which pays when that degree is the
+    # binding constraint (mild / weakly-τ-varying fields at long Lτ —
+    # tests/test_kpm.py). On equilibrated strong-coupling deep-β ensembles
+    # it does NOT pay: there the τ-averaged block-diagonal approximation
+    # itself breaks down (solving ALL blocks exactly still leaves ~same CG
+    # iterations — measured in BASELINE.md); deflation attacks that regime
+    # instead. Requires the dense Ā path; complex solves run via the real
+    # [[R,−I],[I,R]] embedding (TPU has no complex LU).
     exact_lowfreq: int = 0
 
     def use_dft(self, Ltau: int) -> bool:

@@ -203,23 +203,35 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
                     else _rep)
             _ksh = _rep
 
-        def _adapt(raw_step):
-            def step(params, state, key):
-                # place everything onto the site mesh so the sharded program
-                # sees one consistent device set even after params/key/x
-                # round-tripped through unsharded measurement or
-                # special-update jits (tiny transfers, off the hot loop)
-                params = jax.tree.map(
+        # params placement cache: re-place onto the mesh only when the
+        # params object actually changes (μ-tuner updates), NOT every step —
+        # on the axon runtime every forced transfer is a full round trip
+        _pcache = {}
+
+        def _place_params(params):
+            # identity check holds a strong reference to the source object,
+            # so the id cannot be recycled while the cache entry lives
+            if _pcache.get("src") is not params:
+                _pcache["src"] = params
+                _pcache["val"] = jax.tree.map(
                     lambda a: jax.device_put(a, _rep) if a is not None else a,
                     params)
+            return _pcache["val"]
+
+        def _adapt(raw_step):
+            def step(params, state, key):
+                # steady state: x/v/key are already mesh-resident from the
+                # previous sharded step and these device_puts are no-ops;
+                # they only move data on the first step or right after an
+                # (unsharded, off-hot-loop) special update touched the state
+                params = _place_params(params)
                 key = jax.device_put(key, _ksh)
                 x = jax.device_put(state.x, _xsh)
                 v = jax.device_put(state.v, _xsh)
                 x, v, stats, key = raw_step(params, x, v, key)
-                # ... and pin the key back to the default device for the
-                # (unsharded) measurement / special-update jits
-                return HMCState(x=x, v=v), stats, \
-                    jax.device_put(key, jax.devices()[0])
+                # key stays mesh-replicated: the sharded measurement sampler
+                # consumes it in place; special updates re-place on demand
+                return HMCState(x=x, v=v), stats, key
             return step
 
         if setup.dynamics_type == "hmc":
@@ -240,16 +252,13 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
                             setup.solver_cfg, kpm_cfg=setup.kpm_cfg)
 
             def _lwrap(params, state, key):
-                params = jax.tree.map(
-                    lambda a: jax.device_put(a, _rep) if a is not None else a,
-                    params)
+                params = _place_params(params)
                 key = jax.device_put(key, _rep)
                 x = jax.device_put(state.x, _xsh)
                 x, stats, key = _lraw(params, x, key)
                 return HMCState(x=x, v=state.v), \
                     {"accepted": jnp.asarray(True), "iters": stats["iters"],
-                     "flag": stats["flag"]}, \
-                    jax.device_put(key, jax.devices()[0])
+                     "flag": stats["flag"]}, key
 
             sim_step = burnin_step = _lwrap
     elif setup.dynamics_type == "hmc":
@@ -359,10 +368,10 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
 
             def _mstep_one(params, x, keys):
                 # the solves run sharded over the site mesh; R/M⁻¹R gather
-                # to one device only for the convolution/estimator stage
-                params_m = jax.tree.map(
-                    lambda a: jax.device_put(a, _rep) if a is not None else a,
-                    params)
+                # to one device only for the convolution/estimator stage.
+                # The key stays mesh-resident (the next sampler step
+                # consumes it in place).
+                params_m = _place_params(params)
                 x_m = jax.device_put(x, _xsh)
                 keys_m = jax.device_put(keys, _rep)
                 R, MinvR, iters, flag, keys = sharded_sampler(
@@ -372,10 +381,9 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
                                 iters=put0(iters), flag=put0(flag))
                 inc, ms, snaps = analyze_j(jax.tree.map(put0, params),
                                            put0(x), gd)
-                keys = put0(keys)
                 ms = dict(ms)
                 ms["n_flagged"] = jnp.sum(jnp.asarray(ms["flag"]) != 0)
-                return inc, ms, snaps, jax.device_put(keys, _dev0)
+                return inc, ms, snaps, keys
 
             mstep_j = _mstep_one
         else:
@@ -505,15 +513,22 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
 
     def do_special(params, state, keys, n):
         nonlocal sim_stats
-        if setup.reflect_cfg.n_moves and setup.reflect_cfg.freq and \
-                n % setup.reflect_cfg.freq == 0:
+        fire_reflect = (setup.reflect_cfg.n_moves and setup.reflect_cfg.freq
+                        and n % setup.reflect_cfg.freq == 0)
+        fire_swap = (setup.swap_cfg.n_moves and setup.swap_cfg.freq
+                     and n % setup.swap_cfg.freq == 0)
+        if site_devices > 1 and (fire_reflect or fire_swap):
+            # the special-update jits are unsharded: gather the (mesh-
+            # resident) key only when one actually fires — never on the
+            # per-step hot path
+            keys = jax.device_put(keys, jax.devices()[0])
+        if fire_reflect:
             t0 = time.time()
             xn, acc, keys = reflect_j(params, gather_x(state.x), keys)
             state = HMCState(x=xn, v=state.v)
             sim_stats["simulation_time"] += time.time() - t0
             sim_stats["reflect_acceptance_rate"] += float(np.mean(np.asarray(acc)))
-        if setup.swap_cfg.n_moves and setup.swap_cfg.freq and \
-                n % setup.swap_cfg.freq == 0:
+        if fire_swap:
             t0 = time.time()
             xn, acc, keys = swap_j(params, gather_x(state.x), keys)
             state = HMCState(x=xn, v=state.v)

@@ -102,6 +102,15 @@ def tree_to_host(tree):
                for a in leaves):
         # non-float leaves (ints/bools): per-leaf fallback
         return jax.tree.map(device_to_host, tree)
+    # leaves committed to different device sets (e.g. a site-sharded field
+    # next to a default-device scalar after a special update gathered one of
+    # them) cannot feed one jitted pack — normalize placement first
+    device_sets = {tuple(sorted(d.id for d in a.sharding.device_set))
+                   for a in leaves if hasattr(a, "sharding")}
+    if len(device_sets) > 1:
+        dev0 = jax.devices()[0]
+        leaves = [jax.device_put(a, dev0) if hasattr(a, "sharding") else a
+                  for a in leaves]
     flat = np.asarray(_pack_tree_flat(leaves))
     out = []
     pos = 0

@@ -225,7 +225,10 @@ def test_site_sharded_driver_matches_unsharded(tmp_path):
     cfg = copy.deepcopy(BASE_CFG)
     cfg["hmc"]["burnin_updates"] = 2
     cfg["hmc"]["simulation_updates"] = 4
-    cfg["hmc"].pop("reflection_update")
+    # keep the reflection update firing (freq 2): it runs through the
+    # unsharded special-update jit, exercising the mesh→device-0 key/x
+    # hand-off of the sharded driver loop
+    cfg["hmc"]["reflection_update"] = {"freq": 2, "nsites": 2}
     cfg["hmc"].pop("swap_update")
     cfg["lattice"]["L"] = 4  # 16 sites over 4 shards: one row each
     cfg["simulation"]["num_bins"] = 2
