@@ -32,3 +32,23 @@ def test_example_builds(path, tmp_path):
     # honeycomb exercises the multi-orbital path
     if "honeycomb" in path:
         assert setup.ops.spec.lattice.unit_cell.norbits == 2
+
+
+def test_preconditioner_schema_knobs():
+    """All [solver.preconditioner] knobs reach KPMConfig — incl. the
+    beyond-reference exact_lowfreq hybrid (unwired-feature regression)."""
+    import copy
+
+    from elphdynamics_tpu.io.config import build_setup
+    from test_simulation_driver import BASE_CFG
+
+    cfg = copy.deepcopy(BASE_CFG)
+    cfg["solver"]["preconditioner"] = {
+        "n": 12, "buf": 0.07, "c1": 2.0, "c2": 3.0, "max_order": 16,
+        "dft_matmul": True, "stacked": False, "exact_lowfreq": 6,
+    }
+    setup = build_setup(cfg, "/tmp/_schema_check")
+    k = setup.kpm_cfg
+    assert (k.n_power, k.buf, k.c1, k.c2) == (12, 0.07, 2.0, 3.0)
+    assert k.max_order == 16 and k.dft_matmul is True
+    assert k.exact_lowfreq == 6
