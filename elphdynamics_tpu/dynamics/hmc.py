@@ -56,6 +56,13 @@ class HMCConfig(NamedTuple):
     # warm start (2z₁ − z₀); the solution moves smoothly along the leapfrog
     # so the predicted point starts CG closer than the last solution alone
     guess_order: int = 1
+    # incremental slow-mode deflation (ops/deflation.py, beyond reference
+    # parity): basis size carried in HMCState.defl, refreshed once per
+    # update, init-projected into every trajectory CG. 0 = off.
+    deflate_k: int = 0
+    deflate_filter: int = 8
+    deflate_power: int = 4
+    deflate_cutoff: float = 1 / 16
 
     @property
     def Nt(self) -> int:
@@ -69,6 +76,8 @@ class HMCConfig(NamedTuple):
 class HMCState(NamedTuple):
     x: jnp.ndarray
     v: jnp.ndarray
+    # DeflationState when cfg.deflate_k > 0 (ops/deflation.py), else None
+    defl: object = None
 
 
 class HMCStats(NamedTuple):
@@ -108,7 +117,9 @@ def make_hmc_step(
     ``setup!`` cadence (HMC.jl:834).
     """
     from elphdynamics_tpu.dynamics.solve import (
-        SolverConfig, precond_state, resolve_precond, solve_oinv)
+        SolverConfig, precond_applies, precond_state, resolve_precond,
+        solve_oinv)
+    from elphdynamics_tpu.ops import deflation
 
     mass = jnp.asarray(mass_table)
     has_lambda = ops.calc_Lambda is not None
@@ -120,18 +131,21 @@ def make_hmc_step(
             return ops.mulLambda(Lam, phi), Lam
         return phi, None
 
-    def solve_O(params, x, derived, Lphi, tol, pstate, z_guess=None):
+    def solve_O(params, x, derived, Lphi, tol, pstate, z_guess=None,
+                defl=None):
         """Batched-over-spin solve of O·z = Λφ (HMC.jl:820-915).
 
         ``pstate`` is the KPM state of the full setup at the trajectory start;
         each solve only refreshes the averaged operator against the current x
         (buffered setup-skip, KPMPreconditioners.jl:288-308). ``z_guess``
-        warm-starts the CG from the previous timestep's solution."""
+        warm-starts the CG from the previous timestep's solution; ``defl``
+        init-projects the accumulated slow modes out of the start."""
         pa = resolve_precond(precond, params, x, prev_state=pstate)
         scfg = SolverConfig(tol=tol, maxiter=cfg.maxiter, kappa_max=cfg.kappa_max,
                             kind=cfg.solver_kind, restart=cfg.restart)
         x0 = z_guess if (cfg.construct_guess and cfg.solver_kind == "cg") else None
-        res = solve_oinv(ops, params, derived, Lphi, scfg, pa, x0=x0)
+        res = solve_oinv(ops, params, derived, Lphi, scfg, pa, x0=x0,
+                         deflate=defl)
         # spin axis is leading: reduce iters (avg, reference's cld(sum,2)) & flag
         iters = (jnp.sum(res.iters, axis=0) + 1) // 2
         flag = jnp.max(res.flag, axis=0)
@@ -201,9 +215,27 @@ def make_hmc_step(
         # solves reuse its bounds/coefficients through cheap refreshes
         pstate = precond_state(precond, params, x0)
 
+        # --- deflation-basis refresh at the update's starting field; one
+        # basis serves the whole trajectory (ops/deflation.py)
+        if cfg.deflate_k > 0:
+            if state.defl is None:
+                raise ValueError(
+                    "cfg.deflate_k > 0 requires HMCState.defl "
+                    "(initialize with dynamics.hmc.init_deflation)")
+            pa0 = precond_applies(precond, pstate)
+            apP = pa0.symmetric if pa0 is not None else (lambda v: v)
+            defl = deflation.refresh(
+                state.defl, lambda v: ops.mulMTM(params, derived0, v), apP,
+                deflation.DeflationConfig(cfg.deflate_k, cfg.deflate_filter,
+                                          cfg.deflate_power,
+                                          cfg.deflate_cutoff))
+        else:
+            defl = state.defl
+
         # --- initial endpoint solve (tol², HMC.jl:374)
         Lphi0, _ = lam_phi(params, x0, phi)
-        z0, it0, flag0 = solve_O(params, x0, derived0, Lphi0, tol2, pstate)
+        z0, it0, flag0 = solve_O(params, x0, derived0, Lphi0, tol2, pstate,
+                                 defl=defl)
         H0 = calc_S(params, x0, Lphi0, z0) + calc_K(v0)
 
         dSdx0 = forces(params, x0, derived0, phi, z0)
@@ -251,7 +283,7 @@ def make_hmc_step(
             else:
                 guess = z_prev
             z1, it1, fl1 = solve_O(params, x1, d1, Lphi1, tol1, pstate,
-                                   z_guess=guess)
+                                   z_guess=guess, defl=defl)
             dS1 = forces(params, x1, d1, phi, z1)
             Qd1 = qf(dS1)
             v1 = v1 - cfg.dt / 2 * Qd1
@@ -285,7 +317,7 @@ def make_hmc_step(
         d1 = ops.derived(params, x1)
         Lphi1, _ = lam_phi(params, x1, phi)
         z1, it2, fl2 = solve_O(params, x1, d1, Lphi1, tol2, pstate,
-                               z_guess=z_last)
+                               z_guess=z_last, defl=defl)
         iters = iters + it2
         flag = jnp.maximum(flag, fl2)
         S1 = calc_S(params, x1, Lphi1, z1)
@@ -296,6 +328,10 @@ def make_hmc_step(
         u = jax.random.uniform(k_acc, P.shape, dtype=P.dtype)
         accept = (u < P) & (flag == 0)
 
+        # the refreshed basis is kept on reject too: it was refined at x0,
+        # which IS the post-reject field, and it only steers solver starts
+        # (solutions are tol-exact either way) — no effect on the target
+        # distribution
         x_new = jnp.where(accept, x1, x0)
         v_new = jnp.where(accept, v1, -v0)
         mean_iters = (iters + cfg.Nt + 1) // (cfg.Nt + 2)
@@ -304,6 +340,16 @@ def make_hmc_step(
         if cfg.log_verbose:
             stats = stats._replace(traj_H=traj[0], traj_S=traj[1],
                                    traj_K=traj[2], traj_iters=traj[3])
-        return HMCState(x=x_new, v=v_new), stats, key
+        return HMCState(x=x_new, v=v_new, defl=defl), stats, key
 
     return step
+
+
+def init_deflation(ops: ModelOps, cfg: HMCConfig, key):
+    """Fresh per-chain deflation state for ``HMCState.defl`` (None when
+    deflation is off). vmap it over split keys for chain batches."""
+    from elphdynamics_tpu.ops import deflation
+
+    if cfg.deflate_k <= 0:
+        return None
+    return deflation.init(key, cfg.deflate_k, ops.Nsites, ops.Ltau)

@@ -132,14 +132,16 @@ def solve_minv(ops: ModelOps, params, derived, rhs, scfg: SolverConfig,
 
 
 def solve_oinv(ops: ModelOps, params, derived, rhs, scfg: SolverConfig,
-               pa: PrecondApplies | None, x0=None):
+               pa: PrecondApplies | None, x0=None, deflate=None):
     """z = (MᵀM)⁻¹·rhs (HMC.jl:820-915). ``x0`` optionally warm-starts the
-    CG from a previous solution (construct_guess)."""
+    CG from a previous solution (construct_guess); ``deflate`` optionally
+    init-projects the slow modes out (ops/deflation.py, CG only)."""
     if scfg.kind == "cg":
         return solvers.solve_checked(
             lambda v: ops.mulMTM(params, derived, v), rhs, x0=x0,
             apply_P=pa.symmetric if pa else None,
-            tol=scfg.tol, maxiter=scfg.maxiter, kappa_max=scfg.kappa_max)
+            tol=scfg.tol, maxiter=scfg.maxiter, kappa_max=scfg.kappa_max,
+            deflate=deflate)
     base = _base_solver(scfg)
     # Mᵀ·y = rhs, then M·z = y (HMC.jl:859-874)
     res1 = _checked_nonsym(lambda v: ops.mulMT(params, derived, v), rhs, base,

@@ -244,6 +244,17 @@ def build_setup(cfg: dict, datafolder: str, dtype=None) -> SimulationSetup:
                             # approximation itself is what breaks down —
                             # see BASELINE.md. Off by default.
                             exact_lowfreq=int(p.get("exact_lowfreq", 0)))
+    # [solver.deflation]: incremental slow-mode deflation (ops/deflation.py,
+    # beyond reference parity; experimental, off by default). Measured on
+    # chip to HURT at deep β — the slow subspace rotates with the field
+    # faster than the once-per-update refresh (BASELINE.md §deep-β) — but
+    # the knob, like exact_lowfreq, is kept wired so the study is
+    # reproducible from a stock TOML.
+    dfl = sol.get("deflation", {})
+    deflate_k = int(dfl.get("k", 0))
+    deflate_filter = int(dfl.get("filter_degree", 8))
+    deflate_power = int(dfl.get("power_iters", 4))
+    deflate_cutoff = float(dfl.get("cutoff", 1 / 16))
 
     # Fourier acceleration tables
     fa_blocks = cfg.get("fourier_acceleration", [])
@@ -266,7 +277,10 @@ def build_setup(cfg: dict, datafolder: str, dtype=None) -> SimulationSetup:
                             solver_kind=solver_cfg.kind, restart=solver_cfg.restart,
                             log_verbose=bool(h.get("verbose", False)),
                             construct_guess=bool(h.get("construct_guess", False)),
-                            guess_order=int(h.get("guess_order", 3)))
+                            guess_order=int(h.get("guess_order", 3)),
+                            deflate_k=deflate_k, deflate_filter=deflate_filter,
+                            deflate_power=deflate_power,
+                            deflate_cutoff=deflate_cutoff)
         b = h.get("burnin", {})
         hmc_burnin_cfg = HMCConfig(
             dt=b.get("dt", h["dt"]),
@@ -278,7 +292,9 @@ def build_setup(cfg: dict, datafolder: str, dtype=None) -> SimulationSetup:
             solver_kind=solver_cfg.kind, restart=solver_cfg.restart,
             log_verbose=bool(h.get("verbose", False)),
             construct_guess=bool(h.get("construct_guess", False)),
-            guess_order=int(h.get("guess_order", 3)))
+            guess_order=int(h.get("guess_order", 3)),
+            deflate_k=deflate_k, deflate_filter=deflate_filter,
+            deflate_power=deflate_power, deflate_cutoff=deflate_cutoff)
         if "reflection_update" in h and model_type == "holstein":
             reflect_cfg = SpecialUpdateConfig(
                 freq=h["reflection_update"]["freq"],

@@ -470,7 +470,27 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
     else:
         chain_keys = key
 
-    state = HMCState(x=x, v=v)
+    # incremental slow-mode deflation state ([solver.deflation], the deep-β
+    # lever — ops/deflation.py). Not checkpointed: the basis is a solver aid
+    # that reconverges within ~20 updates after resume.
+    defl = None
+    _hcfg = setup.hmc_cfg
+    if (setup.dynamics_type == "hmc" and _hcfg is not None
+            and _hcfg.deflate_k > 0):
+        if site_devices > 1:
+            raise NotImplementedError(
+                "[solver.deflation] is not yet supported with --site-devices")
+        from elphdynamics_tpu.dynamics.hmc import init_deflation
+        # independent seed: keeps the main RNG stream identical with or
+        # without deflation, and works on resume (key is per-chain there)
+        dkey = jax.random.PRNGKey(sp.random_seed + 7919)
+        if n_chains > 1:
+            dkeys = jax.random.split(dkey, n_chains)
+            defl = jax.vmap(lambda kk: init_deflation(ops, _hcfg, kk))(dkeys)
+        else:
+            defl = init_deflation(ops, _hcfg, dkey)
+
+    state = HMCState(x=x, v=v, defl=defl)
     if n_chains > 1:
         state = place(state)
         chain_keys = place(chain_keys)
@@ -525,13 +545,13 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
         if fire_reflect:
             t0 = time.time()
             xn, acc, keys = reflect_j(params, gather_x(state.x), keys)
-            state = HMCState(x=xn, v=state.v)
+            state = state._replace(x=xn)
             sim_stats["simulation_time"] += time.time() - t0
             sim_stats["reflect_acceptance_rate"] += float(np.mean(np.asarray(acc)))
         if fire_swap:
             t0 = time.time()
             xn, acc, keys = swap_j(params, gather_x(state.x), keys)
-            state = HMCState(x=xn, v=state.v)
+            state = state._replace(x=xn)
             sim_stats["simulation_time"] += time.time() - t0
             sim_stats["swap_acceptance_rate"] += float(np.mean(np.asarray(acc)))
         return state, keys

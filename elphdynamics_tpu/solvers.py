@@ -83,6 +83,7 @@ def cg(
     maxiter: int = 1000,
     kappa_max: float = 1e12,
     active0=None,
+    deflate=None,
 ):
     """Preconditioned conjugate gradient (IterativeSolvers.jl:153-234).
 
@@ -92,6 +93,9 @@ def cg(
     (2j/log(2ε₀/ε))²`` exceeds ``kappa_max`` (the reference's early-abort,
     IterativeSolvers.jl:214-218). ``active0`` optionally masks out batch
     elements that should not be solved at all (used by the fallback ladder).
+    ``deflate`` is an optional :class:`elphdynamics_tpu.ops.deflation.DeflationState`;
+    its init-projection is applied to (x0, r0) before iterating — beyond
+    reference parity, see ops/deflation.py.
     """
     b = jnp.asarray(b)
     if x0 is None:
@@ -101,6 +105,16 @@ def cg(
     normb = _norm(b)
     safe_normb = jnp.where(normb > 0, normb, 1.0)
     r0 = b - apply_A(x0)
+    if deflate is not None:
+        from elphdynamics_tpu.ops.deflation import project
+        # two passes = one step of iterative refinement: the f32 WᵀAW
+        # factor limits a single projection to ~1e-4·|b| residual in the
+        # slow modes (cond(WᵀAW) ≈ 1/λ_slow amplifies the f32 roundoff);
+        # re-projecting the exact residual squares that error away without
+        # any f64 math (production runs x64-disabled)
+        for _ in range(2):
+            x0 = project(deflate, r0, x0)
+            r0 = b - apply_A(x0)
     z0 = P(r0)
     rdotz0 = _dot(r0, z0)
     eps0 = _norm(r0) / safe_normb
@@ -125,9 +139,13 @@ def cg(
         x_new = x + _bc(alpha, x) * p
         r_new = r - _bc(alpha, r) * Ap
         eps = _norm_hot(r_new) / safe_normb
-        # κmin update (guard the log against eps >= 2·eps0)
-        ratio = jnp.clip(2.0 * eps0 / jnp.where(eps > 0, eps, 1e-300), 1.0 + 1e-12, None)
-        kmin_new = jnp.maximum(kmin, (2.0 * (j + 1) / jnp.log(ratio)) ** 2)
+        # reference formula (IterativeSolvers.jl:214): the log is SIGNED and
+        # squared away — a residual transiently overshooting 2·ε₀ yields a
+        # modest bound, not an abort; only stagnation at ε ≈ 2·ε₀ (log → 0)
+        # legitimately diverges. Guard just that singularity.
+        logr = jnp.log(2.0 * eps0 / jnp.where(eps > 0, eps, 1e-300))
+        logr = jnp.where(jnp.abs(logr) > 1e-12, logr, 1e-12)
+        kmin_new = jnp.maximum(kmin, (2.0 * (j + 1) / logr) ** 2)
         done = (eps < tol) | (kmin_new > kappa_max)
         z_new = P(r_new)
         rdotz_new = _dot_hot(r_new, z_new)
@@ -207,8 +225,13 @@ def cg_split(
         beta = rdotr_new / jnp.where(rdotr != 0, rdotr, 1.0)
         p_new = apply_LTinv(r_new) + _bc(beta, p) * p
         eps = _norm_hot(p_new) / safe_normLb
-        ratio = jnp.clip(2.0 * eps0 / jnp.where(eps > 0, eps, 1e-300), 1.0 + 1e-12, None)
-        kmin_new = jnp.maximum(kmin, (2.0 * (j + 1) / jnp.log(ratio)) ** 2)
+        # reference formula (IterativeSolvers.jl:214): the log is SIGNED and
+        # squared away — a residual transiently overshooting 2·ε₀ yields a
+        # modest bound, not an abort; only stagnation at ε ≈ 2·ε₀ (log → 0)
+        # legitimately diverges. Guard just that singularity.
+        logr = jnp.log(2.0 * eps0 / jnp.where(eps > 0, eps, 1e-300))
+        logr = jnp.where(jnp.abs(logr) > 1e-12, logr, 1e-12)
+        kmin_new = jnp.maximum(kmin, (2.0 * (j + 1) / logr) ** 2)
         done = (eps < tol) | (kmin_new > kappa_max)
 
         m = _bc(active, x)
@@ -250,6 +273,7 @@ def solve_checked(
     maxiter: int = 1000,
     kappa_max: float = 1e12,
     fallback: bool = True,
+    deflate=None,
 ):
     """CG solve with residual verification and retry ladder (Models.jl:74-186).
 
@@ -259,10 +283,10 @@ def solve_checked(
     10× the iteration budget — as masked members of a second while_loop that
     exits immediately if nothing failed. ``x0`` optionally warm-starts the
     first solve (the ``construct_guess`` knob the reference documents in its
-    example TOMLs; the retry always restarts from zero).
+    example TOMLs; the retry always restarts from zero, undeflated).
     """
     res1 = cg(apply_A, b, x0=x0, apply_P=apply_P, tol=tol, maxiter=maxiter,
-              kappa_max=kappa_max)
+              kappa_max=kappa_max, deflate=deflate)
     normb = _norm(b)
     safe_normb = jnp.where(normb > 0, normb, 1.0)
     err = _norm(apply_A(res1.x) - b) / safe_normb

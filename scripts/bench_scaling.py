@@ -48,6 +48,9 @@ def main():
     from elphdynamics_tpu.ops.fourier_accel import build_mass
 
     chains_of = {8: 128, 16: 64, 32: 32, 64: 16}
+    # leapfrog ΔH ∝ N·dt⁴ at fixed trajectory time: dt must shrink ~N^(-1/4)
+    # for constant acceptance (dt=0.05 at 64×64 gives acc≈0.19)
+    dt_of = {8: 0.05, 16: 0.05, 32: 0.05, 64: 0.025}
     print(f"device={jax.devices()[0]} dense_threshold={args.dense_threshold} "
           f"max_order={args.max_order}")
     print(f"{'L':>4} {'N':>6} {'chains':>7} {'sweeps/s':>9} {'iters':>6} "
@@ -65,7 +68,8 @@ def main():
         ops = make_model_ops(spec)
         mass = build_mass(np.asarray(params.omega), spec.dtau, spec.Ltau,
                           [dict(omega_min=0.0, omega_max=10.0, mass=0.5)])
-        cfg = HMCConfig(dt=0.05, trajectory_time=1.0, Nb=4, tol=1e-5, maxiter=500,
+        cfg = HMCConfig(dt=dt_of.get(L, 0.05), trajectory_time=1.0, Nb=4,
+                        tol=1e-5, maxiter=500,
                         construct_guess=True, guess_order=3)
         precond = kpm.make_symmetric_precond(
             ops, kpm.KPMConfig(max_order=args.max_order))
