@@ -71,17 +71,28 @@ _CIRCULANT_MAX_LTAU = 256
 _circ_cache: dict = {}
 
 
-def _circulant(table_np: np.ndarray, power: float) -> np.ndarray:
+def _circulant(table_np: np.ndarray, power: float):
+    """Per-UNIQUE-spectrum circulants + phonon grouping. Distinct per-phonon
+    spectra are rare (one per `[[fourier_acceleration]]` ω-window in
+    practice, usually exactly one), so deduplicating rows shrinks the
+    would-be [Nph, Lτ, Lτ] table to [U, Lτ, Lτ] — without it the embedded
+    constant reaches 100+ MB at 32×32/β=16 (breaking the remote-compile
+    payload limit) and every apply re-streams it from HBM as Nph separate
+    [Lτ]·[Lτ,Lτ] matvecs instead of U proper matmuls."""
     key = (table_np.tobytes(), table_np.shape, float(power))
-    C = _circ_cache.get(key)
-    if C is None:
-        spec = table_np.astype(np.float64) ** power        # [Nph, Lτ]
-        col = np.real(np.fft.ifft(spec, axis=-1))          # first column c
+    out = _circ_cache.get(key)
+    if out is None:
+        uniq, inv = np.unique(table_np, axis=0, return_inverse=True)
+        spec = uniq.astype(np.float64) ** power            # [U, Lτ]
+        col = np.real(np.fft.ifft(spec, axis=-1))          # first columns
         Lt = table_np.shape[-1]
         idx = (np.arange(Lt)[:, None] - np.arange(Lt)[None, :]) % Lt
-        C = col[:, idx]                                    # [Nph, Lτ, Lτ]
-        _circ_cache[key] = C
-    return C
+        C = col[:, idx]                                    # [U, Lτ, Lτ]
+        groups = [np.where(inv == u)[0] for u in range(len(uniq))]
+        unperm = np.argsort(np.concatenate(groups))
+        out = (C, groups, unperm)
+        _circ_cache[key] = out
+    return out
 
 
 def accelerate(table, v, power):
@@ -89,9 +100,17 @@ def accelerate(table, v, power):
     Lt = v.shape[-1]
     if not isinstance(table, jax.core.Tracer) and Lt <= _CIRCULANT_MAX_LTAU \
             and v.ndim >= 2:
-        C = _circulant(np.asarray(table), power)
-        return jnp.einsum("ntk,...nt->...nk", jnp.asarray(C, v.dtype), v,
-                          precision=jax.lax.Precision.HIGHEST).astype(v.dtype)
+        C, groups, unperm = _circulant(np.asarray(table), power)
+        parts = []
+        for u, g in enumerate(groups):
+            vg = v if len(groups) == 1 else jnp.take(v, g, axis=-2)
+            parts.append(jnp.einsum(
+                "tk,...nt->...nk", jnp.asarray(C[u], v.dtype), vg,
+                precision=jax.lax.Precision.HIGHEST))
+        if len(parts) == 1:
+            return parts[0].astype(v.dtype)
+        out = jnp.concatenate(parts, axis=-2)
+        return jnp.take(out, unperm, axis=-2).astype(v.dtype)
     vw = jnp.fft.fft(v, axis=-1)
     vw = vw * (jnp.asarray(table, vw.real.dtype) ** power)
     return jnp.real(jnp.fft.ifft(vw, axis=-1)).astype(v.dtype)

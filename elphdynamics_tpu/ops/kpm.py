@@ -294,7 +294,13 @@ def _lowfreq_apply_sym(st: "KPMState", u):
     block (the symmetric-preconditioner role of the Chebyshev pair)."""
     k = st.G_re.shape[0]
     ul = u[..., :k]
-    ur_, ui_ = jnp.real(ul), jnp.imag(ul)
+    wr, wi = _lowfreq_apply_sym_halves(st, jnp.real(ul), jnp.imag(ul))
+    return jax.lax.complex(wr, wi)
+
+
+def _lowfreq_apply_sym_halves(st: "KPMState", ur_, ui_):
+    """:func:`_lowfreq_apply_sym` on separate real/imaginary column halves
+    ([.., N, k] each) — the stacked-real-layout entry point."""
     Gr, Gi = st.G_re.astype(ur_.dtype), st.G_im.astype(ur_.dtype)
     # t = Gᴴ u  (Gᴴ = Grᵀ − iGiᵀ)
     tr = jnp.einsum("kmn,...mk->...nk", Gr, ur_) \
@@ -306,7 +312,7 @@ def _lowfreq_apply_sym(st: "KPMState", u):
         - jnp.einsum("knm,...mk->...nk", Gi, ti)
     wi = jnp.einsum("knm,...mk->...nk", Gr, ti) \
         + jnp.einsum("knm,...mk->...nk", Gi, tr)
-    return jax.lax.complex(wr, wi)
+    return wr, wi
 
 
 def _spectral_radius(apply_fn, n_site, n_iter, key, dtype):
@@ -445,27 +451,95 @@ def _chebyshev_apply(ops: ModelOps, st: KPMState, u, coeff, transposed: bool):
     return out
 
 
+def _cmul_halves(coeff_m, w):
+    """Multiply a stacked-real half-spectrum block ``w`` ([.., N, 2Lω]:
+    Lω real columns then Lω imaginary columns) by the complex per-ω
+    coefficients ``coeff_m`` ([Lω]) — elementwise, fuses into the
+    neighbouring matmuls."""
+    Lw = w.shape[-1] // 2
+    cr = jnp.real(coeff_m).astype(w.dtype)
+    ci = jnp.imag(coeff_m).astype(w.dtype)
+    wr, wi = w[..., :Lw], w[..., Lw:]
+    return jnp.concatenate([cr * wr - ci * wi, cr * wi + ci * wr], axis=-1)
+
+
+def _chebyshev_apply_stacked(ops: ModelOps, st: KPMState, w, coeff,
+                             transposed: bool):
+    """The recurrence of :func:`_chebyshev_apply` on the stacked-real
+    layout: Ā′ is real, so one [N,N]@[N,2Lω] matmul advances the real and
+    imaginary column halves together instead of the two matmuls the complex
+    einsum decomposes into. At large N the Chebyshev matmuls are HBM-bound
+    on re-reading Ā (BASELINE.md §profile) — doubling the columns per read
+    doubles their arithmetic intensity; only the coefficient combine needs
+    the complex structure, and that is elementwise."""
+    sc = ops.spec.ckb
+    mul = _mulA_T if transposed else _mulA
+
+    def Ap(v):
+        av = mul(st, sc, v)
+        return av / st.lam_mag - (st.lam_avg / st.lam_mag) * v
+
+    out = _cmul_halves(coeff[0], w)
+    u_nm1 = w
+    u_n = Ap(w)
+
+    def body(m, carry):
+        out, u_nm1, u_n = carry
+        out = out + _cmul_halves(coeff[m], u_n)
+        u_np1 = 2.0 * Ap(u_n) - u_nm1
+        return (out, u_n, u_np1)
+
+    M = coeff.shape[0]
+    out, _, _ = jax.lax.fori_loop(1, M, body, (out, u_nm1, u_n))
+    return out
+
+
 def apply_symmetric(ops: ModelOps, st: KPMState, v, cfg: KPMConfig | None = None):
     """Apply the symmetric preconditioner P⁻¹ ≈ (MᵀM)⁻¹ to a real [.., N, Lτ]
     field (the CG path, KPMPreconditioners.jl:426-481,606-679):
     τ→ω, per-ω [M⁻ᵀ·M⁻¹] Chebyshev pair on the half spectrum, conjugate
-    symmetry for the rest, ω→τ."""
+    symmetry for the rest, ω→τ.
+
+    The whole pipeline runs on the stacked-real layout [.., N, 2Lω] (real
+    columns then imaginary columns): the DFT-matmul transforms natively
+    produce/consume it, and the recurrence then advances both halves with
+    one matmul per T_m (see :func:`_chebyshev_apply_stacked`)."""
     Ltau = ops.Ltau
     use_dft = cfg is not None and cfg.use_dft(Ltau)
-    u_in = _to_half_spectrum(v, Ltau, use_dft)
+    Lw = (Ltau + 1) // 2
+    if use_dft:
+        Wf, _ = _dft_tables(Ltau)
+        w_in = jnp.einsum("tk,...nt->...nk", jnp.asarray(Wf, v.dtype), v,
+                          precision=_PRECOND_PRECISION)
+    else:
+        u_c = tau_to_omega(v)[..., :Lw]
+        w_in = jnp.concatenate([jnp.real(u_c), jnp.imag(u_c)], axis=-1)
     if st.S_fwd is not None:
+        u_in = jax.lax.complex(w_in[..., :Lw], w_in[..., Lw:])
         u = _stacked_cheb(st.S_tr, jnp.conj(st.coeff), u_in)
         u = _stacked_cheb(st.S_fwd, st.coeff, u)
+        w = jnp.concatenate([jnp.real(u), jnp.imag(u)], axis=-1)
     else:
-        u = _chebyshev_apply(ops, st, u_in, jnp.conj(st.coeff), transposed=True)
-        u = _chebyshev_apply(ops, st, u, st.coeff, transposed=False)
+        w = _chebyshev_apply_stacked(ops, st, w_in, jnp.conj(st.coeff),
+                                     transposed=True)
+        w = _chebyshev_apply_stacked(ops, st, w, st.coeff, transposed=False)
     if st.G_re is not None:
         # exact G·Gᴴ on the lowest frequencies (their Chebyshev
         # coefficients are zeroed at setup)
         k = st.G_re.shape[0]
-        u = jnp.concatenate([_lowfreq_apply_sym(st, u_in), u[..., k:]],
-                            axis=-1)
-    out = _from_half_spectrum(u, Ltau, v.dtype, use_dft)
+        lr, li = _lowfreq_apply_sym_halves(st, w_in[..., :k],
+                                           w_in[..., Lw:Lw + k])
+        w = jnp.concatenate([lr, w[..., k:Lw], li, w[..., Lw + k:]], axis=-1)
+    if use_dft:
+        _, Wb = _dft_tables(Ltau)
+        out = jnp.einsum("kt,...nk->...nt", jnp.asarray(Wb, v.dtype), w,
+                         precision=_PRECOND_PRECISION).astype(v.dtype)
+    else:
+        u = jax.lax.complex(w[..., :Lw], w[..., Lw:])
+        full = jnp.concatenate(
+            [u, jnp.flip(jnp.conj(u), axis=-1)[..., (2 * Lw - Ltau):]],
+            axis=-1)
+        out = omega_to_tau(full, real=True).astype(v.dtype)
     return jnp.where(st.active, out, v)
 
 

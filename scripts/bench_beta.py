@@ -24,7 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def run_holstein(L, beta, chains, steps, lowfreq, max_order):
+def run_holstein(L, beta, chains, steps, lowfreq, max_order, dt=0.05,
+                 dense_threshold=2048):
     from elphdynamics_tpu.dynamics.hmc import HMCConfig, HMCState, make_hmc_step
     from elphdynamics_tpu.dynamics.init_phonons import init_phonons_half_filled
     from elphdynamics_tpu.lattice import Lattice, UnitCell
@@ -38,11 +39,11 @@ def run_holstein(L, beta, chains, steps, lowfreq, max_order):
     spec, params = build_holstein(
         lat, beta=beta, dtau=0.1,
         t_assignments=[(1.0, 0.0, 0, 0, (1, 0, 0)), (1.0, 0.0, 0, 0, (0, 1, 0))],
-        omega=1.0, lam=1.0, mu=0.0)
+        omega=1.0, lam=1.0, mu=0.0, dense_threshold=dense_threshold)
     ops = make_model_ops(spec)
     mass = build_mass(np.asarray(params.omega), spec.dtau, spec.Ltau,
                       [dict(omega_min=0.0, omega_max=10.0, mass=0.5)])
-    cfg = HMCConfig(dt=0.05, trajectory_time=1.0, Nb=4, tol=1e-5, maxiter=500,
+    cfg = HMCConfig(dt=dt, trajectory_time=1.0, Nb=4, tol=1e-5, maxiter=500,
                     construct_guess=True, guess_order=3)
     kcfg = kpm.KPMConfig(max_order=max_order, exact_lowfreq=lowfreq)
     precond = kpm.make_symmetric_precond(ops, kcfg)
@@ -59,14 +60,15 @@ def run_holstein(L, beta, chains, steps, lowfreq, max_order):
     for _ in range(steps):
         state, stats, keys = vstep(params, state, keys)
     jax.block_until_ready(state.x)
-    dt = time.time() - t0
-    return (steps * chains / dt,
+    wall = time.time() - t0
+    return (steps * chains / wall,
             float(jnp.mean(stats.iters.astype(jnp.float32))),
             float(jnp.mean(stats.accepted)),
             float(jnp.mean(stats.flag.astype(jnp.float32))))
 
 
-def run_ssh(L, beta, chains, steps, lowfreq, max_order):
+def run_ssh(L, beta, chains, steps, lowfreq, max_order, dt=0.05,
+            dense_threshold=2048):
     from elphdynamics_tpu.dynamics.hmc import HMCConfig, HMCState, make_hmc_step
     from elphdynamics_tpu.dynamics.init_phonons import init_phonons_half_filled
     from elphdynamics_tpu.lattice import Lattice, UnitCell
@@ -86,7 +88,7 @@ def run_ssh(L, beta, chains, steps, lowfreq, max_order):
     ops = make_model_ops(spec)
     mass = build_mass(np.asarray(params.omega), spec.dtau, spec.Ltau,
                       [dict(omega_min=0.0, omega_max=10.0, mass=0.5)])
-    cfg = HMCConfig(dt=0.05, trajectory_time=1.0, Nb=4, tol=1e-5, maxiter=500,
+    cfg = HMCConfig(dt=dt, trajectory_time=1.0, Nb=4, tol=1e-5, maxiter=500,
                     construct_guess=True, guess_order=3)
     kcfg = kpm.KPMConfig(max_order=max_order, exact_lowfreq=lowfreq)
     precond = kpm.make_symmetric_precond(ops, kcfg)
@@ -103,8 +105,8 @@ def run_ssh(L, beta, chains, steps, lowfreq, max_order):
     for _ in range(steps):
         state, stats, keys = vstep(params, state, keys)
     jax.block_until_ready(state.x)
-    dt = time.time() - t0
-    return (steps * chains / dt,
+    wall = time.time() - t0
+    return (steps * chains / wall,
             float(jnp.mean(stats.iters.astype(jnp.float32))),
             float(jnp.mean(stats.accepted)),
             float(jnp.mean(stats.flag.astype(jnp.float32))))
@@ -119,6 +121,10 @@ def main():
     ap.add_argument("--max-order", type=int, default=None,
                     help="Chebyshev cap (default: 4 holstein / 8 ssh)")
     ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("--dt", type=float, default=0.05,
+                    help="leapfrog dt (dH grows ~N·dt^4: shrink at large L)")
+    ap.add_argument("--dense-threshold", type=int, default=2048,
+                    help="sites at or below use the dense-MXU exp(-dtau K)")
     ap.add_argument("--chains", type=int, default=0,
                     help="override the default chain-batch heuristic")
     args = ap.parse_args()
@@ -135,7 +141,9 @@ def main():
             max(8, int(128 * 40 / Ltau)) if args.model == "holstein"
             else max(8, int(64 * 40 / Ltau)))
         for k in [int(s) for s in args.lowfreq.split(",")]:
-            sw, it, acc, fl = run(args.L, beta, chains, args.steps, k, max_order)
+            sw, it, acc, fl = run(args.L, beta, chains, args.steps, k,
+                                  max_order, dt=args.dt,
+                                  dense_threshold=args.dense_threshold)
             print(f"{beta:>5.0f} {Ltau:>5} {chains:>6} {k:>7} "
                   f"{sw:>9.1f} {it:>6.1f} {acc:>6.3f} {fl:>5.2f}", flush=True)
 
