@@ -33,7 +33,22 @@ def main():
                          "of the whole run into DIR")
     args = ap.parse_args()
 
+    import os
+
     import jax
+
+    # Honor an explicit virtual-device request: some hosted runtimes
+    # force-register their accelerator platform ahead of JAX_PLATFORMS, so
+    # a CLI run asked to use N virtual CPU devices
+    # (XLA_FLAGS=--xla_force_host_platform_device_count=N JAX_PLATFORMS=cpu)
+    # would silently land on the single real chip instead.
+    if ("xla_force_host_platform_device_count"
+            in os.environ.get("XLA_FLAGS", "")
+            and os.environ.get("JAX_PLATFORMS", "") == "cpu"):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
 
     if args.x64:
         jax.config.update("jax_enable_x64", True)

@@ -531,6 +531,15 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
         sampler runs the estimator solves on the mesh."""
         return x if sharded_sampler is not None else gather_x(x)
 
+    def meas_keys(keys):
+        """Chain keys returned by the 2-D-mesh (combined) sampler live on
+        the whole mesh; the unsharded measurement jit needs every argument
+        on one device. Gather them there (the next sampler step re-shards
+        via its shard_map in_specs, like ``gather_x``)."""
+        if combined:
+            return jax.device_put(keys, jax.devices()[0])
+        return keys
+
     def do_special(params, state, keys, n):
         nonlocal sim_stats
         fire_reflect = (setup.reflect_cfg.n_moves and setup.reflect_cfg.freq
@@ -627,7 +636,8 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
         state, chain_keys = do_special(params, state, chain_keys, n + 1)
         if mu_tuner.active and (n + 1) % mu_update_freq == 0:
             t0 = time.time()
-            inc, mstats, snaps, chain_keys = mstep_j(params, meas_x(state.x), chain_keys)
+            inc, mstats, snaps, chain_keys = mstep_j(
+                    params, meas_x(state.x), meas_keys(chain_keys))
             npairs = setup.mspec.nv * (setup.mspec.nv - 1) // 2
             Nm = float(inc["global"]["density"]) / npairs * ops.Nsites
             N2m = float(inc["global"]["Nsqr"]) / npairs
@@ -651,7 +661,8 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
         if (n + 1) % sp.meas_freq == 0:
             nmeas = (n + 1) // sp.meas_freq
             t0 = time.time()
-            inc, mstats, snaps, chain_keys = mstep_j(params, meas_x(state.x), chain_keys)
+            inc, mstats, snaps, chain_keys = mstep_j(
+                    params, meas_x(state.x), meas_keys(chain_keys))
             container = accum_j(container, {k: inc[k] for k in container})
             sim_stats["measurement_time"] += time.time() - t0
             nfl = int(np.asarray(mstats.get("n_flagged", 0)))

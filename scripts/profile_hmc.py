@@ -75,25 +75,33 @@ def parse_trace(logdir, top):
         [paths[-1]], "framework_op_stats", {"tqx": "out:json"})
     if isinstance(data, bytes):
         data = data.decode()
-    tbl = json.loads(data)
-    cols = [c["label"] for c in tbl["table"]["cols"]]
-    rows = [[c.get("v") for c in r["c"]] for r in tbl["table"]["rows"]]
-    i_name = cols.index("Operation")
-    i_type = cols.index("Type") if "Type" in cols else None
-    i_self = next(i for i, c in enumerate(cols) if "Total self time" in c)
-    i_avg = next((i for i, c in enumerate(cols) if "Avg. self time" in c), None)
-    rows.sort(key=lambda r: -(r[i_self] or 0.0))
-    total = sum(r[i_self] or 0.0 for r in rows)
-    print(f"\ncolumns: {cols}")
-    print(f"\n{'self µs':>12} {'%':>6} {'cum%':>6}  op")
-    cum = 0.0
-    for r in rows[:top]:
-        s = r[i_self] or 0.0
-        cum += s
-        t = f" [{r[i_type]}]" if i_type is not None else ""
-        print(f"{s:>12.0f} {100 * s / total:>6.1f} {100 * cum / total:>6.1f}"
-              f"  {r[i_name]}{t}")
-    print(f"{total:>12.0f}  total self time (µs)")
+    tbls = json.loads(data)
+    for tbl in tbls:
+        cols = [c["id"] for c in tbl["cols"]]
+        rows = [[c.get("v") for c in r["c"]] for r in tbl.get("rows", [])]
+        if not rows:
+            continue
+        i_dev = cols.index("host_or_device")
+        i_type = cols.index("type")
+        i_name = cols.index("operation")
+        i_self = cols.index("total_self_time")
+        i_occ = cols.index("occurrences")
+        i_bound = cols.index("bound_by") if "bound_by" in cols else None
+        drows = [r for r in rows if r[i_dev] == "Device"]
+        if not drows:
+            continue
+        total = sum(r[i_self] or 0 for r in drows)
+        drows.sort(key=lambda r: -(r[i_self] or 0))
+        print(f"\n{'self µs':>10} {'%':>6} {'cum%':>6} {'occ':>6}  op (bound)")
+        cum = 0.0
+        for r in drows[:top]:
+            s = r[i_self] or 0.0
+            cum += s
+            b = r[i_bound] if i_bound is not None else ""
+            print(f"{s:>10.0f} {100 * s / total:>6.1f} {100 * cum / total:>6.1f}"
+                  f" x{r[i_occ]:>5.0f}  [{r[i_type]}] {r[i_name][:84]} ({b})")
+        print(f"{total:>10.0f}  total device self time (µs)")
+        break
 
 
 def main():

@@ -77,6 +77,7 @@ def test_fdot_f64_accumulation_of_f32_fields():
     assert abs(float(out) - exact) < 1e-12
 
 
+@pytest.mark.slow
 def test_f32_single_site_observables_match_ed():
     """TPU-mode dtype (f32 fields) through the full HMC + estimator +
     measurement pipeline must reproduce exact diagonalization as well as the

@@ -91,6 +91,7 @@ def test_project_exact_within_span():
     np.testing.assert_allclose(np.asarray(x0), np.asarray(x_true), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_hmc_with_deflation_runs_and_matches():
     """deflate_k > 0 leaves the physics untouched (solutions are tol-exact
     either way): same acceptance/ΔH as the undeflated step on a small

@@ -24,7 +24,8 @@ def _build(L=8, beta=2.0, dtau=0.1, lam=0.8):
     return spec, params, make_model_ops(spec)
 
 
-@pytest.mark.parametrize("D", [4, 8])
+@pytest.mark.parametrize(
+    "D", [4, pytest.param(8, marks=pytest.mark.slow)])
 def test_sharded_matvecs_match_unsharded(D):
     assert jax.device_count() >= D
     spec, params, ops = _build()
@@ -277,6 +278,7 @@ def _build_ssh_2d(L=8, Ltau=10):
     return spec, params
 
 
+@pytest.mark.slow
 def test_sharded_ssh_matvecs_and_cg():
     """SSH fermion-matrix applies with the time-dependent halo fold, and the
     psum-CG on MᵀM, against the unsharded SSH operators."""
@@ -312,6 +314,7 @@ def test_sharded_ssh_matvecs_and_cg():
     assert len(sol.sharding.device_set) == D
 
 
+@pytest.mark.slow
 def test_sharded_ssh_hmc_matches_unsharded():
     """FULL sharded SSH HMC (group-fold muldMdx with halo-extended partial
     products, psum force assembly, primary-field tying) reproduces the
@@ -448,6 +451,7 @@ def test_site_sharded_ssh_driver_matches_unsharded(tmp_path):
 # ---------------------------------------------------------------------------
 
 @pytest.mark.parametrize("method", ["euler", "rk", "heun"])
+@pytest.mark.slow
 def test_sharded_langevin_matches_unsharded(method):
     """Holstein Langevin under site sharding: same key → same stochastic
     force vectors → identical trajectory (to psum rounding) for all three
@@ -489,6 +493,7 @@ def test_sharded_langevin_matches_unsharded(method):
     assert len(x_sh.sharding.device_set) == D
 
 
+@pytest.mark.slow
 def test_sharded_ssh_langevin_matches_unsharded():
     """SSH Langevin under site sharding (replicated bond field, psum force)."""
     from elphdynamics_tpu.dynamics.langevin import make_langevin_step
@@ -650,6 +655,7 @@ def test_combined_chain_site_driver(tmp_path):
                 (b, k, g1[k], g8[k])
 
 
+@pytest.mark.slow
 def test_sharded_hmc_warm_start_matches_unsharded():
     """construct_guess + quadratic extrapolation inside the sharded step:
     same guess formula and RNG as the unsharded path → same trajectory."""

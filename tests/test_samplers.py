@@ -72,6 +72,7 @@ def test_hmc_single_site_matches_ed():
     assert abs(x2_mean - ed["x2"]) < 0.06, (x2_mean, ed["x2"])
 
 
+@pytest.mark.slow
 def test_hmc_energy_conservation_small_dt():
     """ΔH must be tiny for a fine integrator (validates force vs action)."""
     ops, params = single_site_model()

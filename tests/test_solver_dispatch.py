@@ -3,6 +3,7 @@ must agree on M⁻¹·b and (MᵀM)⁻¹·b, with and without KPM preconditionin
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from elphdynamics_tpu.dynamics.solve import (
@@ -51,6 +52,7 @@ def test_solver_kinds_agree_minv():
     assert np.allclose(results["cg"], results["gmres"], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_solver_kinds_agree_oinv_with_precond():
     ops, params, x, b = make_model()
     derived = ops.derived(params, x)
