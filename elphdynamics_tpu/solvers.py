@@ -396,9 +396,10 @@ def gmres(
     tol: float = 1e-5,
     maxiter: int = 1000,
     restart: int = 20,
+    side: str = "right",
 ):
-    """Left-preconditioned restarted GMRES with Givens rotations, batched
-    over arbitrary leading axes of ``b`` like :func:`cg`.
+    """Preconditioned restarted GMRES with Givens rotations, batched over
+    arbitrary leading axes of ``b`` like :func:`cg`.
 
     All batch elements run one shared restart-cycle loop: the Krylov basis
     carries the batch axes (``V`` is [m+1, ..., N, Lτ]) and the Hessenberg /
@@ -407,23 +408,39 @@ def gmres(
     nᵥ sequential solves (IterativeSolvers.jl:427-550 is one-at-a-time).
     Converged elements stop counting iterations and stop applying updates at
     restart boundaries; the loop exits when every element has converged.
+
+    ``side`` selects right (default) or left preconditioning. The reference
+    left-preconditions (IterativeSolvers.jl:478), which makes the Givens
+    residual estimate track ‖P(b−Ax)‖ — the iteration then stops up to
+    κ(P) short of the TRUE residual target, and at f32 tolerances the
+    residual-verified wrapper rejects the solve and falls back to the slow
+    unpreconditioned retry. Right preconditioning solves (A·P)u = b with
+    x = P·u, whose estimate IS the true residual; conversion costs one
+    extra ``apply_P`` per restart cycle.
     """
     b = jnp.asarray(b)
     if x0 is None:
         x0 = jnp.zeros_like(b)
     P = apply_P if apply_P is not None else (lambda v: v)
+    right = apply_P is not None and side == "right"
     n_outer = max(1, -(-maxiter // restart))
     m = restart
     batch = b.shape[:-2]
     dt = b.dtype
 
-    pb = P(b)
+    pb = b if right else P(b)
     normb = _norm(pb).astype(dt)
     normb = jnp.where(normb > 0, normb, 1.0)
 
     def arnoldi_iter(carry, i):
         V, H, cs, sn, s, done, iters = carry
-        w = P(apply_A(V[i]))
+        # freeze converged batch elements: once done, their Krylov state
+        # must stop growing — post-convergence Arnoldi columns are noise at
+        # the working precision's floor, and letting them into the
+        # back-substitution corrupts y through near-singular trailing
+        # Hessenberg diagonals (invisible at f64, ~1e-3 errors at f32)
+        frozen = done
+        w = apply_A(P(V[i])) if right else P(apply_A(V[i]))
         # modified Gram-Schmidt against all columns, masked to k <= i
         def mgs(carry_w, k):
             w = carry_w
@@ -433,7 +450,8 @@ def gmres(
         w, hcol = lax.scan(mgs, w, jnp.arange(m + 1))   # hcol: [m+1, ...]
         hip = _norm_hot(w).astype(dt)
         safe_hip = jnp.where(hip > 0, hip, 1.0)
-        V = V.at[i + 1].set(jnp.where(_bc(hip > 0, w), w / _bc(safe_hip, w), w))
+        v_new = jnp.where(_bc(hip > 0, w), w / _bc(safe_hip, w), w)
+        V = V.at[i + 1].set(jnp.where(_bc(frozen, w), 0.0, v_new))
         col = jnp.moveaxis(hcol, 0, -1).at[..., i + 1].set(hip)  # [..., m+1]
         # apply previous Givens rotations to the new column
         def rot(carry_col, k):
@@ -452,11 +470,12 @@ def gmres(
         si = jnp.where(denom > 0, col[..., i + 1] / safe_d, 0.0)
         col = col.at[..., i].set(ci * col[..., i] + si * col[..., i + 1]) \
                  .at[..., i + 1].set(0.0)
-        cs = cs.at[..., i].set(ci)
-        sn = sn.at[..., i].set(si)
+        cs = cs.at[..., i].set(jnp.where(frozen, cs[..., i], ci))
+        sn = sn.at[..., i].set(jnp.where(frozen, sn[..., i], si))
         s_i = s[..., i]
-        s = s.at[..., i].set(ci * s_i).at[..., i + 1].set(-si * s_i)
-        H = H.at[..., :, i].set(col)
+        s_new = s.at[..., i].set(ci * s_i).at[..., i + 1].set(-si * s_i)
+        s = jnp.where(frozen[..., None], s, s_new)
+        H = H.at[..., :, i].set(jnp.where(frozen[..., None], 0.0, col))
         eps = jnp.abs(s[..., i + 1]) / normb
         iters = iters + (~done).astype(iters.dtype)
         done = done | (eps < tol)
@@ -464,7 +483,7 @@ def gmres(
 
     def outer(carry):
         k, x, iters, done_all = carry
-        r = P(b - apply_A(x))
+        r = (b - apply_A(x)) if right else P(b - apply_A(x))
         beta = _norm_hot(r).astype(dt)
         safe_b = jnp.where(beta > 0, beta, 1.0)
         V = jnp.zeros((m + 1,) + b.shape, dtype=dt).at[0].set(r / _bc(safe_b, r))
@@ -483,12 +502,16 @@ def gmres(
             hkk = H[..., k, k]
             val = (s[..., k] - jnp.sum(H[..., k, :] * y, axis=-1)) \
                 / jnp.where(hkk != 0, hkk, 1.0)
-            y = y.at[..., k].set(val)
+            # zero diagonal = frozen/unreached column: keep it out of dx
+            y = y.at[..., k].set(jnp.where(hkk != 0, val, 0.0))
             return y, None
         y, _ = lax.scan(back, jnp.zeros(batch + (m,), dtype=dt), jnp.arange(m))
-        # dx = Σₖ y[..., k] · V[k] with batch axes
+        # dx = Σₖ y[..., k] · V[k] with batch axes (right mode: map the
+        # u-space correction through P — P is linear, one apply suffices)
         dx = jnp.sum(jnp.moveaxis(V[:m], 0, -1)
                      * y[..., None, None, :].astype(dt), axis=-1)
+        if right:
+            dx = P(dx)
         x = jnp.where(_bc(done_all, x), x, x + dx)
         return (k + 1, x, iters, done)
 

@@ -157,3 +157,34 @@ def test_gmres_batched_leading_axes():
     got4 = np.einsum("cbij,cbjk->cbik", np.asarray(A4), np.asarray(res4.x))
     assert np.allclose(got4, np.asarray(b4), atol=1e-5)
     assert res4.iters.shape == (2, 2)
+
+
+def test_gmres_f32_midcycle_convergence_stays_accurate():
+    """Regression: when an element converges in the middle of a restart
+    cycle, the remaining Arnoldi columns are noise at the working
+    precision's floor; without freezing the converged element's Krylov
+    state, back-substitution pulls those near-singular trailing Hessenberg
+    diagonals into y and corrupts the solution (~1e-3 true residual in f32
+    where the Givens estimate claimed 1e-5). Also covers right
+    preconditioning: the estimate must track the TRUE residual (the
+    reference's left preconditioning stops up to cond(P) short of it,
+    IterativeSolvers.jl:478)."""
+    rng = np.random.default_rng(7)
+    n = 24
+    A = np.eye(n) + 0.2 * rng.standard_normal((n, n)) / np.sqrt(n)
+    P = np.linalg.inv(A) + 1e-3 * rng.standard_normal((n, n))  # near-exact
+    b = rng.standard_normal((n, 2)).astype(np.float32)
+    Af = jnp.asarray(A, jnp.float32)
+    Pf = jnp.asarray(P, jnp.float32)
+    apply_A = lambda v: jnp.einsum("ij,...jk->...ik", Af, v)
+    apply_P = lambda v: jnp.einsum("ij,...jk->...ik", Pf, v)
+
+    for side in ("right", "left"):
+        res = solvers.gmres(apply_A, jnp.asarray(b), apply_P=apply_P,
+                            tol=1e-5, maxiter=40, restart=20, side=side)
+        # converges in a handful of iterations — far inside the cycle
+        assert int(res.iters) < 10
+        err = float(np.linalg.norm(
+            np.einsum("ij,jk->ik", A, np.asarray(res.x, np.float64)) - b)
+            / np.linalg.norm(b))
+        assert err < 5e-5, (side, err)
