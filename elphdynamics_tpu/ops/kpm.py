@@ -267,6 +267,41 @@ def _from_half_spectrum(u, Ltau: int, dtype, use_dft: bool):
     return omega_to_tau(full, real=True).astype(dtype)
 
 
+def _to_half_stacked(v, Ltau: int, use_dft: bool):
+    """[.., N, Lτ] real → stacked-real [.., N, 2Lω] (Lω real columns then
+    Lω imaginary) — the layout the DFT-matmul transforms produce natively
+    and the stacked Chebyshev recurrence consumes."""
+    Lw = (Ltau + 1) // 2
+    if use_dft:
+        Wf, _ = _dft_tables(Ltau)
+        return jnp.einsum("tk,...nt->...nk", jnp.asarray(Wf, v.dtype), v,
+                          precision=_PRECOND_PRECISION)
+    u_c = tau_to_omega(v)[..., :Lw]
+    return jnp.concatenate([jnp.real(u_c), jnp.imag(u_c)], axis=-1)
+
+
+def _from_half_stacked(w, Ltau: int, dtype, use_dft: bool):
+    """Stacked-real [.., N, 2Lω] → [.., N, Lτ] real."""
+    Lw = (Ltau + 1) // 2
+    if use_dft:
+        _, Wb = _dft_tables(Ltau)
+        return jnp.einsum("kt,...nk->...nt", jnp.asarray(Wb, dtype), w,
+                          precision=_PRECOND_PRECISION).astype(dtype)
+    u = jax.lax.complex(w[..., :Lw], w[..., Lw:])
+    full = jnp.concatenate(
+        [u, jnp.flip(jnp.conj(u), axis=-1)[..., (2 * Lw - Ltau):]], axis=-1)
+    return omega_to_tau(full, real=True).astype(dtype)
+
+
+def _stacked_to_complex(w):
+    Lw = w.shape[-1] // 2
+    return jax.lax.complex(w[..., :Lw], w[..., Lw:])
+
+
+def _complex_to_stacked(u):
+    return jnp.concatenate([jnp.real(u), jnp.imag(u)], axis=-1)
+
+
 def _lowfreq_blocks(st: "KPMState", k: int, Ltau: int):
     """Dense G_j = (I − e^{−iφ_j}Ā)⁻¹ for the k lowest Matsubara
     frequencies via one batched real [[R,−I],[I,R]] solve (complex LU is
@@ -507,18 +542,11 @@ def apply_symmetric(ops: ModelOps, st: KPMState, v, cfg: KPMConfig | None = None
     Ltau = ops.Ltau
     use_dft = cfg is not None and cfg.use_dft(Ltau)
     Lw = (Ltau + 1) // 2
-    if use_dft:
-        Wf, _ = _dft_tables(Ltau)
-        w_in = jnp.einsum("tk,...nt->...nk", jnp.asarray(Wf, v.dtype), v,
-                          precision=_PRECOND_PRECISION)
-    else:
-        u_c = tau_to_omega(v)[..., :Lw]
-        w_in = jnp.concatenate([jnp.real(u_c), jnp.imag(u_c)], axis=-1)
+    w_in = _to_half_stacked(v, Ltau, use_dft)
     if st.S_fwd is not None:
-        u_in = jax.lax.complex(w_in[..., :Lw], w_in[..., Lw:])
-        u = _stacked_cheb(st.S_tr, jnp.conj(st.coeff), u_in)
+        u = _stacked_cheb(st.S_tr, jnp.conj(st.coeff), _stacked_to_complex(w_in))
         u = _stacked_cheb(st.S_fwd, st.coeff, u)
-        w = jnp.concatenate([jnp.real(u), jnp.imag(u)], axis=-1)
+        w = _complex_to_stacked(u)
     else:
         w = _chebyshev_apply_stacked(ops, st, w_in, jnp.conj(st.coeff),
                                      transposed=True)
@@ -530,16 +558,7 @@ def apply_symmetric(ops: ModelOps, st: KPMState, v, cfg: KPMConfig | None = None
         lr, li = _lowfreq_apply_sym_halves(st, w_in[..., :k],
                                            w_in[..., Lw:Lw + k])
         w = jnp.concatenate([lr, w[..., k:Lw], li, w[..., Lw + k:]], axis=-1)
-    if use_dft:
-        _, Wb = _dft_tables(Ltau)
-        out = jnp.einsum("kt,...nk->...nt", jnp.asarray(Wb, v.dtype), w,
-                         precision=_PRECOND_PRECISION).astype(v.dtype)
-    else:
-        u = jax.lax.complex(w[..., :Lw], w[..., Lw:])
-        full = jnp.concatenate(
-            [u, jnp.flip(jnp.conj(u), axis=-1)[..., (2 * Lw - Ltau):]],
-            axis=-1)
-        out = omega_to_tau(full, real=True).astype(v.dtype)
+    out = _from_half_stacked(w, Ltau, v.dtype, use_dft)
     return jnp.where(st.active, out, v)
 
 
@@ -593,16 +612,18 @@ def make_precond(ops: ModelOps, cfg: KPMConfig, seed: int = 1234):
 
 
 def apply_left(ops: ModelOps, st: KPMState, v, cfg: KPMConfig | None = None):
-    """P⁻¹ ≈ M⁻¹ (GMRES/BiCGStab left preconditioner,
-    KPMPreconditioners.jl:514-554)."""
+    """P⁻¹ ≈ M⁻¹ (GMRES/BiCGStab preconditioner,
+    KPMPreconditioners.jl:514-554). Stacked-real pipeline like
+    :func:`apply_symmetric`."""
     Ltau = ops.Ltau
     use_dft = cfg is not None and cfg.use_dft(Ltau)
-    u = _to_half_spectrum(v, Ltau, use_dft)
+    w = _to_half_stacked(v, Ltau, use_dft)
     if st.S_fwd is not None:
-        u = _stacked_cheb(st.S_fwd, st.coeff, u)
+        w = _complex_to_stacked(
+            _stacked_cheb(st.S_fwd, st.coeff, _stacked_to_complex(w)))
     else:
-        u = _chebyshev_apply(ops, st, u, st.coeff, transposed=False)
-    out = _from_half_spectrum(u, Ltau, v.dtype, use_dft)
+        w = _chebyshev_apply_stacked(ops, st, w, st.coeff, transposed=False)
+    out = _from_half_stacked(w, Ltau, v.dtype, use_dft)
     return jnp.where(st.active, out, v)
 
 
@@ -610,10 +631,12 @@ def apply_right(ops: ModelOps, st: KPMState, v, cfg: KPMConfig | None = None):
     """P⁻¹ ≈ M⁻ᵀ (KPMPreconditioners.jl:560-600)."""
     Ltau = ops.Ltau
     use_dft = cfg is not None and cfg.use_dft(Ltau)
-    u = _to_half_spectrum(v, Ltau, use_dft)
+    w = _to_half_stacked(v, Ltau, use_dft)
     if st.S_fwd is not None:
-        u = _stacked_cheb(st.S_tr, jnp.conj(st.coeff), u)
+        w = _complex_to_stacked(
+            _stacked_cheb(st.S_tr, jnp.conj(st.coeff), _stacked_to_complex(w)))
     else:
-        u = _chebyshev_apply(ops, st, u, jnp.conj(st.coeff), transposed=True)
-    out = _from_half_spectrum(u, Ltau, v.dtype, use_dft)
+        w = _chebyshev_apply_stacked(ops, st, w, jnp.conj(st.coeff),
+                                     transposed=True)
+    out = _from_half_stacked(w, Ltau, v.dtype, use_dft)
     return jnp.where(st.active, out, v)
