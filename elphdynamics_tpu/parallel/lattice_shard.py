@@ -544,8 +544,8 @@ def _kpm_local(plan: ShardPlan, kcfg, Ltau, N, dtype, axis, ops_of):
     coefficients), ``make_apply(state, env_loc)`` binds the per-solve
     averaged-operator refresh.
     """
-    from elphdynamics_tpu.ops.kpm import (_from_half_spectrum,
-                                          _to_half_spectrum)
+    from elphdynamics_tpu.ops.kpm import (_cmul_halves, _from_half_stacked,
+                                          _to_half_stacked)
 
     use_dft = kcfg.use_dft(Ltau) if hasattr(kcfg, "use_dft") else False
     Lw = (Ltau + 1) // 2
@@ -597,29 +597,33 @@ def _kpm_local(plan: ShardPlan, kcfg, Ltau, N, dtype, axis, ops_of):
     def make_apply(st, env_loc):
         mulA, mulA_T, _ = ops_of(env_loc)
 
-        def cheb(u, coeff, transposed):
+        def cheb(w, coeff, transposed):
+            # stacked-real layout [.., B, 2Lω]: one fold advances both
+            # column halves per Ā read (the measured unsharded win,
+            # ops/kpm.py:_chebyshev_apply_stacked), and the halo ppermutes
+            # move only real data
             mul = mulA_T if transposed else mulA
 
             def Ap(v):
                 return mul(v) / st["lam_mag"] - (st["lam_avg"] / st["lam_mag"]) * v
 
-            out = coeff[0] * u
-            u_nm1 = u
-            u_n = Ap(u)
+            out = _cmul_halves(coeff[0], w)
+            u_nm1 = w
+            u_n = Ap(w)
 
             def body(m, carry):
                 out, u_nm1, u_n = carry
-                out = out + coeff[m] * u_n
+                out = out + _cmul_halves(coeff[m], u_n)
                 return (out, u_n, 2.0 * Ap(u_n) - u_nm1)
 
             out, _, _ = lax.fori_loop(1, M, body, (out, u_nm1, u_n))
             return out
 
         def apply_P(v):
-            u = _to_half_spectrum(v, Ltau, use_dft)
-            u = cheb(u, jnp.conj(st["coeff"]), True)
-            u = cheb(u, st["coeff"], False)
-            out = _from_half_spectrum(u, Ltau, v.dtype, use_dft)
+            w = _to_half_stacked(v, Ltau, use_dft)
+            w = cheb(w, jnp.conj(st["coeff"]), True)
+            w = cheb(w, st["coeff"], False)
+            out = _from_half_stacked(w, Ltau, v.dtype, use_dft)
             return jnp.where(st["active"], out, v)
 
         return apply_P
