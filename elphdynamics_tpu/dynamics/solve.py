@@ -30,6 +30,9 @@ class SolverConfig(NamedTuple):
     kappa_max: float = 1e12
     kind: str = "cg"      # "cg" | "bicgstab" | "gmres" (Models.jl dispatch)
     restart: int = 20     # GMRES restart length
+    # solve the nᵥ-RHS estimator systems with block CG (solvers.block_cg —
+    # beyond reference scope; TPU knob, [solver] block in the TOML)
+    block: bool = False
 
 
 class PrecondApplies(NamedTuple):
@@ -118,10 +121,21 @@ def _base_solver(scfg: SolverConfig):
 
 
 def solve_minv(ops: ModelOps, params, derived, rhs, scfg: SolverConfig,
-               pa: PrecondApplies | None):
-    """x = M⁻¹·rhs (LangevinDynamics.jl:362-375, GreensFunctions.jl:214-226)."""
+               pa: PrecondApplies | None, block: bool = False):
+    """x = M⁻¹·rhs (LangevinDynamics.jl:362-375, GreensFunctions.jl:214-226).
+
+    ``block=True`` (CG only) solves the systems with :func:`solvers.block_cg`
+    over the ``rhs.shape[-3]`` axis — valid ONLY when those systems share the
+    operator (the nᵥ estimator vectors of one configuration; NOT a chain
+    axis, whose elements each have their own ``derived``).
+    """
     if scfg.kind == "cg":
         b = ops.mulMT(params, derived, rhs)
+        if block and getattr(scfg, "block", False):
+            return solvers.block_solve_checked(
+                lambda v: ops.mulMTM(params, derived, v), b,
+                apply_P=pa.symmetric if pa else None,
+                tol=scfg.tol, maxiter=scfg.maxiter, kappa_max=scfg.kappa_max)
         return solvers.solve_checked(
             lambda v: ops.mulMTM(params, derived, v), b,
             apply_P=pa.symmetric if pa else None,

@@ -218,7 +218,10 @@ def build_setup(cfg: dict, datafolder: str, dtype=None) -> SimulationSetup:
     solver_cfg = SolverConfig(tol=sol.get("tol", 1e-5),
                               maxiter=sol.get("maxiter", 1000),
                               kind=sol.get("type", "CG").lower(),
-                              restart=sol.get("restart", 20))
+                              restart=sol.get("restart", 20),
+                              # TPU addition: block CG over the nᵥ estimator
+                              # systems (solvers.block_cg)
+                              block=bool(sol.get("block", False)))
     kpm_cfg = None
     if "preconditioner" in sol:
         p = sol["preconditioner"]

@@ -50,7 +50,9 @@ def sample_greens(ops: ModelOps, params, x, key, nv: int,
     key, kr = jax.random.split(key)
     R = jax.random.normal(kr, (nv, ops.Nsites, ops.Ltau), dtype=jnp.asarray(x).dtype)
     pa = resolve_precond(precond, params, x)
-    sol = solve_minv(ops, params, derived, R, scfg, pa)
+    # the nv systems share this configuration's operator → eligible for the
+    # block-CG path ([solver] block = true)
+    sol = solve_minv(ops, params, derived, R, scfg, pa, block=True)
     iters = jnp.sum(sol.iters) // nv
     return GreensData(R=R, MinvR=sol.x, iters=iters, flag=jnp.max(sol.flag)), key
 
@@ -91,6 +93,48 @@ def _neg_index(A, axes):
     return A
 
 
+# DFT-matmul lowering of the convolution transforms (the KPM dft_matmul
+# trick, ops/kpm.py:_dft_tables, applied to the measurement stage): XLA
+# lowers small non-power-of-2 FFTs (the 2Lτ and L axes here are rarely
+# powers of two) far off the MXU. None = auto (TPU backend, non-pow2 axis,
+# size ≤ 512); True/False force it for tests and A/B benches. The matmuls
+# run at HIGHEST precision — these transforms feed physics observables, not
+# a preconditioner.
+DFT_MATMUL: bool | None = None
+
+
+def _use_dft(n: int) -> bool:
+    if DFT_MATMUL is not None:
+        return DFT_MATMUL
+    return (jax.default_backend() == "tpu") and (n & (n - 1)) != 0 and n <= 512
+
+
+def _dft_mat(n: int, inverse: bool) -> np.ndarray:
+    k = np.arange(n)
+    F = np.exp((2j if inverse else -2j) * np.pi * np.outer(k, k) / n)
+    return (F / n) if inverse else F
+
+
+def _fft_axis(v, axis: int, inverse: bool):
+    n = v.shape[axis]
+    if not _use_dft(n):
+        return (jnp.fft.ifft if inverse else jnp.fft.fft)(v, axis=axis)
+    cdtype = jnp.result_type(v.dtype, jnp.complex64)
+    F = jnp.asarray(_dft_mat(n, inverse), cdtype)
+    v = jnp.moveaxis(v, axis, -1).astype(cdtype)
+    out = jnp.einsum("kt,...t->...k", F, v,
+                     precision=jax.lax.Precision.HIGHEST)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def _fftn4(v, inverse: bool = False):
+    """fftn/ifftn over the trailing 4 axes, per-axis FFT-or-DFT-matmul."""
+    for ax in (-4, -3, -2, -1):
+        if v.shape[ax] > 1:
+            v = _fft_axis(v, ax, inverse)
+    return v.astype(jnp.result_type(v.dtype, jnp.complex64))
+
+
 def convolve(a, b, V):
     """Translation-averaged outer-orbital convolution
     (GreensFunctions.jl:351-400).
@@ -98,11 +142,11 @@ def convolve(a, b, V):
     a, b: [..., nₒ, L1, L2, L3, T]. Returns [..., nₒ(a), nₒ(b), L1, L2, L3, T]
     where result[s₂, s₁, Δ] = Σ_i a[s₂, i+Δ]·b[s₁, i] / V.
     """
-    A = jnp.fft.fftn(a, axes=(-4, -3, -2, -1))
-    B = jnp.fft.fftn(b, axes=(-4, -3, -2, -1))
+    A = _fftn4(a)
+    B = _fftn4(b)
     Bneg = _neg_index(B, (-4, -3, -2, -1))
     prod = A[..., :, None, :, :, :, :] * Bneg[..., None, :, :, :, :, :] / V
-    return jnp.fft.ifftn(prod, axes=(-4, -3, -2, -1))
+    return _fftn4(prod, inverse=True)
 
 
 def translational_average(f, g):
@@ -110,11 +154,11 @@ def translational_average(f, g):
 
     f, g: [..., L1, L2, L3, T]; average over the trailing 4 axes.
     """
-    F = jnp.fft.fftn(f, axes=(-4, -3, -2, -1))
-    G = jnp.fft.fftn(g, axes=(-4, -3, -2, -1))
+    F = _fftn4(f)
+    G = _fftn4(g)
     V = f.shape[-1] * f.shape[-2] * f.shape[-3] * f.shape[-4]
     prod = F * _neg_index(G, (-4, -3, -2, -1)) / V
-    return jnp.fft.ifftn(prod, axes=(-4, -3, -2, -1))
+    return _fftn4(prod, inverse=True)
 
 
 # ---------------------------------------------------------------------------

@@ -256,6 +256,158 @@ def cg_split(
     return CGResult(x=x, iters=iters, converged=conv)
 
 
+def block_cg(
+    apply_A: Callable,
+    B,
+    X0=None,
+    *,
+    apply_P: Callable | None = None,
+    tol: float = 1e-5,
+    maxiter: int = 1000,
+    kappa_max: float = 1e12,
+    active0=None,
+):
+    """Breakdown-guarded block CG: solve ``A·X = B`` for ``s`` right-hand
+    sides [..., s, N, Lτ] that share the operator, with the search block
+    spanning ALL residuals (O'Leary 1980).
+
+    Beyond reference scope (IterativeSolvers.jl solves one system at a
+    time): where :func:`cg` runs the s systems as independent batch lanes,
+    block CG lets every system's update draw on the whole s-dimensional
+    Krylov block, which dynamically deflates up to s−1 slow modes — exactly
+    the effect the (measured-ineffective) persistent-deflation experiment
+    (`ops/deflation.py`) could not get from a *stale* basis, obtained here
+    from the current operator at no extra matvec cost. The win grows with
+    the operator's condition number, i.e. with β.
+
+    f32 robustness (the GMRES mid-cycle lesson, tests/test_solvers.py):
+
+    * **converged columns freeze** — their residual is tolerance-floor
+      noise; letting it into the shared Gram solves corrupts every other
+      column. Frozen columns are zeroed out of the direction block and the
+      Gram gets a unit diagonal in their slot.
+    * **directions are column-normalized** every iteration (a diagonal
+      rescaling that cancels exactly in the X update), keeping the Gram
+      PᵀAP at O(1) scale so its batched LU stays accurate as individual
+      residuals shrink toward tol.
+    * α/β come from the explicit Gram solves ``(PᵀAP)α = PᵀR`` and
+      ``(PᵀAP)β = −QᵀZ`` rather than the ρ-recursion — self-correcting
+      under inexact arithmetic.
+    """
+    B = jnp.asarray(B)
+    if B.ndim < 3:
+        raise ValueError("block_cg needs [..., s, N, Ltau] right-hand sides")
+    if X0 is None:
+        X0 = jnp.zeros_like(B)
+    P = apply_P if apply_P is not None else (lambda v: v)
+    s = B.shape[-3]
+
+    def gram(U, W):
+        # [..., a, b] = Σ_{N,Lτ} U[..., a]·W[..., b] (hardware precision —
+        # the solve ends in the compensated verification ladder)
+        return jnp.einsum("...aij,...bij->...ab", U, W)
+
+    def colsolve(G, C):
+        # batched s×s solve, [..., s, s] @ [..., s, k]
+        return jnp.linalg.solve(G, C)
+
+    normb = _norm(B)                       # [..., s]
+    safe_normb = jnp.where(normb > 0, normb, 1.0)
+    R = B - apply_A(X0)
+    Z = P(R)
+    eps0 = _norm(R) / safe_normb
+
+    if active0 is None:
+        active0 = jnp.ones(B.shape[:-2], dtype=bool)
+    else:
+        active0 = jnp.asarray(active0) & jnp.ones(B.shape[:-2], dtype=bool)
+    active0 = active0 & (eps0 >= tol)
+
+    def normalize(Pd):
+        n = _norm_hot(Pd)                   # [..., s]
+        return Pd / _bc(jnp.where(n > 0, n, 1.0), Pd)
+
+    Pd0 = normalize(Z * _bc(active0, Z))
+
+    def cond(state):
+        j, X, R, Pd, kmin, iters, active, conv = state
+        return (j < maxiter) & jnp.any(active)
+
+    def body(state):
+        j, X, R, Pd, kmin, iters, active, conv = state
+        act_dir = _bc(active, Pd)
+        Pd = Pd * act_dir
+        Q = apply_A(Pd)
+        G = gram(Pd, Q)                     # [..., s, s]
+        # frozen slots: unit diagonal keeps the batched LU non-singular
+        eye = jnp.eye(s, dtype=G.dtype)
+        G = G + eye * (~active).astype(G.dtype)[..., None, :]
+        alpha = colsolve(G, gram(Pd, R))    # [..., sdir, srhs]
+        alpha = alpha * active[..., None, :].astype(alpha.dtype)
+        X_new = X + jnp.einsum("...aij,...ab->...bij", Pd, alpha)
+        R_new = R - jnp.einsum("...aij,...ab->...bij", Q, alpha)
+        eps = _norm_hot(R_new) / safe_normb
+        # per-column κ lower bound, as in cg (IterativeSolvers.jl:214)
+        logr = jnp.log(2.0 * eps0 / jnp.where(eps > 0, eps, 1e-300))
+        logr = jnp.where(jnp.abs(logr) > 1e-12, logr, 1e-12)
+        kmin_new = jnp.maximum(kmin, (2.0 * (j + 1) / logr) ** 2)
+        done = (eps < tol) | (kmin_new > kappa_max)
+        Z_new = P(R_new) * _bc(active & ~done, R_new)
+        beta = colsolve(G, -gram(Q, Z_new))
+        Pd_new = normalize(Z_new + jnp.einsum("...aij,...ab->...bij", Pd, beta))
+
+        m = _bc(active, X)
+        X = jnp.where(m, X_new, X)
+        R = jnp.where(m, R_new, R)
+        Pd = jnp.where(m, Pd_new, 0.0)
+        kmin = jnp.where(active, kmin_new, kmin)
+        iters = iters + active.astype(iters.dtype)
+        conv = conv | (active & (eps < tol))
+        active = active & ~done
+        return (j + 1, X, R, Pd, kmin, iters, active, conv)
+
+    batch_shape = B.shape[:-2]
+    state0 = (
+        jnp.asarray(0), X0, R, Pd0,
+        jnp.zeros(batch_shape, dtype=normb.dtype),
+        jnp.zeros(batch_shape, dtype=jnp.int32),
+        active0, (eps0 < tol),
+    )
+    _, X, _, _, _, iters, _, conv = lax.while_loop(cond, body, state0)
+    return CGResult(x=X, iters=iters, converged=conv)
+
+
+def block_solve_checked(
+    apply_A: Callable,
+    B,
+    X0=None,
+    *,
+    apply_P: Callable | None = None,
+    tol: float = 1e-5,
+    maxiter: int = 1000,
+    kappa_max: float = 1e12,
+):
+    """:func:`block_cg` with the residual-verification + retry ladder of
+    :func:`solve_checked` (Models.jl:74-186); failed columns are re-solved
+    by plain unpreconditioned masked CG."""
+    res1 = block_cg(apply_A, B, X0=X0, apply_P=apply_P, tol=tol,
+                    maxiter=maxiter, kappa_max=kappa_max)
+    normb = _norm(B)
+    safe_normb = jnp.where(normb > 0, normb, 1.0)
+    err = _norm(apply_A(res1.x) - B) / safe_normb
+    bad = err > jnp.sqrt(tol)
+    flag = jnp.where(bad, jnp.where(res1.iters >= maxiter, 1, 2), 0)
+    x_start = jnp.where(_bc(bad, res1.x), 0.0, res1.x)
+    res2 = cg(apply_A, B, x0=x_start, tol=tol, maxiter=10 * maxiter,
+              kappa_max=kappa_max, active0=bad)
+    x = jnp.where(_bc(bad, res1.x), res2.x, res1.x)
+    err2 = _norm(apply_A(x) - B) / safe_normb
+    iters = res1.iters + jnp.where(bad, res2.iters, 0)
+    still_bad = bad & (err2 > jnp.sqrt(tol))
+    flag = jnp.where(still_bad, flag, 0)
+    return SolveResult(x=x, iters=iters, residual=err2, flag=flag)
+
+
 class SolveResult(NamedTuple):
     x: jnp.ndarray
     iters: jnp.ndarray

@@ -252,3 +252,29 @@ def test_process_bin_momentum_and_susceptibility_conventions():
     susc = np.asarray(out["onsite_susc"]["PairSusc"]["position"])
     manual = np.asarray(jsimpson(jnp.moveaxis(jnp.asarray(fake), -1, 0), 0.1))
     np.testing.assert_allclose(susc, manual, atol=1e-10)
+
+
+def test_convolve_dft_matmul_matches_fft():
+    """The DFT-matmul lowering of the measurement convolutions
+    (greens.DFT_MATMUL, the KPM dft_matmul trick applied to the estimator
+    stage) is bit-consistent with the FFT path at f64."""
+    import numpy as np
+    from elphdynamics_tpu.measure import greens as GR
+
+    rng = np.random.default_rng(21)
+    a = jnp.asarray(rng.standard_normal((3, 2, 6, 4, 1, 10)))
+    b = jnp.asarray(rng.standard_normal((3, 2, 6, 4, 1, 10)))
+    f = jnp.asarray(rng.standard_normal((5, 6, 4, 1, 10)))
+    g = jnp.asarray(rng.standard_normal((5, 6, 4, 1, 10)))
+    old = GR.DFT_MATMUL
+    try:
+        GR.DFT_MATMUL = False
+        c_fft = np.asarray(GR.convolve(a, b, 7.0))
+        t_fft = np.asarray(GR.translational_average(f, g))
+        GR.DFT_MATMUL = True
+        c_dft = np.asarray(GR.convolve(a, b, 7.0))
+        t_dft = np.asarray(GR.translational_average(f, g))
+    finally:
+        GR.DFT_MATMUL = old
+    np.testing.assert_allclose(c_dft, c_fft, atol=1e-12)
+    np.testing.assert_allclose(t_dft, t_fft, atol=1e-12)

@@ -188,3 +188,80 @@ def test_gmres_f32_midcycle_convergence_stays_accurate():
             np.einsum("ij,jk->ik", A, np.asarray(res.x, np.float64)) - b)
             / np.linalg.norm(b))
         assert err < 5e-5, (side, err)
+
+
+# ---------------------------------------------------------------------------
+# block CG (solvers.block_cg — beyond reference scope)
+# ---------------------------------------------------------------------------
+
+def test_block_cg_matches_dense_solve_batched():
+    """[batch, s, n, k] RHS sharing one operator match the dense solve."""
+    A, _ = spd_problem(cond=80.0)
+    rng = np.random.default_rng(11)
+    B = rng.standard_normal((2, 5, 24, 2))
+    res = solvers.block_cg(lambda v: jnp.einsum("ij,...jk->...ik", A, v),
+                           jnp.asarray(B), tol=1e-10, maxiter=500)
+    x = np.asarray(res.x)
+    expect = np.linalg.solve(np.asarray(A), B.reshape(-1, 24, 2))
+    np.testing.assert_allclose(x.reshape(-1, 24, 2), expect, atol=1e-6)
+    assert np.all(np.asarray(res.converged))
+    assert res.iters.shape == (2, 5)
+
+
+def test_block_cg_beats_independent_cg_on_isolated_modes():
+    """With a handful of isolated small eigenvalues (the deep-β spectrum
+    shape), the shared s-dimensional search block deflates them and
+    converges in fewer iterations than independent batched CG."""
+    rng = np.random.default_rng(12)
+    n = 96
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    eigs = np.concatenate([np.geomspace(1e-4, 1e-3, 6), np.linspace(0.5, 1.0, n - 6)])
+    A = jnp.asarray(Q @ np.diag(eigs) @ Q.T)
+    B = jnp.asarray(rng.standard_normal((8, n, 1)))
+    apply_A = lambda v: jnp.einsum("ij,...jk->...ik", A, v)
+
+    plain = solvers.cg(apply_A, B, tol=1e-8, maxiter=3000)
+    blk = solvers.block_cg(apply_A, B, tol=1e-8, maxiter=3000)
+    assert np.all(np.asarray(blk.converged))
+    got = np.einsum("ij,bjk->bik", np.asarray(A), np.asarray(blk.x))
+    np.testing.assert_allclose(got, np.asarray(B), atol=1e-6)
+    assert int(np.max(np.asarray(blk.iters))) < int(np.max(np.asarray(plain.iters)))
+
+
+def test_block_cg_f32_early_column_freeze_stays_accurate():
+    """Regression guard (the GMRES mid-cycle lesson): a column converging
+    long before the others must freeze out of the shared Gram solves —
+    otherwise its tolerance-floor residual drives the direction block
+    singular in f32 and corrupts the remaining columns."""
+    rng = np.random.default_rng(13)
+    n = 64
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    eigs = np.concatenate([np.geomspace(1e-3, 1e-2, 4), np.linspace(0.5, 1.0, n - 4)])
+    A64 = Q @ np.diag(eigs) @ Q.T
+    A = jnp.asarray(A64, jnp.float32)
+    B64 = rng.standard_normal((6, n, 1))
+    # column 0 converges almost immediately: make it an exact eigen-direction
+    B64[0, :, 0] = Q[:, -1]
+    B = jnp.asarray(B64, jnp.float32)
+    res = solvers.block_cg(lambda v: jnp.einsum("ij,...jk->...ik", A, v), B,
+                           tol=1e-5, maxiter=2000)
+    x = np.asarray(res.x, np.float64)
+    err = np.linalg.norm(np.einsum("ij,bjk->bik", A64, x) - B64, axis=(1, 2)) \
+        / np.linalg.norm(B64, axis=(1, 2))
+    assert int(res.iters[0]) < int(np.max(np.asarray(res.iters)))
+    assert np.all(err < 5e-4), err
+
+
+def test_block_solve_checked_fallback_recovers():
+    """A bad preconditioner triggers the masked unpreconditioned retry."""
+    A, _ = spd_problem(cond=100.0)
+    rng = np.random.default_rng(14)
+    bad = jnp.asarray(rng.standard_normal((24, 24)))
+    B = jnp.asarray(rng.standard_normal((4, 24, 1)))
+    res = solvers.block_solve_checked(
+        lambda v: jnp.einsum("ij,...jk->...ik", A, v), B,
+        apply_P=lambda v: jnp.einsum("ij,...jk->...ik", bad, v),
+        tol=1e-8, maxiter=30)
+    got = np.einsum("ij,bjk->bik", np.asarray(A), np.asarray(res.x))
+    np.testing.assert_allclose(got, np.asarray(B), atol=1e-3)
+    assert np.all(np.asarray(res.flag) == 0)
