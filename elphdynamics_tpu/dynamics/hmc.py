@@ -47,6 +47,9 @@ class HMCConfig(NamedTuple):
     kappa_max: float = 1e12
     solver_kind: str = "cg"  # "cg" | "bicgstab" | "gmres"
     restart: int = 20
+    # block CG over the spin-stacked trajectory systems ([solver] block;
+    # solvers.block_cg — see solve_oinv for the gating)
+    block: bool = False
     log_verbose: bool = False  # per-timestep energy trace (HMC.jl verbose log)
     # warm-start each trajectory solve from the previous timestep's solution
     # (the `construct_guess` knob of the reference's example TOMLs — documented
@@ -142,7 +145,8 @@ def make_hmc_step(
         init-projects the accumulated slow modes out of the start."""
         pa = resolve_precond(precond, params, x, prev_state=pstate)
         scfg = SolverConfig(tol=tol, maxiter=cfg.maxiter, kappa_max=cfg.kappa_max,
-                            kind=cfg.solver_kind, restart=cfg.restart)
+                            kind=cfg.solver_kind, restart=cfg.restart,
+                            block=cfg.block)
         x0 = z_guess if (cfg.construct_guess and cfg.solver_kind == "cg") else None
         res = solve_oinv(ops, params, derived, Lphi, scfg, pa, x0=x0,
                          deflate=defl)

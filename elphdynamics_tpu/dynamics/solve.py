@@ -149,8 +149,23 @@ def solve_oinv(ops: ModelOps, params, derived, rhs, scfg: SolverConfig,
                pa: PrecondApplies | None, x0=None, deflate=None):
     """z = (MᵀM)⁻¹·rhs (HMC.jl:820-915). ``x0`` optionally warm-starts the
     CG from a previous solution (construct_guess); ``deflate`` optionally
-    init-projects the slow modes out (ops/deflation.py, CG only)."""
+    init-projects the slow modes out (ops/deflation.py, CG only).
+
+    With ``[solver] block`` the spin-stacked trajectory systems ([2, N, Lτ],
+    shared operator — the spins only differ in φ) run through
+    :func:`solvers.block_cg`: the s=2 block deflates one slow mode of the
+    CURRENT operator per iteration at zero extra matvecs (−32% iterations
+    at β=16, scripts/study_block_beta.py). Gated to tol ≥ 1e-6: at the tol²
+    endpoint tolerance the shared Gram solves sit on the f32 noise floor
+    and REGRESS (measured 171 → 322 iters), so those stay on batched CG.
+    """
     if scfg.kind == "cg":
+        if (scfg.block and deflate is None and rhs.ndim >= 3
+                and scfg.tol >= 1e-6):
+            return solvers.block_solve_checked(
+                lambda v: ops.mulMTM(params, derived, v), rhs, X0=x0,
+                apply_P=pa.symmetric if pa else None,
+                tol=scfg.tol, maxiter=scfg.maxiter, kappa_max=scfg.kappa_max)
         return solvers.solve_checked(
             lambda v: ops.mulMTM(params, derived, v), rhs, x0=x0,
             apply_P=pa.symmetric if pa else None,

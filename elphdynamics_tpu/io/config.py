@@ -278,6 +278,7 @@ def build_setup(cfg: dict, datafolder: str, dtype=None) -> SimulationSetup:
                             Nb=h.get("num_multitimesteps", 1),
                             tol=solver_cfg.tol, maxiter=solver_cfg.maxiter,
                             solver_kind=solver_cfg.kind, restart=solver_cfg.restart,
+                            block=solver_cfg.block,
                             log_verbose=bool(h.get("verbose", False)),
                             construct_guess=bool(h.get("construct_guess", False)),
                             guess_order=int(h.get("guess_order", 3)),
@@ -293,6 +294,7 @@ def build_setup(cfg: dict, datafolder: str, dtype=None) -> SimulationSetup:
             Nb=b.get("num_multitimesteps", h.get("num_multitimesteps", 1)),
             tol=solver_cfg.tol, maxiter=solver_cfg.maxiter,
             solver_kind=solver_cfg.kind, restart=solver_cfg.restart,
+            block=solver_cfg.block,
             log_verbose=bool(h.get("verbose", False)),
             construct_guess=bool(h.get("construct_guess", False)),
             guess_order=int(h.get("guess_order", 3)),

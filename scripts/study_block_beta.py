@@ -62,6 +62,28 @@ def main():
     print(f"\nbeta={beta} L={L} nv={nv} cheb{max_order}: "
           f"block/batched iteration ratio {ratio:.2f}", flush=True)
 
+    # --- trajectory-style solve: the spin-stacked [2, N, Lτ] system of
+    # solve_oinv (HMC.jl:820-915) shares the operator across spins, so a
+    # s=2 block costs zero extra matvecs. How much does deflating ONE slow
+    # mode save at this β?
+    from elphdynamics_tpu import solvers
+
+    phi = ops.mulMT(params, derived,
+                    jax.random.normal(jax.random.PRNGKey(9),
+                                      (2, ops.Nsites, ops.Ltau), x.dtype))
+    pa = resolve_precond(precond, params, x)
+    A = lambda v: ops.mulMTM(params, derived, v)
+    for label, fn in [
+        ("spin-pair batched", lambda: solvers.cg(
+            A, phi, apply_P=pa.symmetric, tol=1e-5, maxiter=4000)),
+        ("spin-pair block s=2", lambda: solvers.block_cg(
+            A, phi, apply_P=pa.symmetric, tol=1e-5, maxiter=4000)),
+    ]:
+        res = jax.jit(fn)()
+        it = np.asarray(res.iters)
+        print(f"{label:>22}: iters mean {it.mean():7.1f} max {int(it.max()):4d}",
+              flush=True)
+
 
 if __name__ == "__main__":
     main()

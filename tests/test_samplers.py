@@ -175,3 +175,36 @@ def test_langevin_heun_runs_and_stays_sane():
         x, stats, key = jstep(params, x, key)
     assert np.all(np.isfinite(np.asarray(x)))
     assert float(jnp.max(jnp.abs(x))) < 50.0
+
+
+def test_hmc_block_trajectory_solves_match_batched():
+    """`[solver] block` routes the spin-stacked trajectory solves through
+    block CG (solve_oinv gating): with a fixed key the whole trajectory —
+    fields, ΔH, acceptance — must agree with the batched-CG step, because
+    both solve to the same tolerance and the endpoint tol² solves stay on
+    the batched path either way."""
+    uc = UnitCell.create(2, 1, [[1.0, 0.0], [0.0, 1.0]], [[0.0, 0.0]])
+    lat = Lattice.create(uc, 2)
+    spec, params = H.build_holstein(
+        lat, beta=BETA, dtau=DTAU,
+        t_assignments=[(1.0, 0.0, 0, 0, (1, 0, 0)),
+                       (1.0, 0.0, 0, 0, (0, 1, 0))],
+        omega=OMEGA, lam=LAM, mu=0.0)
+    ops = make_model_ops(spec)
+    mass = build_mass(np.asarray(params.omega), ops.dtau, ops.Ltau, FA_BLOCKS)
+    key = jax.random.PRNGKey(3)
+    x, key = init_phonons_half_filled(ops, params, key)
+    state0 = HMCState(x=x, v=jnp.zeros_like(x))
+    outs = {}
+    for block in (False, True):
+        cfg = HMCConfig(dt=0.05, trajectory_time=0.5, Nb=2, tol=1e-5,
+                        maxiter=500, construct_guess=True, guess_order=3,
+                        block=block)
+        step = jax.jit(make_hmc_step(ops, mass, cfg))
+        st, stats, _ = step(params, state0, key)
+        assert int(stats.flag) == 0
+        assert bool(stats.accepted)
+        outs[block] = (np.asarray(st.x), float(stats.delta_H))
+    np.testing.assert_allclose(outs[True][0], outs[False][0],
+                               atol=5e-3)
+    assert abs(outs[True][1] - outs[False][1]) < 5e-3
