@@ -1032,6 +1032,23 @@ def make_sharded_ssh_solver(model_spec, plan: ShardPlan, mesh: Mesh):
 # exactly the footprint the sampler already holds per chain.
 # ---------------------------------------------------------------------------
 
+def _estimator_solve_local(A, rhs, scfg, pdot, P_apply, axis):
+    """The nᵥ estimator systems, shard-local: global-dot CG by default;
+    with ``scfg.block`` the psum-aware :func:`solvers.block_cg` (the s=nᵥ
+    block deflates the deep-β slow modes — BASELINE.md §block CG; same
+    mathematics as the unsharded `[solver] block` path)."""
+    if getattr(scfg, "block", False):
+        from elphdynamics_tpu import solvers as _solvers
+        res = _solvers.block_cg(A, rhs, apply_P=P_apply, tol=scfg.tol,
+                                maxiter=scfg.maxiter, psum_axis=axis)
+        d = A(res.x) - rhs
+        err = jnp.sqrt(pdot(d, d)) / jnp.maximum(jnp.sqrt(pdot(rhs, rhs)),
+                                                 1e-30)
+        flag = jnp.where(err > jnp.sqrt(scfg.tol), 1, 0)
+        return res.x, jnp.max(res.iters), flag
+    return _cg_local(A, rhs, scfg.tol, scfg.maxiter, pdot, P_apply)
+
+
 def make_sharded_greens_sampler(model_spec, plan: ShardPlan, mesh: Mesh,
                                 nv: int, scfg, kpm_cfg=None):
     """Holstein ``sample(params, x, key) -> (R, MinvR, iters, flag, key)``
@@ -1087,8 +1104,9 @@ def make_sharded_greens_sampler(model_spec, plan: ShardPlan, mesh: Mesh,
             kst = kpm_setup(env, jax.random.PRNGKey(1234))
             P_apply = kpm_make_apply(kst, env)
 
-        z, it, flag = _cg_local(lambda v: mulMT(mulM(v)), mulMT(R),
-                                scfg.tol, scfg.maxiter, pdot, P_apply)
+        z, it, flag = _estimator_solve_local(
+            lambda v: mulMT(mulM(v)), mulMT(R), scfg, pdot, P_apply,
+            plan.axis)
         return R, z, it, flag, key
 
     sharded = jax.shard_map(
@@ -1133,9 +1151,9 @@ def make_sharded_ssh_greens_sampler(model_spec, plan: ShardPlan, mesh: Mesh,
             kst = kpm_setup(coeffs, jax.random.PRNGKey(1234))
             P_apply = kpm_make_apply(kst, coeffs)
 
-        z, it, flag = _cg_local(
+        z, it, flag = _estimator_solve_local(
             lambda v: mulMT(coeffs, mulM(coeffs, v)), mulMT(coeffs, R),
-            scfg.tol, scfg.maxiter, pdot, P_apply)
+            scfg, pdot, P_apply, plan.axis)
         return R, z, it, flag, key
 
     sharded = jax.shard_map(

@@ -266,10 +266,17 @@ def block_cg(
     maxiter: int = 1000,
     kappa_max: float = 1e12,
     active0=None,
+    psum_axis: str | None = None,
 ):
     """Breakdown-guarded block CG: solve ``A·X = B`` for ``s`` right-hand
     sides [..., s, N, Lτ] that share the operator, with the search block
     spanning ALL residuals (O'Leary 1980).
+
+    ``psum_axis`` runs the solver shard-local under ``shard_map`` with the
+    field axes partitioned over that mesh axis: every Gram/norm reduction
+    completes with a ``lax.psum``, so the mathematics is identical to the
+    unsharded solve (used by the site-sharded estimator path,
+    parallel/lattice_shard.py).
 
     Beyond reference scope (IterativeSolvers.jl solves one system at a
     time): where :func:`cg` runs the s systems as independent batch lanes,
@@ -302,20 +309,29 @@ def block_cg(
     P = apply_P if apply_P is not None else (lambda v: v)
     s = B.shape[-3]
 
+    def _ps(v):
+        return lax.psum(v, psum_axis) if psum_axis is not None else v
+
     def gram(U, W):
         # [..., a, b] = Σ_{N,Lτ} U[..., a]·W[..., b] (hardware precision —
         # the solve ends in the compensated verification ladder)
-        return jnp.einsum("...aij,...bij->...ab", U, W)
+        return _ps(jnp.einsum("...aij,...bij->...ab", U, W))
+
+    def nrm(a):
+        return jnp.sqrt(_ps(_dot(a, a)))
+
+    def nrm_hot(a):
+        return jnp.sqrt(_ps(_dot_hot(a, a)))
 
     def colsolve(G, C):
         # batched s×s solve, [..., s, s] @ [..., s, k]
         return jnp.linalg.solve(G, C)
 
-    normb = _norm(B)                       # [..., s]
+    normb = nrm(B)                         # [..., s]
     safe_normb = jnp.where(normb > 0, normb, 1.0)
     R = B - apply_A(X0)
     Z = P(R)
-    eps0 = _norm(R) / safe_normb
+    eps0 = nrm(R) / safe_normb
 
     if active0 is None:
         active0 = jnp.ones(B.shape[:-2], dtype=bool)
@@ -324,7 +340,7 @@ def block_cg(
     active0 = active0 & (eps0 >= tol)
 
     def normalize(Pd):
-        n = _norm_hot(Pd)                   # [..., s]
+        n = nrm_hot(Pd)                     # [..., s]
         return Pd / _bc(jnp.where(n > 0, n, 1.0), Pd)
 
     Pd0 = normalize(Z * _bc(active0, Z))
@@ -346,7 +362,7 @@ def block_cg(
         alpha = alpha * active[..., None, :].astype(alpha.dtype)
         X_new = X + jnp.einsum("...aij,...ab->...bij", Pd, alpha)
         R_new = R - jnp.einsum("...aij,...ab->...bij", Q, alpha)
-        eps = _norm_hot(R_new) / safe_normb
+        eps = nrm_hot(R_new) / safe_normb
         # per-column κ lower bound, as in cg (IterativeSolvers.jl:214)
         logr = jnp.log(2.0 * eps0 / jnp.where(eps > 0, eps, 1e-300))
         logr = jnp.where(jnp.abs(logr) > 1e-12, logr, 1e-12)

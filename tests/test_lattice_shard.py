@@ -756,3 +756,37 @@ def test_sharded_ssh_greens_sampler_matches_unsharded():
     np.testing.assert_allclose(np.asarray(MinvR), np.asarray(gd.MinvR),
                                atol=2e-5)
     assert len(MinvR.sharding.device_set) == D
+
+
+def test_sharded_greens_sampler_block_cg_matches_unsharded():
+    """`[solver] block` under --site-devices: the psum-aware block CG
+    (solvers.block_cg psum_axis) reproduces the unsharded solutions within
+    the tolerance ball, with the exact key-split parity of the default
+    sharded path."""
+    from elphdynamics_tpu.dynamics.solve import SolverConfig
+    from elphdynamics_tpu.measure import greens as G
+    from elphdynamics_tpu.ops.kpm import KPMConfig
+    from elphdynamics_tpu.parallel.lattice_shard import (
+        make_sharded_greens_sampler)
+
+    D = 4
+    assert jax.device_count() >= D
+    spec, params, ops = _build()
+    plan = build_shard_plan(spec.ckb, D)
+    mesh = site_mesh(D)
+    nv = 4
+    scfg = SolverConfig(tol=1e-7, maxiter=2000, block=True)
+    sampler = make_sharded_greens_sampler(spec, plan, mesh, nv, scfg,
+                                          kpm_cfg=KPMConfig(max_order=8))
+
+    key = jax.random.PRNGKey(5)
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(6), (spec.Nph, spec.Ltau))
+    R, MinvR, iters, flag, key_out = sampler(params, x, key)
+    gd, key_ref = G.sample_greens(ops, params, x, key, nv, scfg, None)
+    np.testing.assert_allclose(np.asarray(R), np.asarray(gd.R), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(key_out), np.asarray(key_ref))
+    assert int(flag) == 0
+    np.testing.assert_allclose(np.asarray(MinvR), np.asarray(gd.MinvR),
+                               atol=2e-5)
+    assert len(MinvR.sharding.device_set) == D
+    assert int(iters) > 0
