@@ -1,3 +1,4 @@
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -265,3 +266,59 @@ def test_block_solve_checked_fallback_recovers():
     got = np.einsum("ij,bjk->bik", np.asarray(A), np.asarray(res.x))
     np.testing.assert_allclose(got, np.asarray(B), atol=1e-3)
     assert np.all(np.asarray(res.flag) == 0)
+
+
+@pytest.mark.slow
+def test_block_cg_deep_beta_iteration_regression():
+    """Deep-β regression guard (BASELINE.md §block CG): on an equilibrated
+    Holstein 4×4 β=16 operator the s=10 estimator block must converge in
+    well under half the batched-CG iterations. Catches both block-CG
+    regressions and KPM/operator changes that silently re-open the deep-β
+    collapse."""
+    import jax
+    from elphdynamics_tpu.dynamics.hmc import HMCConfig, HMCState, make_hmc_step
+    from elphdynamics_tpu.dynamics.init_phonons import init_phonons_half_filled
+    from elphdynamics_tpu.lattice import Lattice, UnitCell
+    from elphdynamics_tpu.models.adapter import make_model_ops
+    from elphdynamics_tpu.models.holstein import build_holstein
+    from elphdynamics_tpu.ops import kpm
+    from elphdynamics_tpu.ops.fourier_accel import build_mass
+
+    uc = UnitCell.create(2, 1, [[1.0, 0.0], [0.0, 1.0]], [[0.0, 0.0]])
+    lat = Lattice.create(uc, 4)
+    spec, params = build_holstein(
+        lat, beta=16.0, dtau=0.1,
+        t_assignments=[(1.0, 0.0, 0, 0, (1, 0, 0)),
+                       (1.0, 0.0, 0, 0, (0, 1, 0))],
+        omega=1.0, lam=1.0, mu=0.0)
+    ops = make_model_ops(spec)
+    mass = build_mass(np.asarray(params.omega), spec.dtau, spec.Ltau,
+                      [dict(omega_min=0.0, omega_max=10.0, mass=0.5)])
+    precond = kpm.make_symmetric_precond(ops, kpm.KPMConfig(max_order=8))
+    cfg = HMCConfig(dt=0.05, trajectory_time=1.0, Nb=4, tol=1e-5,
+                    maxiter=2000, construct_guess=True, guess_order=3)
+    step = jax.jit(make_hmc_step(ops, mass, cfg, precond))
+    key = jax.random.PRNGKey(0)
+    x, key = init_phonons_half_filled(ops, params, key)
+    st = HMCState(x=x, v=jnp.zeros_like(x))
+    for _ in range(6):
+        st, _, key = step(params, st, key)
+
+    derived = ops.derived(params, st.x)
+    from elphdynamics_tpu.dynamics.solve import resolve_precond
+    pa = resolve_precond(precond, params, st.x)
+    R = jax.random.normal(jax.random.PRNGKey(7),
+                          (10, ops.Nsites, ops.Ltau), st.x.dtype)
+    B = ops.mulMT(params, derived, R)
+    A = lambda v: ops.mulMTM(params, derived, v)
+    plain = jax.jit(lambda b: solvers.cg(
+        A, b, apply_P=pa.symmetric, tol=1e-5, maxiter=4000))(B)
+    blk = jax.jit(lambda b: solvers.block_cg(
+        A, b, apply_P=pa.symmetric, tol=1e-5, maxiter=4000))(B)
+    assert np.all(np.asarray(blk.converged))
+    it_plain = float(np.mean(np.asarray(plain.iters)))
+    it_blk = float(np.mean(np.asarray(blk.iters)))
+    # the deep-β collapse must be present for the plain solver...
+    assert it_plain > 40, it_plain
+    # ...and the block must cut it by far more than half
+    assert it_blk < 0.45 * it_plain, (it_blk, it_plain)
