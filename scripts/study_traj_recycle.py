@@ -61,8 +61,9 @@ def build(L, beta):
     return ops, params, mass
 
 
-def leapfrog_path(ops, params, mass, beta, L, n_equil=10):
-    """x at every leapfrog step of one real trajectory (Nt-prefix trick)."""
+def leapfrog_path(ops, params, mass, beta, L, n_equil=10, capture=True):
+    """x at every leapfrog step of one real trajectory (Nt-prefix trick).
+    ``capture=False`` returns just the equilibrated field (path of 1)."""
     cfg0 = HMCConfig(dt=0.05, trajectory_time=1.0, Nb=4, tol=1e-5,
                      maxiter=2000, construct_guess=True, guess_order=3)
     precond = kpm.make_symmetric_precond(ops, kpm.KPMConfig(max_order=8))
@@ -76,6 +77,8 @@ def leapfrog_path(ops, params, mass, beta, L, n_equil=10):
           f"{int(stats.accepted)}", flush=True)
 
     path = [np.asarray(st.x, np.float64)]
+    if not capture:
+        return path
     Nt = cfg0.Nt
     traj_key = key  # FIXED key: every prefix run sees the same v0 / phi
     for k in range(1, Nt + 1):
