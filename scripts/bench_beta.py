@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def run_holstein(L, beta, chains, steps, lowfreq, max_order, dt=0.05,
+def run_holstein(L, beta, chains, steps, lowfreq, max_order, dt=0.05, block=False,
                  dense_threshold=2048):
     from elphdynamics_tpu.dynamics.hmc import HMCConfig, HMCState, make_hmc_step
     from elphdynamics_tpu.dynamics.init_phonons import init_phonons_half_filled
@@ -44,7 +44,7 @@ def run_holstein(L, beta, chains, steps, lowfreq, max_order, dt=0.05,
     mass = build_mass(np.asarray(params.omega), spec.dtau, spec.Ltau,
                       [dict(omega_min=0.0, omega_max=10.0, mass=0.5)])
     cfg = HMCConfig(dt=dt, trajectory_time=1.0, Nb=4, tol=1e-5, maxiter=500,
-                    construct_guess=True, guess_order=3)
+                    construct_guess=True, guess_order=3, block=block)
     kcfg = kpm.KPMConfig(max_order=max_order, exact_lowfreq=lowfreq)
     precond = kpm.make_symmetric_precond(ops, kcfg)
     step = make_hmc_step(ops, mass, cfg, precond)
@@ -67,7 +67,7 @@ def run_holstein(L, beta, chains, steps, lowfreq, max_order, dt=0.05,
             float(jnp.mean(stats.flag.astype(jnp.float32))))
 
 
-def run_ssh(L, beta, chains, steps, lowfreq, max_order, dt=0.05,
+def run_ssh(L, beta, chains, steps, lowfreq, max_order, dt=0.05, block=False,
             dense_threshold=2048):
     from elphdynamics_tpu.dynamics.hmc import HMCConfig, HMCState, make_hmc_step
     from elphdynamics_tpu.dynamics.init_phonons import init_phonons_half_filled
@@ -89,7 +89,7 @@ def run_ssh(L, beta, chains, steps, lowfreq, max_order, dt=0.05,
     mass = build_mass(np.asarray(params.omega), spec.dtau, spec.Ltau,
                       [dict(omega_min=0.0, omega_max=10.0, mass=0.5)])
     cfg = HMCConfig(dt=dt, trajectory_time=1.0, Nb=4, tol=1e-5, maxiter=500,
-                    construct_guess=True, guess_order=3)
+                    construct_guess=True, guess_order=3, block=block)
     kcfg = kpm.KPMConfig(max_order=max_order, exact_lowfreq=lowfreq)
     precond = kpm.make_symmetric_precond(ops, kcfg)
     step = make_hmc_step(ops, mass, cfg, precond)
@@ -127,6 +127,8 @@ def main():
                     help="sites at or below use the dense-MXU exp(-dtau K)")
     ap.add_argument("--chains", type=int, default=0,
                     help="override the default chain-batch heuristic")
+    ap.add_argument("--block", action="store_true",
+                    help="[solver] block: block CG on the trajectory solves")
     args = ap.parse_args()
     max_order = args.max_order or (4 if args.model == "holstein" else 8)
     run = run_holstein if args.model == "holstein" else run_ssh
@@ -142,7 +144,7 @@ def main():
             else max(8, int(64 * 40 / Ltau)))
         for k in [int(s) for s in args.lowfreq.split(",")]:
             sw, it, acc, fl = run(args.L, beta, chains, args.steps, k,
-                                  max_order, dt=args.dt,
+                                  max_order, dt=args.dt, block=args.block,
                                   dense_threshold=args.dense_threshold)
             print(f"{beta:>5.0f} {Ltau:>5} {chains:>6} {k:>7} "
                   f"{sw:>9.1f} {it:>6.1f} {acc:>6.3f} {fl:>5.2f}", flush=True)

@@ -1,0 +1,34 @@
+#!/bin/bash
+# Unattended TPU bench battery for the block-CG work (fire once the axon
+# tunnel is back). Appends everything to $LOG. Each stage is bounded so a
+# hung tunnel can't wedge the battery.
+set -u
+cd "$(dirname "$0")/.."
+LOG=${1:-/tmp/tpu_bench_battery.log}
+echo "=== battery start $(date -u +%FT%TZ) ===" >> "$LOG"
+
+probe() {
+  timeout 90 python -c "import jax; print(jax.devices())" >> "$LOG" 2>&1
+}
+
+if ! probe; then
+  echo "TPU probe failed - aborting battery" >> "$LOG"
+  exit 1
+fi
+
+run() {
+  echo "--- $* ($(date -u +%TZ))" >> "$LOG"
+  timeout 1800 "$@" >> "$LOG" 2>&1
+  echo "--- exit $? " >> "$LOG"
+}
+
+# 1. block-CG wall-time A/B at the north-star beta (estimator + convolution)
+run python scripts/bench_block.py --beta 4 --L 8 --chains 32 --nv 10 --steps 10
+# 2. same at deep beta (the regime block CG targets)
+run python scripts/bench_block.py --beta 16 --L 8 --chains 16 --nv 10 --steps 10 --equil 20
+# 3. deep-beta trajectory A/B: beta-scaling rows with and without block
+run python scripts/bench_beta.py --model holstein --L 8 --betas 8,16 --lowfreq 0 --steps 4
+run python scripts/bench_beta.py --model holstein --L 8 --betas 8,16 --lowfreq 0 --steps 4 --block
+# 4. headline bench must not regress
+run python bench.py
+echo "=== battery done $(date -u +%FT%TZ) ===" >> "$LOG"
