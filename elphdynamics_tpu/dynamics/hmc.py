@@ -50,6 +50,13 @@ class HMCConfig(NamedTuple):
     # block CG over the spin-stacked trajectory systems ([solver] block;
     # solvers.block_cg — see solve_oinv for the gating)
     block: bool = False
+    # trajectory integrator: "leapfrog" (the reference's only integrator,
+    # HMC.jl:343-638) or "2mn" — Omelyan/Mushrabi/Peshkov 2nd-order
+    # minimum-norm (hep-lat/0506011 §2): two force evaluations per dt step
+    # with an ~10× smaller shadow-Hamiltonian coefficient, so dt can grow
+    # ~2-3× at the same acceptance — a net reduction in solves per
+    # trajectory (beyond reference scope)
+    integrator: str = "leapfrog"
     log_verbose: bool = False  # per-timestep energy trace (HMC.jl verbose log)
     # warm-start each trajectory solve from the previous timestep's solution
     # (the `construct_guess` knob of the reference's example TOMLs — documented
@@ -249,21 +256,39 @@ def make_hmc_step(
         def qf(xx):
             return accelerate(mass, xx, -1.0)
 
-        def boson_substeps(x, v):
-            """Nb small steps driven by the bosonic force (HMC.jl:535-565)."""
+        def boson_substeps(x, v, dt_b=None):
+            """Nb small steps driven by the bosonic force (HMC.jl:535-565).
+            ``dt_b`` overrides the substep length (2MN drifts cover dt/2)."""
+            dt_b = cfg.dt_b if dt_b is None else dt_b
             dSb = ops.calc_dSbdx(params, x, False)
             QdSb = qf(dSb)
 
             def sub(carry, _):
                 x, v, QdSb = carry
-                v = v - cfg.dt_b / 2 * QdSb
-                x = x + cfg.dt_b * v
+                v = v - dt_b / 2 * QdSb
+                x = x + dt_b * v
                 QdSb2 = qf(ops.calc_dSbdx(params, x, False))
-                v = v - cfg.dt_b / 2 * QdSb2
+                v = v - dt_b / 2 * QdSb2
                 return (x, v, QdSb2), None
 
             (x, v, _), _ = lax.scan(sub, (x, v, QdSb), None, length=cfg.Nb)
             return x, v
+
+        def drift(x, v, h):
+            """Position update over h: plain drift (Nb=1) or Nb bosonic
+            substeps integrating the stiff ω²x² force at h/Nb resolution."""
+            if cfg.Nb == 1:
+                return x + h * v, v
+            return boson_substeps(x, v, dt_b=h / cfg.Nb)
+
+        def force_at(x, guess):
+            """derived → tol¹ solve (warm-started) → Q-accelerated force."""
+            d = ops.derived(params, x)
+            Lphi_x, _ = lam_phi(params, x, phi)
+            z, it, fl = solve_O(params, x, d, Lphi_x, tol1, pstate,
+                                z_guess=guess, defl=defl)
+            dS = forces(params, x, d, phi, z)
+            return qf(dS), z, it, fl, Lphi_x
 
         def body(carry, _):
             x, v, QdSdx, z_prev, z_prev2, z_prev3, z_prev4, iters, flag = carry
@@ -312,8 +337,68 @@ def make_hmc_step(
             return (x, v, QdSdx, z_prev, z_prev2, z_prev3, z_prev4,
                     iters, flag), ys
 
+        def guess_from(z_prev, z_prev2, z_prev3, z_prev4):
+            if cfg.guess_order >= 4:
+                return 4.0 * z_prev - 6.0 * z_prev2 + 4.0 * z_prev3 - z_prev4
+            if cfg.guess_order == 3:
+                return 3.0 * z_prev - 3.0 * z_prev2 + z_prev3
+            if cfg.guess_order == 2:
+                return 2.0 * z_prev - z_prev2
+            return z_prev
+
+        # Omelyan 2nd-order minimum-norm coefficient (hep-lat/0506011 §2)
+        LAM_2MN = 0.1931833275037836
+
+        def body_2mn(carry, _):
+            """One 2MN step: λ-kick (carried force) → dt/2 drift → middle
+            kick → dt/2 drift → λ-kick. Two tol¹ solves per step at uniform
+            dt/2 spacing, so the polynomial warm-start chain applies
+            unchanged; boundary λ-kicks of adjacent steps use the same
+            carried force, exactly as the leapfrog body carries QdSdx."""
+            x, v, QdSdx, z_prev, z_prev2, z_prev3, z_prev4, iters, flag = carry
+            ok = flag == 0
+            v1 = v - LAM_2MN * cfg.dt * QdSdx
+            x1, v1 = drift(x, v1, cfg.dt / 2)
+            Qd_m, z_m, it_m, fl_m, _ = force_at(
+                x1, guess_from(z_prev, z_prev2, z_prev3, z_prev4))
+            z_prev4m = z_prev3
+            z_prev3m = z_prev2
+            z_prev2m = z_prev
+            v1 = v1 - (1.0 - 2.0 * LAM_2MN) * cfg.dt * Qd_m
+            x1, v1 = drift(x1, v1, cfg.dt / 2)
+            Qd_e, z_e, it_e, fl_e, Lphi_e = force_at(
+                x1, guess_from(z_m, z_prev2m, z_prev3m, z_prev4m))
+            v1 = v1 - LAM_2MN * cfg.dt * Qd_e
+            it1 = it_m + it_e
+            fl1 = jnp.maximum(fl_m, fl_e)
+            x = jnp.where(ok, x1, x)
+            v = jnp.where(ok, v1, v)
+            QdSdx = jnp.where(ok, Qd_e, QdSdx)
+            z_prev4 = jnp.where(ok, z_prev3m, z_prev4)
+            z_prev3 = jnp.where(ok, z_prev2m, z_prev3)
+            z_prev2 = jnp.where(ok, z_m, z_prev2)
+            z_prev = jnp.where(ok, z_e, z_prev)
+            iters = iters + jnp.where(ok, it1, 0)
+            flag = jnp.maximum(flag, jnp.where(ok, fl1, 0))
+            if cfg.log_verbose:
+                S_t = calc_S(params, x, Lphi_e, z_e)
+                K_t = calc_K(v)
+                ys = (S_t + K_t, S_t, K_t, it1)
+            else:
+                ys = None
+            return (x, v, QdSdx, z_prev, z_prev2, z_prev3, z_prev4,
+                    iters, flag), ys
+
+        if cfg.integrator == "leapfrog":
+            traj_body = body
+        elif cfg.integrator == "2mn":
+            traj_body = body_2mn
+        else:
+            raise ValueError(f"unknown integrator {cfg.integrator!r} "
+                             "(expected 'leapfrog' or '2mn')")
+
         (x1, v1, _, z_last, _, _, _, iters, flag), traj = lax.scan(
-            body, (x0, v0, QdSdx0, z0, z0, z0, z0, it0, flag0), None,
+            traj_body, (x0, v0, QdSdx0, z0, z0, z0, z0, it0, flag0), None,
             length=cfg.Nt
         )
 
@@ -338,7 +423,9 @@ def make_hmc_step(
         # distribution
         x_new = jnp.where(accept, x1, x0)
         v_new = jnp.where(accept, v1, -v0)
-        mean_iters = (iters + cfg.Nt + 1) // (cfg.Nt + 2)
+        # solves per update: Nt tol¹ (2Nt for 2MN) + 2 tol² endpoints
+        nsolves = (2 * cfg.Nt if cfg.integrator == "2mn" else cfg.Nt) + 2
+        mean_iters = (iters + nsolves // 2) // nsolves
         stats = HMCStats(accepted=accept, iters=mean_iters, flag=flag, delta_H=dH,
                          H=H1, S=S1, K=K1)
         if cfg.log_verbose:

@@ -279,6 +279,7 @@ def build_setup(cfg: dict, datafolder: str, dtype=None) -> SimulationSetup:
                             tol=solver_cfg.tol, maxiter=solver_cfg.maxiter,
                             solver_kind=solver_cfg.kind, restart=solver_cfg.restart,
                             block=solver_cfg.block,
+                            integrator=str(h.get("integrator", "leapfrog")).lower(),
                             log_verbose=bool(h.get("verbose", False)),
                             construct_guess=bool(h.get("construct_guess", False)),
                             guess_order=int(h.get("guess_order", 3)),
@@ -295,6 +296,7 @@ def build_setup(cfg: dict, datafolder: str, dtype=None) -> SimulationSetup:
             tol=solver_cfg.tol, maxiter=solver_cfg.maxiter,
             solver_kind=solver_cfg.kind, restart=solver_cfg.restart,
             block=solver_cfg.block,
+            integrator=str(b.get("integrator", h.get("integrator", "leapfrog"))).lower(),
             log_verbose=bool(h.get("verbose", False)),
             construct_guess=bool(h.get("construct_guess", False)),
             guess_order=int(h.get("guess_order", 3)),

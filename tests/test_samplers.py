@@ -208,3 +208,55 @@ def test_hmc_block_trajectory_solves_match_batched():
     np.testing.assert_allclose(outs[True][0], outs[False][0],
                                atol=5e-3)
     assert abs(outs[True][1] - outs[False][1]) < 5e-3
+
+
+def test_2mn_integrator_energy_error_beats_leapfrog():
+    """The Omelyan 2MN integrator ([hmc] integrator = "2mn",
+    hep-lat/0506011) must cut |ΔH| by ~an order of magnitude vs leapfrog
+    at the same dt (its shadow-Hamiltonian coefficient is ~10× smaller),
+    and both must conserve H as dt→0."""
+    uc = UnitCell.create(2, 1, [[1.0, 0.0], [0.0, 1.0]], [[0.0, 0.0]])
+    lat = Lattice.create(uc, 2)
+    spec, params = H.build_holstein(
+        lat, beta=BETA, dtau=DTAU,
+        t_assignments=[(1.0, 0.0, 0, 0, (1, 0, 0)),
+                       (1.0, 0.0, 0, 0, (0, 1, 0))],
+        omega=OMEGA, lam=LAM, mu=0.0)
+    ops = make_model_ops(spec)
+    mass = build_mass(np.asarray(params.omega), ops.dtau, ops.Ltau, FA_BLOCKS)
+    key = jax.random.PRNGKey(11)
+    x, key = init_phonons_half_filled(ops, params, key)
+    state0 = HMCState(x=x, v=jnp.zeros_like(x))
+
+    def mean_abs_dH(integrator, dt, n=4):
+        cfg = HMCConfig(dt=dt, trajectory_time=0.8, Nb=2, tol=1e-9,
+                        maxiter=2000, integrator=integrator)
+        step = jax.jit(make_hmc_step(ops, mass, cfg))
+        st, k, dHs = state0, key, []
+        for _ in range(n):
+            st, stats, k = step(params, st, k)
+            assert int(stats.flag) == 0
+            dHs.append(abs(float(stats.delta_H)))
+        return np.mean(dHs)
+
+    dH_lf = mean_abs_dH("leapfrog", 0.1)
+    dH_2mn = mean_abs_dH("2mn", 0.1)
+    assert dH_2mn < dH_lf / 4, (dH_2mn, dH_lf)
+    # 2nd-order scaling: ΔH drops ~16x when dt halves (allow slack)
+    dH_2mn_half = mean_abs_dH("2mn", 0.05)
+    assert dH_2mn_half < dH_2mn / 4, (dH_2mn_half, dH_2mn)
+
+
+@pytest.mark.slow
+def test_hmc_2mn_single_site_matches_ed():
+    """The 2MN integrator must sample the same target distribution —
+    single-site ED ground truth, run at 2× the leapfrog dt (the point of
+    the integrator: larger steps at the same acceptance)."""
+    ops, params = single_site_model()
+    cfg = HMCConfig(dt=0.1, trajectory_time=1.0, Nb=4, tol=1e-6, maxiter=500,
+                    integrator="2mn")
+    xh, acc = run_chains_hmc(ops, params, cfg)
+    assert acc.mean() > 0.9, f"2MN acceptance too low: {acc.mean()}"
+    ed = single_site_holstein_ed(BETA, OMEGA, LAM, MU)
+    assert abs(xh.mean() - ed["x"]) < 0.05, (xh.mean(), ed["x"])
+    assert abs((xh ** 2).mean() - ed["x2"]) < 0.06, ((xh ** 2).mean(), ed["x2"])
