@@ -114,9 +114,20 @@ def _build_model(cfg: dict, rng: np.random.Generator, dtype):
             for name, key in (("omega", "omega"), ("mu", "mu"), ("lambda", "lambda"),
                               ("lambda2", "lambda2"), ("omega4", "omega4"))
         }
+        # [[holstein.omega_ij]] dispersive phonon coupling: the reference
+        # implements assign_ωᵢⱼ! (HolsteinModels.jl:449-464) but never
+        # reads it from the TOML — wired for real here (beyond reference).
+        # Fields: val, stddev, sign (±1), orbit = [o1, o2], dL.
+        wij_assign = [
+            (d["val"], d.get("stddev", 0.0), int(d.get("sign", 1)),
+             d["orbit"][0] - 1, d["orbit"][1] - 1,
+             tuple(list(d["dL"]) + [0] * (3 - len(d["dL"]))))
+            for d in h.get("omega_ij", [])
+        ]
         spec, params = build_holstein(
             lattice, h["beta"], h["dtau"],
             t_assignments=t_assign,
+            wij_assignments=wij_assign,
             per_orbit={k: v for k, v in per_orbit.items() if v},
             rng=rng, dtype=dtype,
         )

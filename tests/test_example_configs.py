@@ -54,3 +54,36 @@ def test_preconditioner_schema_knobs():
     assert (k.n_power, k.buf, k.c1, k.c2) == (12, 0.07, 2.0, 3.0)
     assert k.max_order == 16 and k.dft_matmul is True
     assert k.exact_lowfreq == 6
+
+
+def test_omega_ij_toml_wiring(tmp_path):
+    """[[holstein.omega_ij]] reaches the model (the reference implements
+    assign_omega_ij! (HolsteinModels.jl:449-464) but never wires it from
+    the TOML; wired for real here)."""
+    import copy
+    cfg = load_toml(os.path.join(os.path.dirname(__file__), "..",
+                                 "examples", "holstein_hmc_square.toml"))
+    cfg = copy.deepcopy(cfg)
+    cfg["holstein"]["omega_ij"] = [
+        {"val": 0.3, "sign": -1, "orbit": [1, 1], "dL": [1, 0, 0]},
+    ]
+    setup = build_setup(cfg, str(tmp_path / "df"))
+    assert setup.ops.spec.wij_table.shape[1] > 0
+    assert float(setup.params.wij[0]) == 0.3
+    # the dispersive action term must actually contribute
+    import jax.numpy as jnp
+    import numpy as np
+    x = jnp.ones((setup.ops.Nph, setup.ops.Ltau))
+    cfg2 = copy.deepcopy(cfg)
+    del cfg2["holstein"]["omega_ij"]
+    setup2 = build_setup(cfg2, str(tmp_path / "df2"))
+    Sb_with = float(setup.ops.calc_Sb(setup.params, x, False))
+    Sb_without = float(setup2.ops.calc_Sb(setup2.params, x, False))
+    # sign=-1 couples (xi - xj)^2 which vanishes on a uniform field;
+    # a random field must shift the action
+    key = np.random.default_rng(0)
+    xr = jnp.asarray(key.standard_normal((setup.ops.Nph, setup.ops.Ltau)))
+    d = float(setup.ops.calc_Sb(setup.params, xr, False)) - \
+        float(setup2.ops.calc_Sb(setup2.params, xr, False))
+    assert Sb_with == Sb_without  # uniform field: (xi-xj)^2 = 0
+    assert abs(d) > 1e-3
