@@ -745,8 +745,9 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
         # spins share one convergence scalar — a simplicity trade)
         def solve_O(env, rhs, tol, kst=None, x0=None):
             P_apply = (kpm_make_apply(kst, env) if kst is not None else None)
-            return _cg_local(lambda v: mulMTM(env, v), rhs, tol, cfg.maxiter,
-                             pdot, P_apply, x0=x0, sync_axis=chains_axis)
+            return _traj_solve_local(lambda v: mulMTM(env, v), rhs, tol,
+                                     cfg.maxiter, pdot, P_apply, plan.axis,
+                                     cfg, x0=x0, sync_axis=chains_axis)
 
         # --- noise in the unsharded step's exact key-split order
         key, k_v, k_p, k_acc = jax.random.split(key, 4)
@@ -1279,9 +1280,10 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
         def solve_O(coeffs, rhs, tol, kst=None, x0=None):
             P_apply = (kpm_make_apply(kst, coeffs) if kst is not None
                        else None)
-            return _cg_local(lambda v: mulMT(coeffs, mulM(coeffs, v)), rhs,
-                             tol, cfg.maxiter, pdot, P_apply, x0=x0,
-                             sync_axis=chains_axis)
+            return _traj_solve_local(
+                lambda v: mulMT(coeffs, mulM(coeffs, v)), rhs, tol,
+                cfg.maxiter, pdot, P_apply, plan.axis, cfg, x0=x0,
+                sync_axis=chains_axis)
 
         # --- noise in the unsharded step's exact key-split order
         key, k_v, k_p, k_acc = jax.random.split(key, 4)
@@ -1434,6 +1436,27 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
 # the electron vectors; SSH keeps the bond field replicated (as in the
 # sharded HMC) and psum-assembles the force.
 # ---------------------------------------------------------------------------
+
+def _traj_solve_local(A, rhs, tol, maxiter, pdot, P_apply, axis, cfg,
+                      x0=None, sync_axis=None):
+    """Spin-stacked trajectory solve, shard-local: global-dot CG by
+    default; with ``cfg.block`` (and tol above the f32 noise floor — the
+    same gate as dynamics/solve.py:solve_oinv) the psum-aware s=2 block
+    CG, which deflates one current-operator slow mode per iteration at
+    zero extra matvecs (BASELINE.md §block CG)."""
+    if getattr(cfg, "block", False) and tol >= 1e-6:
+        from elphdynamics_tpu import solvers as _solvers
+        res = _solvers.block_cg(A, rhs, X0=x0, apply_P=P_apply, tol=tol,
+                                maxiter=maxiter, psum_axis=axis,
+                                sync_axis=sync_axis)
+        d = A(res.x) - rhs
+        err = jnp.sqrt(pdot(d, d)) / jnp.maximum(jnp.sqrt(pdot(rhs, rhs)),
+                                                 1e-30)
+        flag = jnp.where(err > jnp.sqrt(tol), 1, 0)
+        return res.x, jnp.max(res.iters), flag
+    return _cg_local(A, rhs, tol, maxiter, pdot, P_apply, x0=x0,
+                     sync_axis=sync_axis)
+
 
 def _cg_local(A, rhs, tol, maxiter, pdot, P_apply=None, x0=None,
               sync_axis=None):

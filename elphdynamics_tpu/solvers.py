@@ -267,6 +267,7 @@ def block_cg(
     kappa_max: float = 1e12,
     active0=None,
     psum_axis: str | None = None,
+    sync_axis: str | None = None,
 ):
     """Breakdown-guarded block CG: solve ``A·X = B`` for ``s`` right-hand
     sides [..., s, N, Lτ] that share the operator, with the search block
@@ -276,7 +277,10 @@ def block_cg(
     field axes partitioned over that mesh axis: every Gram/norm reduction
     completes with a ``lax.psum``, so the mathematics is identical to the
     unsharded solve (used by the site-sharded estimator path,
-    parallel/lattice_shard.py).
+    parallel/lattice_shard.py). ``sync_axis`` couples the while_loop trip
+    count across an extra mesh axis (2-D chain × site meshes — see
+    ``_cg_local``'s deadlock note): converged rows run masked-idle
+    iterations so every participant executes the same collectives.
 
     Beyond reference scope (IterativeSolvers.jl solves one system at a
     time): where :func:`cg` runs the s systems as independent batch lanes,
@@ -347,7 +351,10 @@ def block_cg(
 
     def cond(state):
         j, X, R, Pd, kmin, iters, active, conv = state
-        return (j < maxiter) & jnp.any(active)
+        any_active = jnp.any(active)
+        if sync_axis is not None:
+            any_active = lax.psum(any_active.astype(jnp.int32), sync_axis) > 0
+        return (j < maxiter) & any_active
 
     def body(state):
         j, X, R, Pd, kmin, iters, active, conv = state

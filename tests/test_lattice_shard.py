@@ -790,3 +790,79 @@ def test_sharded_greens_sampler_block_cg_matches_unsharded():
                                atol=2e-5)
     assert len(MinvR.sharding.device_set) == D
     assert int(iters) > 0
+
+
+def test_sharded_hmc_block_trajectory_matches_unsharded():
+    """`[solver] block` in the site-sharded HMC: the psum-aware s=2 block
+    CG on the spin-stacked trajectory solves reproduces the unsharded
+    block-CG step (same key, tol¹ block / tol² batched gating on both
+    sides)."""
+    from elphdynamics_tpu.dynamics.hmc import HMCConfig, HMCState, make_hmc_step
+    from elphdynamics_tpu.parallel.lattice_shard import make_sharded_hmc_step
+    from elphdynamics_tpu.ops.fourier_accel import build_mass
+
+    D = 8
+    assert jax.device_count() >= D
+    spec, params, ops = _build(L=8, beta=1.0, dtau=0.1, lam=0.8)
+    plan = build_shard_plan(spec.ckb, D)
+    mesh = site_mesh(D)
+    mass = build_mass(np.asarray(params.omega), spec.dtau, spec.Ltau,
+                      [dict(omega_min=0.0, omega_max=10.0, mass=0.5)])
+    cfg = HMCConfig(dt=0.1, trajectory_time=0.4, Nb=1, tol=1e-5,
+                    maxiter=3000, block=True)
+
+    ref_step = jax.jit(make_hmc_step(ops, mass, cfg, precond=None))
+    sh_step = make_sharded_hmc_step(spec, plan, mesh, mass, cfg)
+
+    key = jax.random.PRNGKey(7)
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (spec.Nph, spec.Ltau))
+    v = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (spec.Nph, spec.Ltau))
+
+    ref_state, ref_stats, _ = ref_step(params, HMCState(x=x, v=v), key)
+    xs, vs, stats, _ = sh_step(params, x, v, key)
+    assert bool(stats["accepted"]) == bool(ref_stats.accepted)
+    assert int(stats["flag"]) == 0
+    assert abs(float(stats["delta_H"]) - float(ref_stats.delta_H)) < 5e-4
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(ref_state.x),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_chain_site_2d_mesh_hmc_block():
+    """Block CG on the 2-D (chain × site) mesh: the sync_axis-coupled
+    while_loop (solvers.block_cg) must keep cross-row collectives aligned
+    — each chain still matches its 1-chain unsharded block-CG step."""
+    from elphdynamics_tpu.dynamics.hmc import HMCConfig, HMCState, make_hmc_step
+    from elphdynamics_tpu.ops.fourier_accel import build_mass
+    from elphdynamics_tpu.parallel.lattice_shard import (
+        chain_site_mesh, make_sharded_hmc_step)
+
+    Dc, Ds = 2, 4
+    assert jax.device_count() >= Dc * Ds
+    spec, params, ops = _build(L=8, beta=1.0, dtau=0.1, lam=0.8)
+    plan = build_shard_plan(spec.ckb, Ds)
+    mesh = chain_site_mesh(Dc, Ds)
+    mass = build_mass(np.asarray(params.omega), spec.dtau, spec.Ltau,
+                      [dict(omega_min=0.0, omega_max=10.0, mass=0.5)])
+    cfg = HMCConfig(dt=0.1, trajectory_time=0.3, Nb=1, tol=1e-5,
+                    maxiter=3000, block=True)
+
+    ref_step = jax.jit(make_hmc_step(ops, mass, cfg, precond=None))
+    sh_step = make_sharded_hmc_step(spec, plan, mesh, mass, cfg,
+                                    chains_axis="chain")
+
+    n_chains = 4
+    keys = jax.random.split(jax.random.PRNGKey(71), n_chains)
+    xs = 0.3 * jax.random.normal(jax.random.PRNGKey(18),
+                                 (n_chains, spec.Nph, spec.Ltau))
+    vs = 0.1 * jax.random.normal(jax.random.PRNGKey(19),
+                                 (n_chains, spec.Nph, spec.Ltau))
+    x_sh, v_sh, stats, _ = sh_step(params, xs, vs, keys)
+    for c in range(n_chains):
+        ref_state, ref_stats, _ = ref_step(
+            params, HMCState(x=xs[c], v=vs[c]), keys[c])
+        assert bool(stats["accepted"][c]) == bool(ref_stats.accepted), c
+        assert abs(float(stats["delta_H"][c])
+                   - float(ref_stats.delta_H)) < 5e-4, c
+        np.testing.assert_allclose(np.asarray(x_sh[c]),
+                                   np.asarray(ref_state.x),
+                                   rtol=1e-4, atol=1e-5)
