@@ -29,6 +29,10 @@ run python scripts/bench_block.py --beta 16 --L 8 --chains 16 --nv 10 --steps 10
 # 3. deep-beta trajectory A/B: beta-scaling rows with and without block
 run python scripts/bench_beta.py --model holstein --L 8 --betas 8,16 --lowfreq 0 --steps 4
 run python scripts/bench_beta.py --model holstein --L 8 --betas 8,16 --lowfreq 0 --steps 4 --block
-# 4. headline bench must not regress
+# 4. dt-targeting at the north-star size: fewer solves per trajectory is a
+#    direct latency win at 8x8 (CPU study: acc stays 1.0 well past dt=0.05)
+run python scripts/bench_beta.py --model holstein --L 8 --betas 4 --lowfreq 0 --steps 6 --dt 0.1
+run python scripts/bench_beta.py --model holstein --L 8 --betas 4 --lowfreq 0 --steps 6 --dt 0.143
+# 5. headline bench must not regress
 run python bench.py
 echo "=== battery done $(date -u +%FT%TZ) ===" >> "$LOG"
