@@ -33,6 +33,8 @@ run python scripts/bench_beta.py --model holstein --L 8 --betas 8,16 --lowfreq 0
 #    direct latency win at 8x8 (CPU study: acc stays 1.0 well past dt=0.05)
 run python scripts/bench_beta.py --model holstein --L 8 --betas 4 --lowfreq 0 --steps 6 --dt 0.1
 run python scripts/bench_beta.py --model holstein --L 8 --betas 4 --lowfreq 0 --steps 6 --dt 0.143
+# 4b. the full deep-beta recipe: block CG + dt targeting together
+run python scripts/bench_beta.py --model holstein --L 8 --betas 16 --lowfreq 0 --steps 4 --dt 0.1 --block
 # 5. headline bench must not regress
 run python bench.py
 echo "=== battery done $(date -u +%FT%TZ) ===" >> "$LOG"
