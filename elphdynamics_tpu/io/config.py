@@ -77,6 +77,9 @@ class SimulationSetup:
     snapshots: tuple
     read_phonon_config: str | None
     config: dict
+    # [tempering] parallel-tempering ladder (beyond reference scope,
+    # dynamics/tempering.py); None = off
+    tempering_cfg: Any = None
 
 
 def load_toml(path: str) -> dict:
@@ -337,6 +340,18 @@ def build_setup(cfg: dict, datafolder: str, dtype=None) -> SimulationSetup:
     read_phonons = (model_cfg.get("phonon_config_file")
                     if model_cfg.get("read_phonon_config", False) else None)
 
+    tempering_cfg = None
+    if "tempering" in cfg:
+        from elphdynamics_tpu.dynamics.tempering import TemperingConfig
+        t = cfg["tempering"]
+        if model_type != "holstein":
+            raise ValueError("[tempering] currently supports the Holstein "
+                             "model (the ladder scales lambda)")
+        tempering_cfg = TemperingConfig(
+            ladder=tuple(float(v) for v in t["ladder"]),
+            freq=int(t.get("freq", 5)),
+            tol=solver_cfg.tol, maxiter=solver_cfg.maxiter)
+
     return SimulationSetup(
         ops=ops, params=params, sim_params=sim_params, model_type=model_type,
         dynamics_type=dynamics_type, hmc_cfg=hmc_cfg, hmc_burnin_cfg=hmc_burnin_cfg,
@@ -344,5 +359,5 @@ def build_setup(cfg: dict, datafolder: str, dtype=None) -> SimulationSetup:
         fa_Q=fa_Q, fa_mass=fa_mass, solver_cfg=solver_cfg, kpm_cfg=kpm_cfg,
         mspec=mspec, reflect_cfg=reflect_cfg, swap_cfg=swap_cfg,
         tune_density=tune, snapshots=snapshots, read_phonon_config=read_phonons,
-        config=cfg,
+        config=cfg, tempering_cfg=tempering_cfg,
     )

@@ -161,6 +161,21 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
             return tree
         return jax.tree.map(lambda a: jax.device_put(a, chain_sharding), tree)
 
+    # ---- parallel tempering over the coupling ladder ([tempering],
+    # dynamics/tempering.py — beyond reference scope). Chains carry
+    # per-rung params, so the chain-batched vmaps take params in_axes=0;
+    # only rung-0 (physical-coupling) chains enter the measurement bins.
+    tcfg_t = setup.tempering_cfg
+    tempering = tcfg_t is not None
+    if tempering:
+        if n_chains < 2 or mesh is not None or site_devices > 1:
+            raise NotImplementedError(
+                "[tempering] needs --chains = K*M (>1) on one device; "
+                "--devices/--site-devices tempering is not yet supported")
+        from elphdynamics_tpu.dynamics.tempering import (
+            ladder_params, make_exchange_step, target_mask)
+    p_ax = 0 if tempering else None
+
     # ---- preconditioner
     precond = None
     if setup.kpm_cfg is not None:
@@ -301,7 +316,7 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
             """Chain-batched step: plain vmap on one device; shard_map over
             the mesh so each chip's solver while_loops see only local chains
             (zero collectives in the sampler hot loop)."""
-            vf = jax.vmap(fn, in_axes=(None, 0, 0))
+            vf = jax.vmap(fn, in_axes=(p_ax, 0, 0))
             if mesh is None:
                 return jax.jit(vf)
             from jax.sharding import PartitionSpec as P
@@ -320,14 +335,18 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
         else:
             sim_step_j = _sharded(sim_step)
             burnin_step_j = _sharded(burnin_step)
-        _mstep_v = jax.vmap(mstep, in_axes=(None, 0, 0))
+        _mstep_v = jax.vmap(mstep, in_axes=(p_ax, 0, 0))
+        # bin mask: with tempering only rung-0 (physical λ) chains bin
+        _tmask = (jnp.asarray(target_mask(tcfg_t, n_chains)) if tempering
+                  else jnp.ones(n_chains, dtype=bool))
 
         def _mstep_mean(params, x, keys):
             inc, ms, snaps, keys = _mstep_v(params, constrain(x), constrain(keys))
             # chains whose estimator solves failed are masked out of the
             # bin average (Models.jl logs every solver anomaly :106-172;
             # here contaminated chains additionally do not bias the bin)
-            ok = ms["flag"] == 0
+            # bin weight: unflagged AND (under tempering) physical-rung
+            ok = (ms["flag"] == 0) & _tmask
             w = ok.astype(jnp.float32)
             denom = jnp.maximum(jnp.sum(w), 1.0)
             any_ok = jnp.any(ok)
@@ -344,7 +363,9 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
             first_ok = jnp.argmax(ok)
             snaps = jax.tree.map(lambda a: a[first_ok], snaps)
             ms = dict(ms)
-            ms["n_flagged"] = jnp.sum(~ok)
+            # count SOLVER failures only — masked-by-design non-target
+            # tempering rungs are not anomalies
+            ms["n_flagged"] = jnp.sum(_tmask & (ms["flag"] != 0))
             return inc, ms, snaps, keys
 
         mstep_j = jax.jit(_mstep_mean)
@@ -470,6 +491,21 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
     else:
         chain_keys = key
 
+    exchange_j = None
+    if tempering:
+        # fresh runs stack the per-rung ladder here (AFTER phonon init,
+        # which wants the unbatched physical params); resumed runs loaded
+        # the already-stacked ladder from the checkpoint
+        if not resume:
+            params = ladder_params(params, tcfg_t, n_chains)
+        exchange_j = jax.jit(
+            make_exchange_step(ops, tcfg_t, n_chains, precond),
+            static_argnames="parity")
+        sim_stats.setdefault("tempering_acceptance_rate", 0.0)
+        logger.info("parallel tempering: ladder=%s freq=%d (%d chains/rung)",
+                    list(tcfg_t.ladder), tcfg_t.freq,
+                    n_chains // len(tcfg_t.ladder))
+
     # incremental slow-mode deflation state ([solver.deflation], the deep-β
     # lever — ops/deflation.py). Not checkpointed: the basis is a solver aid
     # that reconverges within ~20 updates after resume.
@@ -565,6 +601,21 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
             sim_stats["swap_acceptance_rate"] += float(np.mean(np.asarray(acc)))
         return state, keys
 
+    def do_exchange(params, state, keys, n):
+        """Parallel-tempering exchange attempt (alternating pair parity)."""
+        nonlocal sim_stats
+        if exchange_j is None or n % tcfg_t.freq != 0:
+            return state, keys
+        t0 = time.time()
+        xn, vn, acc, _, flag, keys = exchange_j(
+            params, state.x, state.v, keys,
+            parity=(n // tcfg_t.freq) % 2)
+        state = state._replace(x=xn, v=vn)
+        sim_stats["simulation_time"] += time.time() - t0
+        sim_stats["tempering_acceptance_rate"] += float(np.asarray(acc))
+        log_solver_flags("tempering exchange", n, flag)
+        return state, keys
+
     mu_update_freq = max(sp.meas_freq, 1)
 
     # per-update HMC energy log, column-compatible with the reference
@@ -634,6 +685,7 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
         log_solver_flags("burnin", n + 1, flag)
         log_hmc(n + 1, stats)
         state, chain_keys = do_special(params, state, chain_keys, n + 1)
+        state, chain_keys = do_exchange(params, state, chain_keys, n + 1)
         if mu_tuner.active and (n + 1) % mu_update_freq == 0:
             t0 = time.time()
             inc, mstats, snaps, chain_keys = mstep_j(
@@ -657,6 +709,7 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
         log_solver_flags("simulation", n + 1, flag)
         log_hmc(sp.burnin + n + 1, stats)
         state, chain_keys = do_special(params, state, chain_keys, n + 1)
+        state, chain_keys = do_exchange(params, state, chain_keys, n + 1)
 
         if (n + 1) % sp.meas_freq == 0:
             nmeas = (n + 1) // sp.meas_freq
@@ -704,6 +757,9 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
         if scfg.n_moves and scfg.freq:
             napplied = sp.burnin // scfg.freq + sp.nsteps // scfg.freq
             sim_stats[kname] /= max(napplied, 1)
+    if tempering:
+        nex = sp.burnin // tcfg_t.freq + sp.nsteps // tcfg_t.freq
+        sim_stats["tempering_acceptance_rate"] /= max(nex, 1)
     for k in ("simulation_time", "measurement_time", "write_time"):
         sim_stats[k + "_min"] = sim_stats[k] / 60.0
 
@@ -713,7 +769,9 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
     out_io.write_phonons(ops, x_final,
                          os.path.join(datafolder, "final_phonon_config.out"))
     if sp.write_M_matrix:
-        out_io.write_M_matrix(ops, params, x_final,
+        params_w = (jax.tree.map(lambda a: a[0], params) if tempering
+                    else params)
+        out_io.write_M_matrix(ops, params_w, x_final,
                               os.path.join(datafolder, "M_matrix.out"))
     mu_tuner.estimate_mu()
     if hmc_log is not None:
