@@ -55,8 +55,9 @@ class TemperingConfig(NamedTuple):
 
 def ladder_params(params, tcfg: TemperingConfig, n_chains: int):
     """Stack per-chain params: rung r (chains [r·M, (r+1)·M)) scales the
-    electron-phonon coupling λ by ladder[r] (λ₂ scales with ladder² so the
-    quadratic coupling keeps its relative strength)."""
+    electron-phonon coupling by ladder[r] — λ for Holstein, α for SSH
+    (the quadratic coupling λ₂/α₂ scales with ladder² so it keeps its
+    relative strength)."""
     K = len(tcfg.ladder)
     if n_chains % K:
         raise ValueError(f"--chains ({n_chains}) must be divisible by the "
@@ -72,11 +73,15 @@ def ladder_params(params, tcfg: TemperingConfig, n_chains: int):
         return out
 
     stacked = jax.tree.map(stack, params)
-    m1 = jnp.asarray(mult, stacked.lam.dtype).reshape(
-        (n_chains,) + (1,) * params.lam.ndim)
-    stacked = stacked._replace(lam=stacked.lam * m1,
-                               lam2=stacked.lam2 * (m1 * m1))
-    return stacked
+    lin, quad = (("lam", "lam2") if hasattr(params, "lam")
+                 else ("alpha", "alpha2"))
+    base = getattr(params, lin)
+    m1 = jnp.asarray(mult, base.dtype).reshape(
+        (n_chains,) + (1,) * base.ndim)
+    return stacked._replace(**{
+        lin: getattr(stacked, lin) * m1,
+        quad: getattr(stacked, quad) * (m1 * m1),
+    })
 
 
 def target_mask(tcfg: TemperingConfig, n_chains: int) -> np.ndarray:

@@ -344,9 +344,6 @@ def build_setup(cfg: dict, datafolder: str, dtype=None) -> SimulationSetup:
     if "tempering" in cfg:
         from elphdynamics_tpu.dynamics.tempering import TemperingConfig
         t = cfg["tempering"]
-        if model_type != "holstein":
-            raise ValueError("[tempering] currently supports the Holstein "
-                             "model (the ladder scales lambda)")
         tempering_cfg = TemperingConfig(
             ladder=tuple(float(v) for v in t["ladder"]),
             freq=int(t.get("freq", 5)),

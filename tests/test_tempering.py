@@ -192,3 +192,39 @@ def test_tempering_config_and_driver(tmp_path):
     assert stats["acceptance_rate"] > 0.5
     # bins were written
     assert os.path.isdir(os.path.join(datafolder, "Greens_position_f"))
+
+
+def test_exchange_ssh_identical_rungs():
+    """SSH support: the ladder scales α, and identical rungs accept with
+    probability exactly 1 (the φ-travels-with-x property is
+    model-agnostic)."""
+    from elphdynamics_tpu.models.ssh import build_ssh
+    uc = UnitCell.create(2, 1, [[1.0, 0.0], [0.0, 1.0]], [[0.0, 0.0]])
+    lat = Lattice.create(uc, 2)
+    hop = dict(t=1.0, t_std=0.0, alpha=0.3, alpha_std=0.0,
+               alpha2=0.0, alpha2_std=0.0, omega=0.5, omega_std=0.0,
+               omega4=0.0, omega4_std=0.0, dL=(1, 0, 0), o1=0, o2=0,
+               name="x")
+    hop_y = dict(hop, dL=(0, 1, 0), name="y")
+    spec, params = build_ssh(lat, beta=2.0, dtau=0.1,
+                             hoppings=[hop, hop_y],
+                             mu_assignments=[(0.0, 0.0, None)])
+    ops = make_model_ops(spec)
+    tcfg = TemperingConfig(ladder=(1.0, 1.0), freq=1, tol=1e-8)
+    C = 2
+    ps = ladder_params(params, tcfg, C)
+    np.testing.assert_allclose(np.asarray(ps.alpha[1]),
+                               np.asarray(params.alpha))
+    x, keys = _chains(ops, params, C)
+    v = jnp.zeros_like(x)
+    ex = jax.jit(make_exchange_step(ops, tcfg, C), static_argnames="parity")
+    x2, _, acc, _, flag, _ = ex(ps, x, v, keys, parity=0)
+    assert float(acc) == 1.0 and int(flag) == 0
+    np.testing.assert_allclose(np.asarray(x2[0]), np.asarray(x[1]),
+                               atol=1e-12)
+
+    # a scaled ladder really scales alpha
+    tcfg2 = TemperingConfig(ladder=(1.0, 1.3), freq=1)
+    ps2 = ladder_params(params, tcfg2, 2)
+    np.testing.assert_allclose(np.asarray(ps2.alpha[1]),
+                               1.3 * np.asarray(params.alpha))
