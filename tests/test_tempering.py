@@ -192,6 +192,10 @@ def test_tempering_config_and_driver(tmp_path):
     assert stats["acceptance_rate"] > 0.5
     # bins were written
     assert os.path.isdir(os.path.join(datafolder, "Greens_position_f"))
+    # resume path: the checkpointed params are the stacked ladder — a
+    # second _run must load them without re-stacking (shape regression)
+    stats2 = _run(setup, n_chains=4)
+    assert "tempering_acceptance_rate" in stats2
 
 
 def test_exchange_ssh_identical_rungs():
