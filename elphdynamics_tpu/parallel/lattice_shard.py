@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
+from types import SimpleNamespace
 
 import jax
 import jax.numpy as jnp
@@ -1752,3 +1753,330 @@ def make_sharded_ssh_langevin_step(model_spec, plan: ShardPlan, mesh: Mesh,
         return x_new, {"iters": iters, "flag": flag}, key
 
     return jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# Sharded special updates (SpecialUpdates.jl over the site mesh). The
+# reflection/swap Metropolis tests are exact: refresh φ at the current
+# configuration (S₀ = Σ±|R±|²/2 + Sb, solve-free), propose the global move,
+# evaluate the new action with a tol² solve, accept/reject. Under
+# --site-devices these solves previously gathered to one device — here they
+# ride the same halo-fold + psum-CG machinery as the sampler, so a problem
+# that needs site sharding for the sampler can special-update too. Key-split
+# order matches dynamics/special_updates.py exactly (full-draw-keep-rows),
+# so a sharded update reproduces the unsharded accept decisions.
+# ---------------------------------------------------------------------------
+
+def _holstein_special_ctx(model_spec, plan: ShardPlan, params, wplan,
+                          kpm_cfg, dtype, sync_axis=None):
+    """Shard-local Holstein closures for the special-update Metropolis tests
+    (the models/holstein.py formulas on the local site block — the same
+    definitions as make_sharded_hmc_step's step_local). ``sync_axis``
+    couples the CG trip count across the chain axis of a 2-D mesh."""
+    from elphdynamics_tpu.utils.dtypes import fdot
+
+    Ltau = model_spec.Ltau
+    N = model_spec.Nsites
+    dtau = model_spec.dtau
+    B = plan.B
+    wij_sign = model_spec.wij_sign
+
+    d = lax.axis_index(plan.axis)
+    lam = lax.dynamic_slice_in_dim(params.lam, d * B, B)[:, None]
+    lam2 = lax.dynamic_slice_in_dim(params.lam2, d * B, B)[:, None]
+    om = lax.dynamic_slice_in_dim(params.omega, d * B, B)[:, None]
+    om4 = lax.dynamic_slice_in_dim(params.omega4, d * B, B)[:, None]
+    mu = lax.dynamic_slice_in_dim(params.mu, d * B, B)[:, None]
+    sgn_first = (-jnp.ones(Ltau, dtype)).at[0].set(1.0)
+    sgn_last = (-jnp.ones(Ltau, dtype)).at[-1].set(1.0)
+
+    def psum(s):
+        return lax.psum(s, plan.axis)
+
+    def pdot(a, b):
+        return psum(jnp.sum(fdot(a, b, axis=tuple(range(a.ndim)))))
+
+    def env_of(x):
+        return jnp.exp(-dtau * (lam * x + lam2 * x * x - mu))
+
+    def mulM(env, v):
+        y = env * jnp.roll(v, 1, axis=-1)
+        y = ckb_mul_local(plan, params.cosht, params.sinht, y)
+        return v + sgn_first * y
+
+    def mulMT(env, v):
+        z = ckb_transpose_mul_local(plan, params.cosht, params.sinht, v)
+        w = env * z
+        return v + sgn_last * jnp.roll(w, -1, axis=-1)
+
+    def calc_Lam(x):
+        return jnp.exp(-dtau * (lam * x + lam2 * x * x) / 2.0)
+
+    def mulLambda(Lam, v):
+        return sgn_last * jnp.roll(Lam * v, -1, axis=-1)
+
+    def mulLambdaInv(Lam, v):
+        return sgn_first * jnp.roll(v, 1, axis=-1) / Lam
+
+    def calc_Sb(x):
+        dx = x - jnp.roll(x, 1, axis=-1)
+        sb = om ** 2 * x * x / 2 + om4 * x ** 4 + dx * dx / (2 * dtau ** 2)
+        total = jnp.sum(fdot(sb, jnp.ones_like(sb), axis=(0, 1)))
+        if wplan is not None:
+            total = total + wij_sb_local(
+                wplan, plan.axis, params.wij, wij_sign, 1.0, x)
+        return dtau * psum(total)
+
+    if kpm_cfg is not None:
+        kpm_setup, kpm_make_apply = _kpm_local(
+            plan, kpm_cfg, Ltau, N, dtype, plan.axis,
+            _holstein_kpm_ops(plan, params))
+    else:
+        kpm_setup = kpm_make_apply = None
+
+    def refresh_phi(x_loc, key):
+        """φ± = Λ⁻¹MᵀR± and exact S₀ (HMC.jl:666-692); R is drawn full and
+        sliced so every shard sees the unsharded key stream."""
+        key, kp = jax.random.split(key)
+        R_full = jax.random.normal(kp, (2, N, Ltau), dtype=dtype)
+        R = lax.dynamic_slice_in_dim(R_full, d * B, B, axis=1)
+        env = env_of(x_loc)
+        MtR = mulMT(env, R)
+        phi = mulLambdaInv(calc_Lam(x_loc), MtR)
+        S0 = fdot(R_full, R_full, axis=(0, -2, -1)) / 2 + calc_Sb(x_loc)
+        return phi, S0, key
+
+    def eval_S(x_loc, phi, tol, maxiter):
+        """S = Sb + Σ± (Λφ±)ᵀ(MᵀM)⁻¹(Λφ±)/2 via the sharded tol² solve
+        (special_updates._eval_S on the mesh)."""
+        env = env_of(x_loc)
+        Lphi = mulLambda(calc_Lam(x_loc), phi)
+        P_apply = None
+        if kpm_setup is not None:
+            kst = kpm_setup(env, jax.random.PRNGKey(1234))
+            P_apply = kpm_make_apply(kst, env)
+        z, it, flag = _cg_local(lambda v: mulMT(env, mulM(env, v)), Lphi,
+                                tol, maxiter, pdot, P_apply,
+                                sync_axis=sync_axis)
+        return pdot(Lphi, z) / 2 + calc_Sb(x_loc), it, flag
+
+    return SimpleNamespace(d=d, B=B, refresh_phi=refresh_phi, eval_S=eval_S)
+
+
+def make_sharded_reflection_update(model_spec, plan: ShardPlan, mesh: Mesh,
+                                   cfg, kpm_cfg=None,
+                                   chains_axis: str | None = None):
+    """Site-sharded Holstein reflection update ``(params, x, key) ->
+    (x', acc_rate, key)`` with x partitioned P('site', None)
+    (SpecialUpdates.jl:97-160; unsharded analog
+    :func:`~elphdynamics_tpu.dynamics.special_updates.make_reflection_update`).
+    With ``chains_axis`` the update vmaps over the local chain block of a
+    2-D chain × site mesh (per-chain keys ⇒ per-chain sites/decisions)."""
+    N = model_spec.Nsites
+    nmoves = min(cfg.n_moves, N)
+    wplan = build_wij_plan(model_spec.wij_table, N, plan.D)
+
+    def update_local(params, x_loc, key):
+        ctx = _holstein_special_ctx(model_spec, plan, params, wplan,
+                                    kpm_cfg, x_loc.dtype,
+                                    sync_axis=chains_axis)
+        key, ks = jax.random.split(key)
+        sites = jax.random.randint(ks, (nmoves,), 0, N)
+
+        def body(carry, site):
+            x, accepted, key = carry
+            phi, S0, key = ctx.refresh_phi(x, key)
+            r = jnp.clip(site - ctx.d * ctx.B, 0, ctx.B - 1)
+            has = (site >= ctx.d * ctx.B) & (site < (ctx.d + 1) * ctx.B)
+            x_new = x.at[r].multiply(
+                jnp.where(has, -1.0, 1.0).astype(x.dtype))
+            S1, _, flag = ctx.eval_S(x_new, phi, cfg.tol ** 2, cfg.maxiter)
+            Pacc = jnp.minimum(1.0, jnp.exp(-(S1 - S0)))
+            key, ka = jax.random.split(key)
+            acc = (jax.random.uniform(ka, dtype=Pacc.dtype) < Pacc) \
+                & (flag == 0)
+            x = jnp.where(acc, x_new, x)
+            return (x, accepted + acc, key), None
+
+        (x_loc, accepted, key), _ = lax.scan(
+            body, (x_loc, jnp.asarray(0, jnp.int32), key), sites)
+        return x_loc, accepted / jnp.maximum(nmoves, 1), key
+
+    if chains_axis is None:
+        sharded = jax.shard_map(
+            update_local, mesh=mesh,
+            in_specs=(P(), P(plan.axis, None), P()),
+            out_specs=(P(plan.axis, None), P(), P()),
+            check_vma=False,
+        )
+    else:
+        ca = chains_axis
+        sharded = jax.shard_map(
+            jax.vmap(update_local, in_axes=(None, 0, 0)), mesh=mesh,
+            in_specs=(P(), P(ca, plan.axis, None), P(ca)),
+            out_specs=(P(ca, plan.axis, None), P(ca), P(ca)),
+            check_vma=False,
+        )
+    return jax.jit(sharded)
+
+
+def make_sharded_swap_update(model_spec, plan: ShardPlan, mesh: Mesh,
+                             cfg, kpm_cfg=None, is_holstein=True,
+                             chains_axis: str | None = None):
+    """Site-sharded swap update (SpecialUpdates.jl:233-366). Holstein
+    exchanges the two site worldlines of a random checkerboard bond (the
+    rows are psum-gathered across shards — one [Lτ] vector each); SSH swaps
+    two random bond-phonon worldlines on the replicated field and runs only
+    the Metropolis solves sharded. ``chains_axis`` as in
+    :func:`make_sharded_reflection_update`."""
+    nmoves = cfg.n_moves
+
+    if is_holstein:
+        N = model_spec.Nsites
+        if model_spec.Nbonds == 0 or nmoves == 0:
+            return None
+        wplan = build_wij_plan(model_spec.wij_table, N, plan.D)
+        s1 = jnp.asarray(model_spec.ckb.neighbor_table[0])
+        s2 = jnp.asarray(model_spec.ckb.neighbor_table[1])
+
+        def update_local(params, x_loc, key):
+            ctx = _holstein_special_ctx(model_spec, plan, params, wplan,
+                                        kpm_cfg, x_loc.dtype,
+                                        sync_axis=chains_axis)
+
+            def get_row(x, i):
+                r = jnp.clip(i - ctx.d * ctx.B, 0, ctx.B - 1)
+                has = (i >= ctx.d * ctx.B) & (i < (ctx.d + 1) * ctx.B)
+                row = lax.dynamic_slice_in_dim(x, r, 1, axis=0)[0]
+                return lax.psum(jnp.where(has, row, 0.0), plan.axis)
+
+            def set_row(x, i, val):
+                r = jnp.clip(i - ctx.d * ctx.B, 0, ctx.B - 1)
+                has = (i >= ctx.d * ctx.B) & (i < (ctx.d + 1) * ctx.B)
+                cur = lax.dynamic_slice_in_dim(x, r, 1, axis=0)[0]
+                return lax.dynamic_update_slice_in_dim(
+                    x, jnp.where(has, val, cur)[None], r, axis=0)
+
+            def body(carry, _):
+                x, accepted, key = carry
+                key, kb = jax.random.split(key)
+                b = jax.random.randint(kb, (), 0, model_spec.Nbonds)
+                i, j = s1[b], s2[b]
+                phi, S0, key = ctx.refresh_phi(x, key)
+                row_i = get_row(x, i)
+                row_j = get_row(x, j)
+                x_new = set_row(set_row(x, i, row_j), j, row_i)
+                S1v, _, flag = ctx.eval_S(x_new, phi, cfg.tol ** 2,
+                                          cfg.maxiter)
+                Pacc = jnp.minimum(1.0, jnp.exp(-(S1v - S0)))
+                key, ka = jax.random.split(key)
+                acc = (jax.random.uniform(ka, dtype=Pacc.dtype) < Pacc) \
+                    & (flag == 0)
+                x = jnp.where(acc, x_new, x)
+                return (x, accepted + acc, key), None
+
+            (x_loc, accepted, key), _ = lax.scan(
+                body, (x_loc, jnp.asarray(0, jnp.int32), key), None,
+                length=nmoves)
+            return x_loc, accepted / jnp.maximum(nmoves, 1), key
+
+        sharded = jax.shard_map(
+            update_local, mesh=mesh,
+            in_specs=(P(), P(plan.axis, None), P()),
+            out_specs=(P(plan.axis, None), P(), P()),
+            check_vma=False,
+        ) if chains_axis is None else jax.shard_map(
+            jax.vmap(update_local, in_axes=(None, 0, 0)), mesh=mesh,
+            in_specs=(P(), P(chains_axis, plan.axis, None), P(chains_axis)),
+            out_specs=(P(chains_axis, plan.axis, None), P(chains_axis),
+                       P(chains_axis)),
+            check_vma=False,
+        )
+        return jax.jit(sharded)
+
+    # --- SSH: replicated bond-phonon field, sharded electron solves
+    from elphdynamics_tpu.models import ssh as Sm
+    from elphdynamics_tpu.utils.dtypes import fdot
+
+    Ltau = model_spec.Ltau
+    N = model_spec.Nsites
+    Nph = model_spec.Nph
+    B = plan.B
+    if Nph < 2 or nmoves == 0:
+        return None
+
+    def update_local(params, x, key):
+        d = lax.axis_index(plan.axis)
+        mulM, mulMT, expmu_loc = _ssh_local_ops(model_spec, plan, params)
+
+        def pdot(a, b):
+            return lax.psum(jnp.sum(fdot(a, b, axis=tuple(range(a.ndim)))),
+                            plan.axis)
+
+        if kpm_cfg is not None:
+            kpm_setup, kpm_make_apply = _kpm_local(
+                plan, kpm_cfg, Ltau, N, x.dtype, plan.axis,
+                _ssh_kpm_ops(plan, expmu_loc))
+        else:
+            kpm_setup = kpm_make_apply = None
+
+        def refresh_phi(x, key):
+            key, kp = jax.random.split(key)
+            R_full = jax.random.normal(kp, (2, N, Ltau), dtype=x.dtype)
+            R = lax.dynamic_slice_in_dim(R_full, d * B, B, axis=1)
+            coeffs = Sm.ckb_coeffs(model_spec, params, x)
+            phi = mulMT(coeffs, R)
+            S0 = fdot(R_full, R_full, axis=(0, -2, -1)) / 2 \
+                + Sm.calc_Sb(model_spec, params, x, False)
+            return phi, S0, key
+
+        def eval_S(x, phi):
+            coeffs = Sm.ckb_coeffs(model_spec, params, x)
+            P_apply = None
+            if kpm_setup is not None:
+                kst = kpm_setup(coeffs, jax.random.PRNGKey(1234))
+                P_apply = kpm_make_apply(kst, coeffs)
+            z, it, flag = _cg_local(
+                lambda v: mulMT(coeffs, mulM(coeffs, v)), phi,
+                cfg.tol ** 2, cfg.maxiter, pdot, P_apply,
+                sync_axis=chains_axis)
+            return (pdot(phi, z) / 2
+                    + Sm.calc_Sb(model_spec, params, x, False)), it, flag
+
+        def body(carry, _):
+            x, accepted, key = carry
+            key, k1, k2 = jax.random.split(key, 3)
+            i = jax.random.randint(k1, (), 0, Nph)
+            j = jax.random.randint(k2, (), 0, Nph - 1)
+            j = jnp.where(j >= i, j + 1, j)
+            phi, S0, key = refresh_phi(x, key)
+            xi, xj = x[i], x[j]
+            x_new = x.at[i].set(xj).at[j].set(xi)
+            S1v, _, flag = eval_S(x_new, phi)
+            Pacc = jnp.minimum(1.0, jnp.exp(-(S1v - S0)))
+            key, ka = jax.random.split(key)
+            acc = (jax.random.uniform(ka, dtype=Pacc.dtype) < Pacc) \
+                & (flag == 0)
+            x = jnp.where(acc, x_new, x)
+            return (x, accepted + acc, key), None
+
+        (x, accepted, key), _ = lax.scan(
+            body, (x, jnp.asarray(0, jnp.int32), key), None, length=nmoves)
+        return x, accepted / jnp.maximum(nmoves, 1), key
+
+    if chains_axis is None:
+        sharded = jax.shard_map(
+            update_local, mesh=mesh,
+            in_specs=(P(), P(), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+    else:
+        ca = chains_axis
+        sharded = jax.shard_map(
+            jax.vmap(update_local, in_axes=(None, 0, 0)), mesh=mesh,
+            in_specs=(P(), P(ca), P(ca)),
+            out_specs=(P(ca), P(ca), P(ca)),
+            check_vma=False,
+        )
+    return jax.jit(sharded)

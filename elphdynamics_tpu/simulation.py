@@ -300,11 +300,30 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
     # the sharded halo-fold CG; only the pair-convolution/estimator stage
     # runs on gathered vectors (bounded per-pair FFT work, off the hot loop)
     sharded_sampler = None
+    sharded_reflect = sharded_swap = None
     if site_devices > 1 and not combined:
         _gmaker = (make_sharded_greens_sampler if ops.is_holstein
                    else make_sharded_ssh_greens_sampler)
         sharded_sampler = _gmaker(ops.spec, plan, smesh, setup.mspec.nv,
                                   setup.solver_cfg, kpm_cfg=setup.kpm_cfg)
+    if site_devices > 1:
+        # sharded special updates: the tol² Metropolis solves ride the same
+        # halo-fold CG as the sampler instead of gathering to one device
+        # (SpecialUpdates.jl:233-366); on the combined 2-D mesh they vmap
+        # over the local chain block (per-chain keys ⇒ per-chain moves)
+        from elphdynamics_tpu.parallel.lattice_shard import (
+            make_sharded_reflection_update, make_sharded_swap_update)
+        _sca = "chain" if combined else None
+        if (ops.is_holstein and setup.reflect_cfg.n_moves
+                and setup.reflect_cfg.freq):
+            sharded_reflect = make_sharded_reflection_update(
+                ops.spec, plan, smesh, setup.reflect_cfg,
+                kpm_cfg=setup.kpm_cfg, chains_axis=_sca)
+        if setup.swap_cfg.n_moves and setup.swap_cfg.freq:
+            sharded_swap = make_sharded_swap_update(
+                ops.spec, plan, smesh, setup.swap_cfg,
+                kpm_cfg=setup.kpm_cfg, is_holstein=ops.is_holstein,
+                chains_axis=_sca)
 
     def _stats_of(s):
         if isinstance(s, dict):
@@ -369,8 +388,12 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
             return inc, ms, snaps, keys
 
         mstep_j = jax.jit(_mstep_mean)
-        reflect_j = _sharded(reflect)
-        swap_j = _sharded(swap)
+        # combined 2-D mesh: the sharded special updates (already jitted
+        # chain-vmapped shard_map programs) replace the gather fallback
+        reflect_j = (sharded_reflect if sharded_reflect is not None
+                     else _sharded(reflect))
+        swap_j = (sharded_swap if sharded_swap is not None
+                  else _sharded(swap))
     else:
         if site_devices > 1:
             # the site-sharded steps are already jitted shard_map programs
@@ -415,8 +438,12 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
                 return inc, ms, snaps, keys
 
             mstep_j = jax.jit(_mstep_one)
-        reflect_j = jax.jit(reflect)
-        swap_j = jax.jit(swap)
+        # already-jitted shard_map programs when site-sharded (mesh-resident
+        # x; no gather) — otherwise the single-device jits
+        reflect_j = (sharded_reflect if sharded_reflect is not None
+                     else jax.jit(reflect))
+        swap_j = (sharded_swap if sharded_swap is not None
+                  else jax.jit(swap))
 
     # eager complex arithmetic is not implemented on every TPU runtime, so
     # the container accumulate and bin post-processing run jitted
@@ -582,20 +609,36 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
                         and n % setup.reflect_cfg.freq == 0)
         fire_swap = (setup.swap_cfg.n_moves and setup.swap_cfg.freq
                      and n % setup.swap_cfg.freq == 0)
-        if site_devices > 1 and (fire_reflect or fire_swap):
-            # the special-update jits are unsharded: gather the (mesh-
-            # resident) key only when one actually fires — never on the
-            # per-step hot path
+        specials_sharded = sharded_reflect is not None or sharded_swap is not None
+        if site_devices > 1 and (fire_reflect or fire_swap) \
+                and not specials_sharded:
+            # unsharded special-update jits (combined 2-D mesh): gather the
+            # (mesh-resident) key only when one actually fires — never on
+            # the per-step hot path
             keys = jax.device_put(keys, jax.devices()[0])
+
+        def sp_x(x, sharded_fn):
+            if sharded_fn is not None:
+                # mesh-resident: a no-op re-place in steady state
+                return jax.device_put(x, _xsh)
+            return gather_x(x)
+
+        def sp_args(params, keys, sharded_fn):
+            if sharded_fn is not None:
+                return _place_params(params), jax.device_put(keys, _ksh)
+            return params, keys
+
         if fire_reflect:
             t0 = time.time()
-            xn, acc, keys = reflect_j(params, gather_x(state.x), keys)
+            p_, keys = sp_args(params, keys, sharded_reflect)
+            xn, acc, keys = reflect_j(p_, sp_x(state.x, sharded_reflect), keys)
             state = state._replace(x=xn)
             sim_stats["simulation_time"] += time.time() - t0
             sim_stats["reflect_acceptance_rate"] += float(np.mean(np.asarray(acc)))
         if fire_swap:
             t0 = time.time()
-            xn, acc, keys = swap_j(params, gather_x(state.x), keys)
+            p_, keys = sp_args(params, keys, sharded_swap)
+            xn, acc, keys = swap_j(p_, sp_x(state.x, sharded_swap), keys)
             state = state._replace(x=xn)
             sim_stats["simulation_time"] += time.time() - t0
             sim_stats["swap_acceptance_rate"] += float(np.mean(np.asarray(acc)))

@@ -227,8 +227,8 @@ def test_site_sharded_driver_matches_unsharded(tmp_path):
     cfg["hmc"]["burnin_updates"] = 2
     cfg["hmc"]["simulation_updates"] = 4
     # keep the reflection update firing (freq 2): it runs through the
-    # unsharded special-update jit, exercising the mesh→device-0 key/x
-    # hand-off of the sharded driver loop
+    # site-sharded special-update path (make_sharded_reflection_update), so
+    # this asserts driver-level bin parity across that hand-off too
     cfg["hmc"]["reflection_update"] = {"freq": 2, "nsites": 2}
     cfg["hmc"].pop("swap_update")
     cfg["lattice"]["L"] = 4  # 16 sites over 4 shards: one row each
@@ -628,7 +628,9 @@ def test_combined_chain_site_driver(tmp_path):
     cfg["lattice"]["L"] = 4
     cfg["hmc"]["burnin_updates"] = 2
     cfg["hmc"]["simulation_updates"] = 4
-    cfg["hmc"].pop("reflection_update")
+    # reflection stays on: on the 2-D mesh it runs through the chain-vmapped
+    # site-sharded special-update path (make_sharded_reflection_update)
+    cfg["hmc"]["reflection_update"] = {"freq": 2, "nsites": 2}
     cfg["hmc"].pop("swap_update")
     cfg["simulation"]["num_bins"] = 2
     cfg["simulation"]["write_M_matrix"] = False
@@ -866,3 +868,141 @@ def test_chain_site_2d_mesh_hmc_block():
         np.testing.assert_allclose(np.asarray(x_sh[c]),
                                    np.asarray(ref_state.x),
                                    rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_sharded_reflection_update_matches_unsharded():
+    """Site-sharded reflection update: same key ⇒ same accept decisions and
+    final field as dynamics/special_updates.make_reflection_update (the
+    Metropolis solves run on the mesh instead of gathered)."""
+    from elphdynamics_tpu.dynamics.special_updates import (
+        SpecialUpdateConfig, make_reflection_update)
+    from elphdynamics_tpu.parallel.lattice_shard import (
+        make_sharded_reflection_update)
+
+    D = 4
+    assert jax.device_count() >= D
+    spec, params, ops = _build(L=8, beta=1.0, dtau=0.1, lam=0.8)
+    plan = build_shard_plan(spec.ckb, D)
+    mesh = site_mesh(D)
+    cfg = SpecialUpdateConfig(freq=1, n_moves=5, tol=1e-4, maxiter=3000)
+
+    ref = jax.jit(make_reflection_update(ops, cfg))
+    sh = make_sharded_reflection_update(spec, plan, mesh, cfg)
+
+    key = jax.random.PRNGKey(3)
+    x = 0.4 * jax.random.normal(jax.random.PRNGKey(9),
+                                (spec.Nph, spec.Ltau)) + 0.3
+
+    x_ref, acc_ref, _ = ref(params, x, key)
+    x_sh, acc_sh, _ = sh(params, x, key)
+
+    assert float(acc_sh) == pytest.approx(float(acc_ref), abs=1e-12)
+    np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref),
+                               rtol=1e-6, atol=1e-8)
+    assert len(x_sh.sharding.device_set) == D
+
+
+@pytest.mark.slow
+def test_sharded_swap_update_matches_unsharded():
+    """Site-sharded Holstein swap update (cross-shard worldline exchange via
+    psum row gathers) + the sharded KPM-preconditioned Metropolis solve."""
+    from elphdynamics_tpu.dynamics.special_updates import (
+        SpecialUpdateConfig, make_swap_update)
+    from elphdynamics_tpu.ops import kpm
+    from elphdynamics_tpu.parallel.lattice_shard import (
+        make_sharded_swap_update)
+
+    D = 4
+    assert jax.device_count() >= D
+    spec, params, ops = _build(L=8, beta=1.0, dtau=0.1, lam=0.8)
+    plan = build_shard_plan(spec.ckb, D)
+    mesh = site_mesh(D)
+    cfg = SpecialUpdateConfig(freq=1, n_moves=5, tol=1e-4, maxiter=3000)
+    kcfg = kpm.KPMConfig(max_order=16)
+
+    ref = jax.jit(make_swap_update(ops, cfg,
+                                   kpm.make_symmetric_precond(ops, kcfg)))
+    sh = make_sharded_swap_update(spec, plan, mesh, cfg, kpm_cfg=kcfg)
+
+    key = jax.random.PRNGKey(5)
+    x = 0.4 * jax.random.normal(jax.random.PRNGKey(8),
+                                (spec.Nph, spec.Ltau)) + 0.2
+
+    x_ref, acc_ref, _ = ref(params, x, key)
+    x_sh, acc_sh, _ = sh(params, x, key)
+
+    assert float(acc_sh) == pytest.approx(float(acc_ref), abs=1e-12)
+    np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref),
+                               rtol=1e-6, atol=1e-8)
+    assert len(x_sh.sharding.device_set) == D
+
+
+@pytest.mark.slow
+def test_sharded_ssh_swap_update_matches_unsharded():
+    """SSH swap update under site sharding: the bond-phonon field stays
+    replicated, the tol² Metropolis solves shard over the electron sites."""
+    from elphdynamics_tpu.dynamics.special_updates import (
+        SpecialUpdateConfig, make_swap_update)
+    from elphdynamics_tpu.models import ssh as S
+    from elphdynamics_tpu.models.adapter import make_model_ops
+    from elphdynamics_tpu.parallel.lattice_shard import (
+        make_sharded_swap_update)
+
+    D = 4
+    assert jax.device_count() >= D
+    spec, params = _build_ssh_2d()
+    ops = make_model_ops(spec)
+    plan = build_shard_plan(spec.ckb, D)
+    mesh = site_mesh(D)
+    cfg = SpecialUpdateConfig(freq=1, n_moves=4, tol=1e-4, maxiter=3000)
+
+    ref = jax.jit(make_swap_update(ops, cfg))
+    sh = make_sharded_swap_update(spec, plan, mesh, cfg, is_holstein=False)
+
+    key = jax.random.PRNGKey(6)
+    x = S.tie_fields(spec, 0.3 * jax.random.normal(
+        jax.random.PRNGKey(4), (spec.Nph, spec.Ltau)))
+
+    x_ref, acc_ref, _ = ref(params, x, key)
+    x_sh, acc_sh, _ = sh(params, x, key)
+
+    assert float(acc_sh) == pytest.approx(float(acc_ref), abs=1e-12)
+    np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref),
+                               rtol=1e-6, atol=1e-8)
+
+
+@pytest.mark.slow
+def test_combined_mesh_special_updates_match_vmapped():
+    """2-D (chain × site) mesh special updates: per-chain keys drive
+    per-chain moves; results match the chain-vmapped unsharded updates."""
+    from elphdynamics_tpu.dynamics.special_updates import (
+        SpecialUpdateConfig, make_reflection_update, make_swap_update)
+    from elphdynamics_tpu.parallel.lattice_shard import (
+        chain_site_mesh, make_sharded_reflection_update,
+        make_sharded_swap_update)
+
+    C, D = 2, 2
+    assert jax.device_count() >= C * D
+    spec, params, ops = _build(L=4, beta=1.0, dtau=0.1, lam=0.8)
+    plan = build_shard_plan(spec.ckb, D)
+    mesh = chain_site_mesh(C, D)
+    cfg = SpecialUpdateConfig(freq=1, n_moves=3, tol=1e-4, maxiter=3000)
+
+    keys = jax.random.split(jax.random.PRNGKey(2), C)
+    x = 0.4 * jax.random.normal(jax.random.PRNGKey(7),
+                                (C, spec.Nph, spec.Ltau)) + 0.3
+
+    for maker, ref_maker, kw in (
+            (make_sharded_reflection_update, make_reflection_update, {}),
+            (make_sharded_swap_update, make_swap_update,
+             dict(is_holstein=True))):
+        sh = maker(spec, plan, mesh, cfg, chains_axis="chain", **kw)
+        ref = jax.jit(jax.vmap(ref_maker(ops, cfg), in_axes=(None, 0, 0)))
+        x_ref, acc_ref, _ = ref(params, x, keys)
+        x_sh, acc_sh, _ = sh(params, x, keys)
+        np.testing.assert_allclose(np.asarray(acc_sh), np.asarray(acc_ref),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref),
+                                   rtol=1e-6, atol=1e-8)
+        assert len(x_sh.sharding.device_set) == C * D
