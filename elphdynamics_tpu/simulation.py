@@ -168,10 +168,10 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
     tcfg_t = setup.tempering_cfg
     tempering = tcfg_t is not None
     if tempering:
-        if n_chains < 2 or mesh is not None or site_devices > 1:
+        if n_chains < 2 or site_devices > 1:
             raise NotImplementedError(
-                "[tempering] needs --chains = K*M (>1) on one device; "
-                "--devices/--site-devices tempering is not yet supported")
+                "[tempering] needs --chains = K*M (>1); --site-devices "
+                "tempering is not yet supported")
         from elphdynamics_tpu.dynamics.tempering import (
             ladder_params, make_exchange_step, target_mask)
     p_ax = 0 if tempering else None
@@ -339,9 +339,12 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
             if mesh is None:
                 return jax.jit(vf)
             from jax.sharding import PartitionSpec as P
+            # tempering stacks per-rung params with a leading chain axis —
+            # those shard with the chains; plain params stay replicated
             return jax.jit(jax.shard_map(
                 vf, mesh=mesh,
-                in_specs=(P(), P("chain"), P("chain")),
+                in_specs=(P("chain") if tempering else P(),
+                          P("chain"), P("chain")),
                 out_specs=P("chain"),
                 check_vma=False,
             ))
@@ -653,7 +656,11 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
         xn, vn, acc, _, flag, keys = exchange_j(
             params, state.x, state.v, keys,
             parity=(n // tcfg_t.freq) % 2)
-        state = state._replace(x=xn, v=vn)
+        # under --devices the exchange runs as one global jit (the partner
+        # gathers are XLA collectives); re-place the outputs onto the chain
+        # mesh so the next sharded sampler step takes them in place
+        state = state._replace(x=place(xn), v=place(vn))
+        keys = place(keys)
         sim_stats["simulation_time"] += time.time() - t0
         sim_stats["tempering_acceptance_rate"] += float(np.asarray(acc))
         log_solver_flags("tempering exchange", n, flag)

@@ -232,3 +232,50 @@ def test_exchange_ssh_identical_rungs():
     ps2 = ladder_params(params, tcfg2, 2)
     np.testing.assert_allclose(np.asarray(ps2.alpha[1]),
                                1.3 * np.asarray(params.alpha))
+
+
+@pytest.mark.slow
+def test_tempering_under_chain_mesh(tmp_path):
+    """[tempering] with --devices: per-rung params shard with the chains,
+    the exchange's partner gathers run as XLA collectives across the mesh.
+    Same seed ⇒ the 2-device run reproduces the single-device bins."""
+    import copy
+    import os
+    from elphdynamics_tpu.io.config import build_setup, load_toml
+    from elphdynamics_tpu.simulation import _run
+
+    cfg0 = load_toml(os.path.join(os.path.dirname(__file__), "..",
+                                  "examples", "holstein_hmc_square.toml"))
+    cfg0 = copy.deepcopy(cfg0)
+    cfg0["lattice"]["L"] = 2
+    cfg0["holstein"]["beta"] = 1.0
+    cfg0["hmc"].update(burnin_updates=4, simulation_updates=8, meas_freq=2,
+                       trajectory_time=0.5, dt=0.1, num_multitimesteps=2)
+    cfg0["measurements"]["num_random_vectors"] = 4
+    cfg0["tempering"] = {"ladder": [1.0, 1.4], "freq": 2}
+    # the stock example carries no random_seed (fresh entropy per run —
+    # reference parity); parity across device counts needs a pinned one
+    cfg0["simulation"]["random_seed"] = 7
+
+    folders = {}
+    for sub, nd in (("one", 1), ("mesh", 2)):
+        cfg = copy.deepcopy(cfg0)
+        cfg["simulation"].update(filepath=str(tmp_path / sub), num_bins=2,
+                                 foldername="pt")
+        datafolder = str(tmp_path / sub / "pt-1")
+        os.makedirs(datafolder)
+        setup = build_setup(cfg, datafolder)
+        stats = _run(setup, n_chains=4, n_devices=nd)
+        assert 0.0 <= stats["tempering_acceptance_rate"] <= 1.0
+        folders[sub] = datafolder
+
+    for b in (1, 2):
+        f1 = os.path.join(folders["one"], "global_measurements_f",
+                          f"global_measurements_{b:05d}.out")
+        f2 = os.path.join(folders["mesh"], "global_measurements_f",
+                          f"global_measurements_{b:05d}.out")
+        g1 = {l.split()[0]: float(l.split()[1]) for l in open(f1)}
+        g2 = {l.split()[0]: float(l.split()[1]) for l in open(f2)}
+        for k in g1:
+            assert abs(g1[k] - g2[k]) < 5e-6 * (1.0 + abs(g1[k])), \
+                (b, k, g1[k], g2[k])
