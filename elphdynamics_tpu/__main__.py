@@ -31,6 +31,12 @@ def main():
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture an XLA profiler trace (TensorBoard format) "
                          "of the whole run into DIR")
+    ap.add_argument("--multihost", action="store_true",
+                    help="initialize jax.distributed (one process per host; "
+                         "cluster autodetected from the environment on TPU "
+                         "pods). Every process runs this same command; host "
+                         "IO happens on process 0 only. Combine with "
+                         "--devices 0 to span all global devices.")
     args = ap.parse_args()
 
     import os
@@ -59,11 +65,13 @@ def main():
         with jax.profiler.trace(args.profile):
             stats = simulate(args.input, run_id=args.run_id,
                              n_chains=args.chains, n_devices=args.devices,
-                             site_devices=args.site_devices)
+                             site_devices=args.site_devices,
+                             multihost=args.multihost)
     else:
         stats = simulate(args.input, run_id=args.run_id,
                          n_chains=args.chains, n_devices=args.devices,
-                         site_devices=args.site_devices)
+                         site_devices=args.site_devices,
+                         multihost=args.multihost)
     print(stats)
 
 

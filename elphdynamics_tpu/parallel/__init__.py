@@ -11,3 +11,11 @@ __all__ = [
     "shard_chain_tree",
     "init_chain_states",
 ]
+
+from elphdynamics_tpu.parallel.multihost import (  # noqa: E402
+    init_multihost,
+    is_multihost,
+    is_primary,
+)
+
+__all__ += ["init_multihost", "is_multihost", "is_primary"]

@@ -69,21 +69,39 @@ def name_datafolder(filepath: str, foldername: str, run_id: int | None = None) -
 
 
 def simulate(config, run_id: int | None = None, n_chains: int = 1,
-             n_devices: int = 1, site_devices: int = 1) -> dict:
+             n_devices: int = 1, site_devices: int = 1,
+             multihost: bool = False) -> dict:
     """Run a full simulation from a TOML path or parsed config dict
     (the reference CLI entry, ElPhDynamics.jl:68-136).
 
     ``n_devices > 1`` shards the ``n_chains`` Markov chains over a device
-    mesh (``n_devices = 0`` auto-detects all local devices).
+    mesh (``n_devices = 0`` auto-detects all local devices — under
+    multihost, all GLOBAL devices).
     ``site_devices > 1`` shards the spatial lattice of each chain over the
     mesh (SURVEY §5's context-parallel analog) — for problems whose
     ``N·Lτ`` footprint outgrows a single chip. Both may be combined
     (HMC only): a 2-D ``(chain × site)`` mesh of
-    ``n_devices · site_devices`` chips."""
+    ``n_devices · site_devices`` chips.
+
+    ``multihost=True`` initializes ``jax.distributed`` (one process per
+    host; see parallel/multihost.py for the contract): every process runs
+    the same call, the mesh spans the global device set, host IO happens
+    on process 0 only."""
+    if multihost:
+        from elphdynamics_tpu.parallel.multihost import init_multihost
+        init_multihost()
+    from elphdynamics_tpu.parallel.multihost import (bcast_int, bcast_str,
+                                                     is_multihost, is_primary)
+    mh = is_multihost()
+    primary = not mh or is_primary()
     if n_devices == 0:
         n_devices = len(jax.devices())
     if site_devices == 0:
         site_devices = len(jax.devices())
+    if mh and site_devices > 1:
+        raise NotImplementedError(
+            "--site-devices under multihost is not yet supported "
+            "(chain-mesh data parallelism only)")
     if n_devices > 1:
         if n_chains % n_devices != 0:
             raise ValueError(
@@ -95,28 +113,44 @@ def simulate(config, run_id: int | None = None, n_chains: int = 1,
     else:
         cfg = dict(config)
     sim = cfg["simulation"]
-    datafolder = name_datafolder(sim.get("filepath", "."), sim["foldername"], run_id)
-    setup = build_setup(cfg, datafolder)
-    os.makedirs(datafolder, exist_ok=True)
-    # persist the input config into the datafolder (the reference copies the
-    # verbatim TOML file, ProcessInputFile.jl:50; config.json additionally so
-    # load_model can rebuild without a TOML parser round trip)
-    import json
-    with open(os.path.join(datafolder, "config.json"), "w") as f:
-        json.dump(cfg, f, indent=1)
-    import shutil
-    if isinstance(config, str) and os.path.isfile(config):
-        shutil.copy(config, os.path.join(datafolder, os.path.basename(config)))
+    if mh:
+        # every process must agree on the RNG seed (fresh entropy is drawn
+        # per process otherwise) and on the auto-incremented datafolder
+        if "random_seed" not in sim:
+            sim = cfg["simulation"] = dict(sim)
+            sim["random_seed"] = bcast_int(
+                int(np.random.SeedSequence().entropy % (2 ** 31)))
+        datafolder = bcast_str(name_datafolder(
+            sim.get("filepath", "."), sim["foldername"], run_id))
     else:
-        from elphdynamics_tpu.io.output import dump_toml
-        with open(os.path.join(datafolder, "input.toml"), "w") as f:
-            f.write(dump_toml(cfg))
+        datafolder = name_datafolder(sim.get("filepath", "."),
+                                     sim["foldername"], run_id)
+    setup = build_setup(cfg, datafolder)
+    if primary:
+        os.makedirs(datafolder, exist_ok=True)
+        # persist the input config into the datafolder (the reference copies
+        # the verbatim TOML file, ProcessInputFile.jl:50; config.json
+        # additionally so load_model can rebuild without a TOML parser
+        # round trip)
+        import json
+        with open(os.path.join(datafolder, "config.json"), "w") as f:
+            json.dump(cfg, f, indent=1)
+        import shutil
+        if isinstance(config, str) and os.path.isfile(config):
+            shutil.copy(config, os.path.join(datafolder, os.path.basename(config)))
+        else:
+            from elphdynamics_tpu.io.output import dump_toml
+            with open(os.path.join(datafolder, "input.toml"), "w") as f:
+                f.write(dump_toml(cfg))
 
-    # run log (ProcessInputFile.jl:574-583)
-    handler = logging.FileHandler(os.path.join(
-        datafolder, f"{setup.sim_params.foldername}.log"))
-    handler.setFormatter(logging.Formatter("%(asctime)s %(levelname)s %(message)s"))
-    logger.addHandler(handler)
+    # run log (ProcessInputFile.jl:574-583); file handler on process 0 only
+    handler = None
+    if primary:
+        handler = logging.FileHandler(os.path.join(
+            datafolder, f"{setup.sim_params.foldername}.log"))
+        handler.setFormatter(
+            logging.Formatter("%(asctime)s %(levelname)s %(message)s"))
+        logger.addHandler(handler)
     logger.setLevel(logging.INFO)
     try:
         import elphdynamics_tpu
@@ -126,7 +160,8 @@ def simulate(config, run_id: int | None = None, n_chains: int = 1,
                     n_devices, site_devices)
         return _run(setup, n_chains, n_devices, site_devices)
     finally:
-        logger.removeHandler(handler)
+        if handler is not None:
+            logger.removeHandler(handler)
 
 
 def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
@@ -136,6 +171,15 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
     sp = setup.sim_params
     datafolder = sp.datafolder
     resume = ckpt.has_checkpoint(datafolder)
+
+    # ---- multihost (parallel/multihost.py): every process runs this same
+    # function in lockstep; fetch() is the symmetric host-pull (a collective
+    # gather for cross-process shardings) and file IO is primary-only
+    from elphdynamics_tpu.parallel.multihost import (bcast_int, fetch,
+                                                     fetch_tree, is_multihost,
+                                                     is_primary)
+    mh = is_multihost()
+    primary = not mh or is_primary()
 
     # ---- device mesh for chain-sharded execution (SURVEY §5; the reference's
     # N-independent-processes fleet, ElPhDynamics.jl:90-95, done SPMD)
@@ -468,7 +512,8 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
         N=ops.Nsites, beta=ops.beta, dtau=ops.dtau,
         forgetful_c=(setup.tune_density or {}).get("memory", 0.75),
         kappa_min=(setup.tune_density or {}).get("kappa_min", 0.1) * ops.Nsites,
-        logfile=os.path.join(datafolder, "mu_tuner_log.out"),
+        logfile=(os.path.join(datafolder, "mu_tuner_log.out") if primary
+                 else None),
     )
     key = jax.random.PRNGKey(sp.random_seed)
     burnin_start, sim_start = 0, 0
@@ -513,8 +558,10 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
         else:
             x = x0
         v = jnp.zeros_like(x)
-        out_io.init_measurement_folders(datafolder, container, setup.snapshots)
-        out_io.write_key_files(datafolder, ops, setup.mspec, container)
+        if primary:
+            out_io.init_measurement_folders(datafolder, container,
+                                            setup.snapshots)
+            out_io.write_key_files(datafolder, ops, setup.mspec, container)
 
     if n_chains > 1 and key.ndim == 1:
         chain_keys = jax.random.split(key, n_chains)
@@ -569,13 +616,25 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
         checkpoint only means a crash replays those deterministic bins."""
         nonlocal t_ckpt
         interval = sp.chckpnt_freq_s if min_interval is None else min_interval
-        if force or (time.time() - t_ckpt) > interval:
+        want = force or (time.time() - t_ckpt) > interval
+        if mh:
+            # clocks differ per process: process 0's decision governs so the
+            # collective state gather below stays symmetric
+            want = bool(bcast_int(int(want)))
+        if want:
             t0 = time.time()
-            ckpt.save_checkpoint(
-                datafolder, x=state.x, v=state.v, key=chain_keys, params=params,
-                container=container,
-                counters={"burnin_start": bstart, "sim_start": sstart},
-                sim_stats=sim_stats, mu_tuner_state=mu_tuner.state_dict())
+            data = {"x": state.x, "v": state.v, "key": chain_keys}
+            if mh:
+                # symmetric collective gather of the cross-process shards;
+                # single-process keeps the one-packed-transfer path inside
+                # save_checkpoint (the axon round-trip optimization)
+                data = fetch_tree(data)
+            if primary:
+                ckpt.save_checkpoint(
+                    datafolder, x=data["x"], v=data["v"], key=data["key"],
+                    params=params, container=container,
+                    counters={"burnin_start": bstart, "sim_start": sstart},
+                    sim_stats=sim_stats, mu_tuner_state=mu_tuner.state_dict())
             sim_stats["write_time"] += time.time() - t0
             t_ckpt = time.time()
 
@@ -637,14 +696,14 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
             xn, acc, keys = reflect_j(p_, sp_x(state.x, sharded_reflect), keys)
             state = state._replace(x=xn)
             sim_stats["simulation_time"] += time.time() - t0
-            sim_stats["reflect_acceptance_rate"] += float(np.mean(np.asarray(acc)))
+            sim_stats["reflect_acceptance_rate"] += float(np.mean(fetch(acc)))
         if fire_swap:
             t0 = time.time()
             p_, keys = sp_args(params, keys, sharded_swap)
             xn, acc, keys = swap_j(p_, sp_x(state.x, sharded_swap), keys)
             state = state._replace(x=xn)
             sim_stats["simulation_time"] += time.time() - t0
-            sim_stats["swap_acceptance_rate"] += float(np.mean(np.asarray(acc)))
+            sim_stats["swap_acceptance_rate"] += float(np.mean(fetch(acc)))
         return state, keys
 
     def do_exchange(params, state, keys, n):
@@ -662,7 +721,7 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
         state = state._replace(x=place(xn), v=place(vn))
         keys = place(keys)
         sim_stats["simulation_time"] += time.time() - t0
-        sim_stats["tempering_acceptance_rate"] += float(np.asarray(acc))
+        sim_stats["tempering_acceptance_rate"] += float(fetch(acc))
         log_solver_flags("tempering exchange", n, flag)
         return state, keys
 
@@ -674,7 +733,9 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
     # timestep (outcome −1, energies at that timestep).
     hmc_log = None
     hmc_verbose = bool(setup.config.get("hmc", {}).get("verbose", False))
-    if setup.dynamics_type == "hmc" and setup.config.get("hmc", {}).get("log", False):
+    hmc_want = (setup.dynamics_type == "hmc"
+                and bool(setup.config.get("hmc", {}).get("log", False)))
+    if hmc_want and primary:
         hmc_log_path = os.path.join(datafolder, "hmc_sim_log.out")
         new = not os.path.isfile(hmc_log_path)
         hmc_log = open(hmc_log_path, "a")
@@ -683,29 +744,35 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
 
     def log_hmc(n, stats):
         # sharded steps report stats as a dict, the unsharded step as
-        # HMCStats — the log columns are identical either way
+        # HMCStats — the log columns are identical either way. The fetches
+        # happen on every process (the gating flags are config-symmetric,
+        # keeping the multihost collectives in lockstep); only the file
+        # write is primary-only.
         get = (stats.get if isinstance(stats, dict)
                else lambda k, d=None: getattr(stats, k, d))
-        if hmc_log is None or get("H") is None:
+        if not hmc_want or get("H") is None:
             return
-        acc = np.atleast_1d(np.asarray(get("accepted")))
-        H = np.atleast_1d(np.asarray(get("H")))
-        S = np.atleast_1d(np.asarray(get("S")))
-        K = np.atleast_1d(np.asarray(get("K")))
-        iters = np.atleast_1d(np.asarray(get("iters")))
+        acc = np.atleast_1d(fetch(get("accepted")))
+        H = np.atleast_1d(fetch(get("H")))
+        S = np.atleast_1d(fetch(get("S")))
+        K = np.atleast_1d(fetch(get("K")))
+        iters = np.atleast_1d(fetch(get("iters")))
         traj_H = get("traj_H", np.nan)
-        if hmc_verbose and np.ndim(np.asarray(traj_H)) > 0:
-            tH = np.atleast_2d(np.asarray(traj_H))          # [chains, Nt]
-            tS = np.atleast_2d(np.asarray(get("traj_S")))
-            tK = np.atleast_2d(np.asarray(get("traj_K")))
-            tI = np.atleast_2d(np.asarray(get("traj_iters")))
-            for c in range(tH.shape[0]):
-                for t in range(tH.shape[1]):
-                    if not np.isfinite(tH[c, t]):
-                        continue  # aborted (flagged) trajectory step
-                    hmc_log.write(
-                        f"{n} -1 {t + 1} {tH[c, t]:.8f} {tS[c, t]:.8f} "
-                        f"{tK[c, t]:.8f} {int(tI[c, t])}\n")
+        if hmc_verbose and np.ndim(traj_H) > 0:
+            tH = np.atleast_2d(fetch(traj_H))               # [chains, Nt]
+            tS = np.atleast_2d(fetch(get("traj_S")))
+            tK = np.atleast_2d(fetch(get("traj_K")))
+            tI = np.atleast_2d(fetch(get("traj_iters")))
+            if hmc_log is not None:
+                for c in range(tH.shape[0]):
+                    for t in range(tH.shape[1]):
+                        if not np.isfinite(tH[c, t]):
+                            continue  # aborted (flagged) trajectory step
+                        hmc_log.write(
+                            f"{n} -1 {t + 1} {tH[c, t]:.8f} {tS[c, t]:.8f} "
+                            f"{tK[c, t]:.8f} {int(tI[c, t])}\n")
+        if hmc_log is None:
+            return
         for c in range(acc.shape[0]):
             hmc_log.write(
                 f"{n} {int(acc[c])} -1 {H[c]:.8f} {S[c]:.8f} {K[c]:.8f} "
@@ -714,7 +781,7 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
     def log_solver_flags(kind, n, flag):
         """Surface solver failures into the run log (Models.jl:106-172) and
         the sim_stats counters."""
-        flags = np.atleast_1d(np.asarray(flag))
+        flags = np.atleast_1d(fetch(flag))
         nf = int(np.sum(flags != 0))
         if nf:
             sim_stats["solver_failures"] = sim_stats.get("solver_failures", 0) + nf
@@ -730,8 +797,8 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
         state, stats, chain_keys = burnin_step_j(params, state, chain_keys)
         acc, iters, flag = _stats_of(stats)
         sim_stats["simulation_time"] += time.time() - t0
-        sim_stats["iters"] += float(np.mean(np.asarray(iters)))
-        sim_stats["acceptance_rate"] += float(np.mean(np.asarray(acc)))
+        sim_stats["iters"] += float(np.mean(fetch(iters)))
+        sim_stats["acceptance_rate"] += float(np.mean(fetch(acc)))
         log_solver_flags("burnin", n + 1, flag)
         log_hmc(n + 1, stats)
         state, chain_keys = do_special(params, state, chain_keys, n + 1)
@@ -754,8 +821,8 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
         state, stats, chain_keys = sim_step_j(params, state, chain_keys)
         acc, iters, flag = _stats_of(stats)
         sim_stats["simulation_time"] += time.time() - t0
-        sim_stats["iters"] += float(np.mean(np.asarray(iters)))
-        sim_stats["acceptance_rate"] += float(np.mean(np.asarray(acc)))
+        sim_stats["iters"] += float(np.mean(fetch(iters)))
+        sim_stats["acceptance_rate"] += float(np.mean(fetch(acc)))
         log_solver_flags("simulation", n + 1, flag)
         log_hmc(sp.burnin + n + 1, stats)
         state, chain_keys = do_special(params, state, chain_keys, n + 1)
@@ -768,7 +835,7 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
                     params, meas_x(state.x), meas_keys(chain_keys))
             container = accum_j(container, {k: inc[k] for k in container})
             sim_stats["measurement_time"] += time.time() - t0
-            nfl = int(np.asarray(mstats.get("n_flagged", 0)))
+            nfl = int(fetch(mstats.get("n_flagged", 0)))
             if nfl:
                 sim_stats["solver_failures"] = sim_stats.get("solver_failures", 0) + nfl
                 logger.warning("solver failure during measurement %d: "
@@ -781,7 +848,9 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
             # snapshots
             t0 = time.time()
             for sname, svals in (snaps or {}).items():
-                out_io.write_snapshot(datafolder, sname, np.asarray(svals), nmeas)
+                svals = fetch(svals)
+                if primary:
+                    out_io.write_snapshot(datafolder, sname, svals, nmeas)
             sim_stats["write_time"] += time.time() - t0
 
             if nmeas % sp.bin_size == 0:
@@ -792,7 +861,8 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
                 processed = tree_to_host(processed)
                 sim_stats["measurement_time"] += time.time() - t0
                 t0 = time.time()
-                out_io.write_bin(datafolder, processed, bin_idx, ops)
+                if primary:
+                    out_io.write_bin(datafolder, processed, bin_idx, ops)
                 sim_stats["write_time"] += time.time() - t0
                 container = zero_container(ops, setup.mspec)
                 maybe_checkpoint(sp.burnin, n + 1,
@@ -815,10 +885,12 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
 
     maybe_checkpoint(sp.burnin, sp.nsteps, force=True)
 
-    x_final = state.x if n_chains == 1 else state.x[0]
-    out_io.write_phonons(ops, x_final,
-                         os.path.join(datafolder, "final_phonon_config.out"))
-    if sp.write_M_matrix:
+    xh = fetch(state.x) if mh else state.x
+    x_final = xh if n_chains == 1 else xh[0]
+    if primary:
+        out_io.write_phonons(ops, x_final,
+                             os.path.join(datafolder, "final_phonon_config.out"))
+    if sp.write_M_matrix and primary:
         params_w = (jax.tree.map(lambda a: a[0], params) if tempering
                     else params)
         out_io.write_M_matrix(ops, params_w, x_final,
@@ -826,7 +898,8 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
     mu_tuner.estimate_mu()
     if hmc_log is not None:
         hmc_log.close()
-    write_summary(setup, sim_stats, mu_tuner)
+    if primary:
+        write_summary(setup, sim_stats, mu_tuner)
     logger.info("simulation complete: %s", sim_stats)
     return sim_stats
 

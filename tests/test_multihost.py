@@ -1,0 +1,134 @@
+"""Multi-process (multi-host) execution: parallel/multihost.py + the
+primary-gated IO / symmetric-fetch paths of the driver.
+
+The reference has no distributed execution at all (ElPhDynamics.jl:90-95);
+this asserts the jax.distributed leg of the TPU-native backend: two OS
+processes, each owning 2 virtual CPU devices, run ONE driver invocation
+over the 4-device global chain mesh and must reproduce the single-process
+run's bins with the same seed.
+"""
+
+import copy
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CFG = {
+    "lattice": {"ndim": 2, "norbits": 1,
+                "lattice_vectors": [[1.0, 0.0], [0.0, 1.0]],
+                "basis_vectors": [[0.0, 0.0]], "L": 2},
+    "holstein": {"beta": 1.0, "dtau": 0.1,
+                 "t": [{"val": 1.0, "orbit": [1, 1], "dL": [1, 0, 0]},
+                       {"val": 1.0, "orbit": [1, 1], "dL": [0, 1, 0]}],
+                 "omega": [{"orbit": [1], "val": 1.0}],
+                 "lambda": [{"orbit": [1], "val": 0.8}],
+                 "mu": [{"orbit": [1], "val": 0.0}]},
+    "fourier_acceleration": [
+        {"omega_min": 0.0, "omega_max": 10.0, "mass": 0.5}],
+    "hmc": {"burnin_updates": 2, "simulation_updates": 4,
+            "trajectory_time": 0.3, "dt": 0.1, "num_multitimesteps": 2,
+            "meas_freq": 2, "log": True,
+            "reflection_update": {"freq": 2, "nsites": 1}},
+    "simulation": {"foldername": "mh", "num_bins": 2, "random_seed": 5,
+                   "checkpoint_freq": 10},
+    "solver": {"type": "CG", "tol": 1e-5, "maxiter": 800,
+               "preconditioner": {"n": 8}},
+    "measurements": {"num_random_vectors": 4,
+                     "Greens": {"measure": True, "time_dependent": True},
+                     "DenDen": {"measure": True, "time_dependent": False}},
+}
+
+RUNNER = textwrap.dedent("""
+    import json, os, sys
+    proc, port, filepath = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    from elphdynamics_tpu.parallel.multihost import init_multihost
+    init_multihost(coordinator_address="127.0.0.1:" + port,
+                   num_processes=2, process_id=proc)
+    cfg = json.load(open(sys.argv[4]))
+    cfg["simulation"]["filepath"] = filepath
+    from elphdynamics_tpu.simulation import simulate
+    stats = simulate(cfg, n_chains=4, n_devices=0)
+    print("MH_DONE", proc, stats["acceptance_rate"], flush=True)
+""")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_multihost_driver_matches_single_process(tmp_path):
+    import json
+
+    import numpy as np
+
+    # --- single-process baseline (in this pytest process, 4 vmapped chains)
+    from elphdynamics_tpu.simulation import simulate
+
+    cfg1 = copy.deepcopy(CFG)
+    cfg1["simulation"]["filepath"] = str(tmp_path / "one")
+    os.makedirs(str(tmp_path / "one"))
+    simulate(cfg1, n_chains=4)
+
+    # --- two-process run over a 4-device global mesh
+    cfgf = str(tmp_path / "cfg.json")
+    json.dump(CFG, open(cfgf, "w"))
+    runf = str(tmp_path / "runner.py")
+    open(runf, "w").write(RUNNER)
+    mhdir = str(tmp_path / "mh")
+    os.makedirs(mhdir)
+    port = str(_free_port())
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=2",
+               PALLAS_AXON_POOL_IPS="",
+               PYTHONPATH=REPO)
+    procs = [subprocess.Popen(
+        [sys.executable, runf, str(p), port, mhdir, cfgf],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for p in (0, 1)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+        assert "MH_DONE" in out, out[-3000:]
+
+    # primary wrote the full datafolder; bins match the single-process run
+    one = os.path.join(str(tmp_path / "one"), "mh-1")
+    mh = os.path.join(mhdir, "mh-1")
+    assert os.path.isfile(os.path.join(mh, "checkpoint.npz"))
+    assert os.path.isfile(os.path.join(mh, "hmc_sim_log.out"))
+    for b in (1, 2):
+        fn = f"global_measurements_{b:05d}.out"
+        g1 = {l.split()[0]: float(l.split()[1])
+              for l in open(os.path.join(one, "global_measurements_f", fn))}
+        g2 = {l.split()[0]: float(l.split()[1])
+              for l in open(os.path.join(mh, "global_measurements_f", fn))}
+        for k in g1:
+            assert abs(g1[k] - g2[k]) < 5e-6 * (1.0 + abs(g1[k])), \
+                (b, k, g1[k], g2[k])
+
+    # the HMC energy logs agree (symmetric fetch + primary-only write):
+    # same rows, accept decisions identical, energies to solver tolerance
+    l1 = open(os.path.join(one, "hmc_sim_log.out")).read().splitlines()
+    l2 = open(os.path.join(mh, "hmc_sim_log.out")).read().splitlines()
+    assert len(l1) == len(l2) and len(l1) > 1
+    for a, b_ in zip(l1[1:], l2[1:]):
+        ca, cb = a.split(), b_.split()
+        assert ca[:3] == cb[:3], (a, b_)          # update, accepted, timestep
+        assert abs(float(ca[3]) - float(cb[3])) < 1e-6 * (
+            1.0 + abs(float(ca[3]))), (a, b_)     # total energy
