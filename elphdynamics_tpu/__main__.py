@@ -18,7 +18,9 @@ def main():
     ap.add_argument("run_id", nargs="?", type=int, default=None,
                     help="datafolder suffix id (auto-incremented if omitted)")
     ap.add_argument("--chains", type=int, default=1,
-                    help="independent Markov chains batched on device")
+                    help="independent Markov chains batched on device "
+                         "(0 = auto: the measured throughput-peak batch "
+                         "for the lattice size, BASELINE.md)")
     ap.add_argument("--devices", type=int, default=1,
                     help="devices to shard the chains over (0 = all local "
                          "devices); chains must be a multiple of devices")

@@ -68,6 +68,20 @@ def name_datafolder(filepath: str, foldername: str, run_id: int | None = None) -
         i += 1
 
 
+def auto_chains(Nsites: int, Ltau: int, n_devices: int = 1,
+                is_holstein: bool = True) -> int:
+    """Throughput-peak chain batch for one chip, from the measured sweeps
+    (BASELINE.md scaling/β tables: Holstein peaks at 128/64/32/16 chains
+    for N=64/256/1024/4096 at Lτ=40 — i.e. ∝ 1/√N — shrinking ∝ 1/Lτ with
+    β, SSH at half that; larger batches REGRESS via batch-max CG iteration
+    waste). Returns the TOTAL chain count: ``n_devices`` chips each get
+    the same local batch."""
+    base = 1024.0 if is_holstein else 512.0
+    per_chip = int(base / max(Nsites, 1) ** 0.5 * 40.0 / max(Ltau, 1))
+    per_chip = max(1, min(per_chip, 128))
+    return per_chip * max(n_devices, 1)
+
+
 def simulate(config, run_id: int | None = None, n_chains: int = 1,
              n_devices: int = 1, site_devices: int = 1,
              multihost: bool = False) -> dict:
@@ -102,7 +116,10 @@ def simulate(config, run_id: int | None = None, n_chains: int = 1,
         raise NotImplementedError(
             "--site-devices under multihost is not yet supported "
             "(chain-mesh data parallelism only)")
-    if n_devices > 1:
+    if n_chains == 0 and site_devices > 1:
+        raise ValueError("--chains 0 (auto) needs an explicit chain count "
+                         "when composing with --site-devices")
+    if n_devices > 1 and n_chains:
         if n_chains % n_devices != 0:
             raise ValueError(
                 f"n_chains={n_chains} must be a multiple of n_devices={n_devices}")
@@ -126,6 +143,10 @@ def simulate(config, run_id: int | None = None, n_chains: int = 1,
         datafolder = name_datafolder(sim.get("filepath", "."),
                                      sim["foldername"], run_id)
     setup = build_setup(cfg, datafolder)
+    if n_chains == 0:
+        # measured-throughput-peak batch for this lattice (auto_chains)
+        n_chains = auto_chains(setup.ops.Nsites, setup.ops.spec.Ltau,
+                               n_devices, setup.ops.is_holstein)
     if primary:
         os.makedirs(datafolder, exist_ok=True)
         # persist the input config into the datafolder (the reference copies
@@ -158,6 +179,7 @@ def simulate(config, run_id: int | None = None, n_chains: int = 1,
         logger.info("Random Seed: %d", setup.sim_params.random_seed)
         logger.info("Devices: %s (using %d chain / %d site)", jax.devices(),
                     n_devices, site_devices)
+        logger.info("Markov chains: %d", n_chains)
         return _run(setup, n_chains, n_devices, site_devices)
     finally:
         if handler is not None:

@@ -289,3 +289,19 @@ def test_key_files_written(tmp_path):
     sbin = np.loadtxt(os.path.join(folder, "PairSusc_position_f",
                                    "PairSusc_position_00001.out"), skiprows=1)
     assert skey.shape[0] == sbin.shape[0]
+
+
+def test_auto_chains_matches_measured_peaks():
+    """--chains 0: the heuristic reproduces the measured throughput peaks
+    (BASELINE.md scaling + beta tables)."""
+    from elphdynamics_tpu.simulation import auto_chains
+
+    assert auto_chains(64, 40) == 128          # 8×8 β=4 Holstein
+    assert auto_chains(256, 40) == 64          # 16×16
+    assert auto_chains(1024, 40) == 32         # 32×32
+    assert auto_chains(4096, 40) == 16         # 64×64
+    assert auto_chains(64, 160) == 32          # 8×8 β=16 (∝ 1/Lτ)
+    assert auto_chains(64, 40, is_holstein=False) == 64   # SSH 8×8
+    assert auto_chains(256, 40, is_holstein=False) == 32  # SSH 16×16
+    assert auto_chains(64, 40, n_devices=4) == 512        # same per chip
+    assert auto_chains(10 ** 6, 400) == 1                 # floor
