@@ -38,3 +38,24 @@ run python scripts/bench_beta.py --model holstein --L 8 --betas 16 --lowfreq 0 -
 # 5. headline bench must not regress
 run python bench.py
 echo "=== battery done $(date -u +%FT%TZ) ===" >> "$LOG"
+
+# 6. production-example wall-time regression (BASELINE "full production run"
+#    row: ~95 s at --chains 8 on one chip, round 2): the round-3 driver work
+#    (sharded specials, multihost fetch paths, auto chains) must not tax it
+run python - << 'PYEOF'
+import copy, tempfile, time
+from elphdynamics_tpu.io.config import load_toml
+from elphdynamics_tpu.simulation import simulate
+cfg = load_toml("examples/holstein_hmc_square.toml")
+with tempfile.TemporaryDirectory() as tmp:
+    cfg["simulation"]["filepath"] = tmp
+    t0 = time.time()
+    stats = simulate(cfg, n_chains=8)
+    wall = time.time() - t0
+    print({"production_example_wall_s": round(wall, 1),
+           "sim_s": round(stats["simulation_time"], 1),
+           "meas_s": round(stats["measurement_time"], 1),
+           "write_s": round(stats["write_time"], 1),
+           "acceptance": round(stats["acceptance_rate"], 4)})
+PYEOF
+echo "=== battery stage 6 done $(date -u +%FT%TZ) ===" >> "$LOG"
