@@ -35,6 +35,9 @@ CFG = {
             "trajectory_time": 0.3, "dt": 0.1, "num_multitimesteps": 2,
             "meas_freq": 2, "log": True,
             "reflection_update": {"freq": 2, "nsites": 1}},
+    # tempering composes with multihost: the per-rung params shard with
+    # their chains across processes, the exchange gathers cross-process
+    "tempering": {"ladder": [1.0, 1.4], "freq": 2},
     "simulation": {"foldername": "mh", "num_bins": 2, "random_seed": 5,
                    "checkpoint_freq": 10},
     "solver": {"type": "CG", "tol": 1e-5, "maxiter": 800,
