@@ -29,6 +29,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from elphdynamics_tpu.dynamics.force import SolverConfig
@@ -73,6 +74,16 @@ class HMCConfig(NamedTuple):
     deflate_filter: int = 8
     deflate_power: int = 4
     deflate_cutoff: float = 1 / 16
+    # burnin-phase automatic step-size selection ([hmc] tune_dt, beyond
+    # reference scope — the reference's dt is fixed by hand, HMC.jl:26):
+    # Nesterov dual averaging (Hoffman & Gelman 2014 §3.2) drives the mean
+    # Metropolis acceptance probability to `target_acceptance`. The deep-β
+    # integrator study (BASELINE.md) showed the hand default over-resolves
+    # (acc 0.94 where 0.80 is 1.26× cheaper per accepted update) — this
+    # automates that recipe. Tuning runs on-device inside the burnin jit;
+    # the sampling phase is rebuilt once with the frozen tuned dt.
+    tune_dt: bool = False
+    target_acceptance: float = 0.8
 
     @property
     def Nt(self) -> int:
@@ -117,6 +128,7 @@ def make_hmc_step(
     mass_table,
     cfg: HMCConfig,
     precond: tuple[Callable, Callable] | None = None,
+    dynamic_dt: bool = False,
 ):
     """Build the jittable HMC update ``(params, state, key) -> (state, stats, key)``.
 
@@ -125,6 +137,11 @@ def make_hmc_step(
     (e.g. from :func:`elphdynamics_tpu.ops.kpm.make_symmetric_precond`);
     setup runs before every batch of solves, matching the reference's
     ``setup!`` cadence (HMC.jl:834).
+
+    ``dynamic_dt=True`` returns ``(params, state, key, dt) -> ...`` with the
+    leapfrog step size as a traced scalar (the trajectory LENGTH ``Nt`` stays
+    static from ``cfg``), so the burnin dt tuner adjusts dt inside one
+    compiled program with zero recompiles or host syncs.
     """
     from elphdynamics_tpu.dynamics.solve import (
         SolverConfig, precond_applies, precond_state, resolve_precond,
@@ -204,7 +221,7 @@ def make_hmc_step(
     tol1 = cfg.tol
     tol2 = cfg.tol ** 2
 
-    def step(params, state: HMCState, key):
+    def _step(params, state: HMCState, key, dt):
         x0, v_in = state.x, state.v
         key, k_v, k_p, k_acc = jax.random.split(key, 4)
 
@@ -259,7 +276,7 @@ def make_hmc_step(
         def boson_substeps(x, v, dt_b=None):
             """Nb small steps driven by the bosonic force (HMC.jl:535-565).
             ``dt_b`` overrides the substep length (2MN drifts cover dt/2)."""
-            dt_b = cfg.dt_b if dt_b is None else dt_b
+            dt_b = dt / cfg.Nb if dt_b is None else dt_b
             dSb = ops.calc_dSbdx(params, x, False)
             QdSb = qf(dSb)
 
@@ -293,9 +310,9 @@ def make_hmc_step(
         def body(carry, _):
             x, v, QdSdx, z_prev, z_prev2, z_prev3, z_prev4, iters, flag = carry
             ok = flag == 0
-            v1 = v - cfg.dt / 2 * QdSdx
+            v1 = v - dt / 2 * QdSdx
             if cfg.Nb == 1:
-                x1 = x + cfg.dt * v1
+                x1 = x + dt * v1
             else:
                 x1, v1 = boson_substeps(x, v1)
             d1 = ops.derived(params, x1)
@@ -315,7 +332,7 @@ def make_hmc_step(
                                    z_guess=guess, defl=defl)
             dS1 = forces(params, x1, d1, phi, z1)
             Qd1 = qf(dS1)
-            v1 = v1 - cfg.dt / 2 * Qd1
+            v1 = v1 - dt / 2 * Qd1
             # masked commit: trajectories that have failed stop evolving
             x = jnp.where(ok, x1, x)
             v = jnp.where(ok, v1, v)
@@ -357,18 +374,18 @@ def make_hmc_step(
             carried force, exactly as the leapfrog body carries QdSdx."""
             x, v, QdSdx, z_prev, z_prev2, z_prev3, z_prev4, iters, flag = carry
             ok = flag == 0
-            v1 = v - LAM_2MN * cfg.dt * QdSdx
-            x1, v1 = drift(x, v1, cfg.dt / 2)
+            v1 = v - LAM_2MN * dt * QdSdx
+            x1, v1 = drift(x, v1, dt / 2)
             Qd_m, z_m, it_m, fl_m, _ = force_at(
                 x1, guess_from(z_prev, z_prev2, z_prev3, z_prev4))
             z_prev4m = z_prev3
             z_prev3m = z_prev2
             z_prev2m = z_prev
-            v1 = v1 - (1.0 - 2.0 * LAM_2MN) * cfg.dt * Qd_m
-            x1, v1 = drift(x1, v1, cfg.dt / 2)
+            v1 = v1 - (1.0 - 2.0 * LAM_2MN) * dt * Qd_m
+            x1, v1 = drift(x1, v1, dt / 2)
             Qd_e, z_e, it_e, fl_e, Lphi_e = force_at(
                 x1, guess_from(z_m, z_prev2m, z_prev3m, z_prev4m))
-            v1 = v1 - LAM_2MN * cfg.dt * Qd_e
+            v1 = v1 - LAM_2MN * dt * Qd_e
             it1 = it_m + it_e
             fl1 = jnp.maximum(fl_m, fl_e)
             x = jnp.where(ok, x1, x)
@@ -433,7 +450,54 @@ def make_hmc_step(
                                    traj_K=traj[2], traj_iters=traj[3])
         return HMCState(x=x_new, v=v_new, defl=defl), stats, key
 
+    if dynamic_dt:
+        return _step
+
+    def step(params, state: HMCState, key):
+        return _step(params, state, key, cfg.dt)
+
     return step
+
+
+class DtTunerState(NamedTuple):
+    """Nesterov dual-averaging state for the burnin dt tuner
+    (Hoffman & Gelman 2014, "The No-U-Turn Sampler", §3.2). All leaves are
+    device scalars so the update lives inside the burnin jit."""
+    m: jnp.ndarray            # tuning-iteration count
+    log_dt: jnp.ndarray       # current (exploring) log step size
+    log_dt_avg: jnp.ndarray   # averaged iterate — the value to freeze
+    h_bar: jnp.ndarray        # running mean of (target − accept_prob)
+    mu: jnp.ndarray           # shrinkage point log(10·dt₀)
+    lo: jnp.ndarray           # clamp bounds on log_dt (safety rails)
+    hi: jnp.ndarray
+
+
+def dt_tuner_init(dt0: float, lo: float | None = None,
+                  hi: float | None = None) -> DtTunerState:
+    f = lambda v: jnp.asarray(v, dtype=jnp.float32)
+    lo = dt0 / 64.0 if lo is None else lo
+    hi = dt0 * 64.0 if hi is None else hi
+    return DtTunerState(m=f(0.0), log_dt=f(np.log(dt0)),
+                        log_dt_avg=f(np.log(dt0)), h_bar=f(0.0),
+                        mu=f(np.log(10.0 * dt0)),
+                        lo=f(np.log(lo)), hi=f(np.log(hi)))
+
+
+def dt_tuner_update(t: DtTunerState, accept_prob, target: float,
+                    gamma: float = 0.05, t0: float = 10.0,
+                    kappa: float = 0.75) -> DtTunerState:
+    """One dual-averaging step toward mean acceptance = ``target``.
+
+    ``accept_prob`` is the chain-mean Metropolis probability
+    min(1, e^{−ΔH}) of the update just taken at exp(t.log_dt)."""
+    m = t.m + 1.0
+    w = 1.0 / (m + t0)
+    h_bar = (1.0 - w) * t.h_bar + w * (target - accept_prob)
+    log_dt = jnp.clip(t.mu - jnp.sqrt(m) / gamma * h_bar, t.lo, t.hi)
+    eta = m ** (-kappa)
+    log_dt_avg = eta * log_dt + (1.0 - eta) * t.log_dt_avg
+    return t._replace(m=m, h_bar=h_bar, log_dt=log_dt,
+                      log_dt_avg=log_dt_avg)
 
 
 def init_deflation(ops: ModelOps, cfg: HMCConfig, key):

@@ -43,7 +43,8 @@ def _unflatten(flat):
 
 
 def save_checkpoint(datafolder: str, *, x, v, key, params, container,
-                    counters: dict, sim_stats: dict, mu_tuner_state: dict):
+                    counters: dict, sim_stats: dict, mu_tuner_state: dict,
+                    extras: dict | None = None):
     # fetch the whole float/complex state in ONE packed host transfer —
     # per-leaf transfers cost a full axon round trip each and dominated the
     # checkpoint cadence (~30 leaves per save)
@@ -68,7 +69,7 @@ def save_checkpoint(datafolder: str, *, x, v, key, params, container,
     np.savez(tmp, **arrays)
     os.replace(tmp, os.path.join(datafolder, "checkpoint.npz"))
     meta = {"counters": counters, "sim_stats": sim_stats,
-            "mu_tuner": mu_tuner_state}
+            "mu_tuner": mu_tuner_state, "extras": extras or {}}
     tmp = os.path.join(datafolder, "checkpoint.json.tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f)
@@ -94,5 +95,5 @@ def load_checkpoint(datafolder: str):
     return {
         "x": x, "v": v, "key": key, "params": params, "container": container,
         "counters": meta["counters"], "sim_stats": meta["sim_stats"],
-        "mu_tuner": meta["mu_tuner"],
+        "mu_tuner": meta["mu_tuner"], "extras": meta.get("extras", {}),
     }

@@ -299,7 +299,10 @@ def build_setup(cfg: dict, datafolder: str, dtype=None) -> SimulationSetup:
                             guess_order=int(h.get("guess_order", 3)),
                             deflate_k=deflate_k, deflate_filter=deflate_filter,
                             deflate_power=deflate_power,
-                            deflate_cutoff=deflate_cutoff)
+                            deflate_cutoff=deflate_cutoff,
+                            tune_dt=bool(h.get("tune_dt", False)),
+                            target_acceptance=float(
+                                h.get("target_acceptance", 0.8)))
         b = h.get("burnin", {})
         hmc_burnin_cfg = HMCConfig(
             dt=b.get("dt", h["dt"]),
@@ -315,7 +318,10 @@ def build_setup(cfg: dict, datafolder: str, dtype=None) -> SimulationSetup:
             construct_guess=bool(h.get("construct_guess", False)),
             guess_order=int(h.get("guess_order", 3)),
             deflate_k=deflate_k, deflate_filter=deflate_filter,
-            deflate_power=deflate_power, deflate_cutoff=deflate_cutoff)
+            deflate_power=deflate_power, deflate_cutoff=deflate_cutoff,
+            tune_dt=bool(b.get("tune_dt", h.get("tune_dt", False))),
+            target_acceptance=float(b.get("target_acceptance",
+                                          h.get("target_acceptance", 0.8))))
         if "reflection_update" in h and model_type == "holstein":
             reflect_cfg = SpecialUpdateConfig(
                 freq=h["reflection_update"]["freq"],

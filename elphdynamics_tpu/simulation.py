@@ -514,6 +514,64 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
         swap_j = (sharded_swap if sharded_swap is not None
                   else jax.jit(swap))
 
+    # ---- burnin dt tuning ([hmc] tune_dt — dual averaging toward
+    # target_acceptance, dynamics/hmc.py; beyond reference scope, which
+    # fixes dt by hand, HMC.jl:26). The tuner state lives on device inside
+    # one jitted program (zero per-update host syncs); after burnin the
+    # sampling step is rebuilt ONCE with the frozen averaged dt and the
+    # trajectory length Nt re-derived from the configured trajectory_time.
+    dt_tuner = None
+    burnin_tuned_j = None
+    _bcfg = setup.hmc_burnin_cfg
+    if (setup.dynamics_type == "hmc" and _bcfg is not None and _bcfg.tune_dt
+            and sp.burnin > 0):
+        if site_devices > 1:
+            raise NotImplementedError(
+                "[hmc] tune_dt is not yet supported with --site-devices")
+        from elphdynamics_tpu.dynamics.hmc import (DtTunerState,
+                                                   dt_tuner_init,
+                                                   dt_tuner_update)
+        _raw_bt = make_hmc_step(ops, setup.fa_mass, _bcfg, precond,
+                                dynamic_dt=True)
+        if n_chains > 1:
+            _vbt = jax.vmap(_raw_bt, in_axes=(p_ax, 0, 0, None))
+            if mesh is not None:
+                from jax.sharding import PartitionSpec as P
+                _vbt = jax.shard_map(
+                    _vbt, mesh=mesh,
+                    in_specs=(P("chain") if tempering else P(),
+                              P("chain"), P("chain"), P()),
+                    out_specs=P("chain"), check_vma=False)
+        else:
+            _vbt = _raw_bt
+        _target = _bcfg.target_acceptance
+
+        def _burnin_tuned(params, state, keys, tuner):
+            st, stats, keys = _vbt(params, state, keys, jnp.exp(tuner.log_dt))
+            # flagged (solver-aborted) trajectories are auto-rejected:
+            # count them at probability 0 so they push dt down too
+            p = jnp.minimum(1.0, jnp.exp(-stats.delta_H))
+            p = jnp.where(jnp.isfinite(p) & (stats.flag == 0), p, 0.0)
+            tuner = dt_tuner_update(tuner, jnp.mean(p), _target)
+            return st, stats, keys, tuner
+
+        burnin_tuned_j = jax.jit(_burnin_tuned)
+        dt_tuner = dt_tuner_init(_bcfg.dt)
+
+    def _freeze_tuned_dt(tuned_dt: float):
+        """Rebuild the sampling-phase step with the tuned dt (one recompile;
+        Nt = round(trajectory_time / dt) restores the configured trajectory
+        time that the fixed-Nt burnin tuner traded away)."""
+        nonlocal sim_step_j
+        cfg2 = setup.hmc_cfg._replace(dt=float(tuned_dt))
+        s2 = make_hmc_step(ops, setup.fa_mass, cfg2, precond)
+        sim_step_j = _sharded(s2) if n_chains > 1 else jax.jit(s2)
+        sim_stats["tuned_dt"] = float(tuned_dt)
+        logger.info(
+            "tune_dt: frozen dt=%.6g Nt=%d (configured dt=%.6g Nt=%d, "
+            "target acceptance %.2f)", cfg2.dt, cfg2.Nt, setup.hmc_cfg.dt,
+            setup.hmc_cfg.Nt, _bcfg.target_acceptance)
+
     # eager complex arithmetic is not implemented on every TPU runtime, so
     # the container accumulate and bin post-processing run jitted
     accum_j = jax.jit(lambda c, inc: jax.tree.map(lambda a, b: a + b, c, inc))
@@ -563,6 +621,16 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
         sim_start = st["counters"]["sim_start"]
         logger.info("resumed from checkpoint: burnin_start=%d sim_start=%d",
                     burnin_start, sim_start)
+        # dt tuner: mid-burnin resumes restore the dual-averaging state;
+        # post-burnin resumes re-freeze the tuned sampling step from the
+        # persisted value
+        _dt_saved = (st.get("extras") or {}).get("dt_tuner")
+        if dt_tuner is not None and _dt_saved is not None:
+            dt_tuner = DtTunerState(
+                *[jnp.asarray(vv, jnp.float32) for vv in _dt_saved])
+        if (setup.dynamics_type == "hmc" and "tuned_dt" in sim_stats
+                and burnin_start >= sp.burnin):
+            _freeze_tuned_dt(sim_stats["tuned_dt"])
     else:
         if setup.read_phonon_config:
             x0 = jnp.asarray(out_io.read_phonons(ops, setup.read_phonon_config))
@@ -651,12 +719,19 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
                 # single-process keeps the one-packed-transfer path inside
                 # save_checkpoint (the axon round-trip optimization)
                 data = fetch_tree(data)
+            extras = {}
+            if dt_tuner is not None and bstart < sp.burnin:
+                # mid-burnin dual-averaging state: 7 f32 scalars, one
+                # packed transfer (the axon per-transfer round-trip rule)
+                extras["dt_tuner"] = np.asarray(
+                    fetch(jnp.stack(list(dt_tuner)))).tolist()
             if primary:
                 ckpt.save_checkpoint(
                     datafolder, x=data["x"], v=data["v"], key=data["key"],
                     params=params, container=container,
                     counters={"burnin_start": bstart, "sim_start": sstart},
-                    sim_stats=sim_stats, mu_tuner_state=mu_tuner.state_dict())
+                    sim_stats=sim_stats, mu_tuner_state=mu_tuner.state_dict(),
+                    extras=extras)
             sim_stats["write_time"] += time.time() - t0
             t_ckpt = time.time()
 
@@ -816,7 +891,11 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
     for n in range(burnin_start, sp.burnin):
         maybe_checkpoint(n, 0)
         t0 = time.time()
-        state, stats, chain_keys = burnin_step_j(params, state, chain_keys)
+        if dt_tuner is not None:
+            state, stats, chain_keys, dt_tuner = burnin_tuned_j(
+                params, state, chain_keys, dt_tuner)
+        else:
+            state, stats, chain_keys = burnin_step_j(params, state, chain_keys)
         acc, iters, flag = _stats_of(stats)
         sim_stats["simulation_time"] += time.time() - t0
         sim_stats["iters"] += float(np.mean(fetch(iters)))
@@ -835,6 +914,11 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
             new_mu = mu_tuner.update(Nm, N2m)
             params = apply_mu(params, new_mu)
             sim_stats["simulation_time"] += time.time() - t0
+
+    # freeze the tuned dt into the sampling step (one scalar fetch + one
+    # recompile; skipped when a post-burnin resume already froze it)
+    if dt_tuner is not None and "tuned_dt" not in sim_stats:
+        _freeze_tuned_dt(float(np.exp(fetch(dt_tuner.log_dt_avg))))
 
     # ---- sampling + measurements (RunSimulation.jl:214-280)
     for n in range(sim_start, sp.nsteps):
