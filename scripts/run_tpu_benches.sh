@@ -59,3 +59,28 @@ with tempfile.TemporaryDirectory() as tmp:
            "acceptance": round(stats["acceptance_rate"], 4)})
 PYEOF
 echo "=== battery stage 6 done $(date -u +%FT%TZ) ===" >> "$LOG"
+
+# 7. tune_dt on-chip proof at deep beta: the tuner must land near the
+#    hand-measured dt=0.1/acc~0.8 recipe that the deep-beta example ships
+#    (BASELINE integrator study) without being told
+run python - << 'PYEOF'
+import tempfile, time
+from elphdynamics_tpu.io.config import load_toml
+from elphdynamics_tpu.simulation import simulate
+cfg = load_toml("examples/holstein_hmc_deep_beta.toml")
+cfg["hmc"].update({"burnin_updates": 150, "simulation_updates": 40,
+                   # start from the naive default dt: the tuner must
+                   # rediscover the example's hand-measured dt~0.1
+                   "dt": 0.05,
+                   "tune_dt": True, "target_acceptance": 0.8})
+cfg["simulation"]["num_bins"] = 2
+with tempfile.TemporaryDirectory() as tmp:
+    cfg["simulation"]["filepath"] = tmp
+    t0 = time.time()
+    stats = simulate(cfg, n_chains=16)
+    print({"tuned_dt": round(stats.get("tuned_dt", -1.0), 4),
+           "acceptance": round(stats["acceptance_rate"], 3),
+           "iters": round(stats["iters"], 1),
+           "wall_s": round(time.time() - t0, 1)})
+PYEOF
+echo "=== battery stage 7 done $(date -u +%FT%TZ) ===" >> "$LOG"
