@@ -51,6 +51,10 @@ class HMCConfig(NamedTuple):
     # block CG over the spin-stacked trajectory systems ([solver] block;
     # solvers.block_cg — see solve_oinv for the gating)
     block: bool = False
+    # split in-loop operator precision ([solver] loop_precision; see
+    # dynamics/solve._cg_operators — tol¹ trajectory solves only, endpoints
+    # and verification stay at HIGHEST)
+    loop_precision: str | None = None
     # trajectory integrator: "leapfrog" (the reference's only integrator,
     # HMC.jl:343-638) or "2mn" — Omelyan/Mushrabi/Peshkov 2nd-order
     # minimum-norm (hep-lat/0506011 §2): two force evaluations per dt step
@@ -170,7 +174,8 @@ def make_hmc_step(
         pa = resolve_precond(precond, params, x, prev_state=pstate)
         scfg = SolverConfig(tol=tol, maxiter=cfg.maxiter, kappa_max=cfg.kappa_max,
                             kind=cfg.solver_kind, restart=cfg.restart,
-                            block=cfg.block)
+                            block=cfg.block,
+                            loop_precision=cfg.loop_precision)
         x0 = z_guess if (cfg.construct_guess and cfg.solver_kind == "cg") else None
         res = solve_oinv(ops, params, derived, Lphi, scfg, pa, x0=x0,
                          deflate=defl)

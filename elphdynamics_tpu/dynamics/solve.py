@@ -33,6 +33,12 @@ class SolverConfig(NamedTuple):
     # solve the nᵥ-RHS estimator systems with block CG (solvers.block_cg —
     # beyond reference scope; TPU knob, [solver] block in the TOML)
     block: bool = False
+    # split precision policy ([solver] loop_precision, TPU knob): run the
+    # in-CG-loop fermion matvecs at this MXU precision ("high" = bf16×3,
+    # ~half of HIGHEST's passes) while the residual verification, retry
+    # ladder, forces, energies, and endpoint quantities stay at HIGHEST.
+    # None/"highest" = the reference-faithful full-f32 operator everywhere.
+    loop_precision: str | None = None
 
 
 class PrecondApplies(NamedTuple):
@@ -77,6 +83,23 @@ def resolve_precond(precond, params, x, prev_state=None) -> PrecondApplies | Non
     if precond is None:
         return None
     return precond_applies(precond, precond_state(precond, params, x, prev_state))
+
+
+def _cg_operators(ops: ModelOps, params, derived, scfg: SolverConfig):
+    """(in-loop, verification) MᵀM operator pair for the CG paths.
+
+    With ``loop_precision`` set (and not "highest"), the while-loop matvecs
+    run at the cheaper MXU precision while verification/retry use the full
+    HIGHEST operator. Gated to tol ≥ 1e-6: the tol² endpoint solves iterate
+    to the f32 noise floor, which the cheaper operator would raise — they
+    keep the reference-faithful operator.
+    """
+    chk = lambda v: ops.mulMTM(params, derived, v)
+    prec = getattr(scfg, "loop_precision", None)
+    if prec is None or prec == "highest" or scfg.tol < 1e-6:
+        return chk, None
+    hot = lambda v: ops.mulMTM(params, derived, v, precision=prec)
+    return hot, chk
 
 
 def _checked_nonsym(apply_A, b, base, apply_P, scfg: SolverConfig):
@@ -131,15 +154,16 @@ def solve_minv(ops: ModelOps, params, derived, rhs, scfg: SolverConfig,
     """
     if scfg.kind == "cg":
         b = ops.mulMT(params, derived, rhs)
+        hot, chk = _cg_operators(ops, params, derived, scfg)
         if block and getattr(scfg, "block", False):
             return solvers.block_solve_checked(
-                lambda v: ops.mulMTM(params, derived, v), b,
-                apply_P=pa.symmetric if pa else None,
-                tol=scfg.tol, maxiter=scfg.maxiter, kappa_max=scfg.kappa_max)
+                hot, b, apply_P=pa.symmetric if pa else None,
+                tol=scfg.tol, maxiter=scfg.maxiter, kappa_max=scfg.kappa_max,
+                apply_A_check=chk)
         return solvers.solve_checked(
-            lambda v: ops.mulMTM(params, derived, v), b,
-            apply_P=pa.symmetric if pa else None,
-            tol=scfg.tol, maxiter=scfg.maxiter, kappa_max=scfg.kappa_max)
+            hot, b, apply_P=pa.symmetric if pa else None,
+            tol=scfg.tol, maxiter=scfg.maxiter, kappa_max=scfg.kappa_max,
+            apply_A_check=chk)
     base = _base_solver(scfg)
     return _checked_nonsym(lambda v: ops.mulM(params, derived, v), rhs, base,
                            pa.left if pa else None, scfg)
@@ -160,17 +184,19 @@ def solve_oinv(ops: ModelOps, params, derived, rhs, scfg: SolverConfig,
     and REGRESS (measured 171 → 322 iters), so those stay on batched CG.
     """
     if scfg.kind == "cg":
+        hot, chk = _cg_operators(ops, params, derived, scfg)
         if (scfg.block and deflate is None and rhs.ndim >= 3
                 and scfg.tol >= 1e-6):
             return solvers.block_solve_checked(
-                lambda v: ops.mulMTM(params, derived, v), rhs, X0=x0,
+                hot, rhs, X0=x0,
                 apply_P=pa.symmetric if pa else None,
-                tol=scfg.tol, maxiter=scfg.maxiter, kappa_max=scfg.kappa_max)
+                tol=scfg.tol, maxiter=scfg.maxiter, kappa_max=scfg.kappa_max,
+                apply_A_check=chk)
         return solvers.solve_checked(
-            lambda v: ops.mulMTM(params, derived, v), rhs, x0=x0,
+            hot, rhs, x0=x0,
             apply_P=pa.symmetric if pa else None,
             tol=scfg.tol, maxiter=scfg.maxiter, kappa_max=scfg.kappa_max,
-            deflate=deflate)
+            deflate=deflate, apply_A_check=chk)
     base = _base_solver(scfg)
     # Mᵀ·y = rhs, then M·z = y (HMC.jl:859-874)
     res1 = _checked_nonsym(lambda v: ops.mulMT(params, derived, v), rhs, base,

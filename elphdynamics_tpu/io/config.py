@@ -235,7 +235,12 @@ def build_setup(cfg: dict, datafolder: str, dtype=None) -> SimulationSetup:
                               restart=sol.get("restart", 20),
                               # TPU addition: block CG over the nᵥ estimator
                               # systems (solvers.block_cg)
-                              block=bool(sol.get("block", False)))
+                              block=bool(sol.get("block", False)),
+                              # TPU addition: split in-loop operator
+                              # precision ("high" = bf16×3 in the CG loop,
+                              # HIGHEST verification/endpoints — see
+                              # dynamics/solve._cg_operators)
+                              loop_precision=sol.get("loop_precision", None))
     kpm_cfg = None
     if "preconditioner" in sol:
         p = sol["preconditioner"]
@@ -293,6 +298,7 @@ def build_setup(cfg: dict, datafolder: str, dtype=None) -> SimulationSetup:
                             tol=solver_cfg.tol, maxiter=solver_cfg.maxiter,
                             solver_kind=solver_cfg.kind, restart=solver_cfg.restart,
                             block=solver_cfg.block,
+                            loop_precision=solver_cfg.loop_precision,
                             integrator=str(h.get("integrator", "leapfrog")).lower(),
                             log_verbose=bool(h.get("verbose", False)),
                             construct_guess=bool(h.get("construct_guess", False)),
@@ -313,6 +319,7 @@ def build_setup(cfg: dict, datafolder: str, dtype=None) -> SimulationSetup:
             tol=solver_cfg.tol, maxiter=solver_cfg.maxiter,
             solver_kind=solver_cfg.kind, restart=solver_cfg.restart,
             block=solver_cfg.block,
+            loop_precision=solver_cfg.loop_precision,
             integrator=str(b.get("integrator", h.get("integrator", "leapfrog"))).lower(),
             log_verbose=bool(h.get("verbose", False)),
             construct_guess=bool(h.get("construct_guess", False)),

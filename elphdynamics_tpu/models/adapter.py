@@ -65,10 +65,12 @@ def make_model_ops(spec) -> ModelOps:
             beta=spec.beta,
             is_holstein=True,
             derived=lambda p, x: Hm.expnV(spec, p, x),
-            mulM=lambda p, d, v: Hm.mulM(spec, p, d, v),
-            mulMT=lambda p, d, v: Hm.mulMT(spec, p, d, v),
-            mulMTM=lambda p, d, v: Hm.mulMTM(spec, p, d, v),
-            mulMMT=lambda p, d, v: Hm.mulMMT(spec, p, d, v),
+            # ``precision`` selects the dense-mode matmul pass count for the
+            # split in-loop/verification policy (models/holstein.apply_expK)
+            mulM=lambda p, d, v, precision=None: Hm.mulM(spec, p, d, v, precision),
+            mulMT=lambda p, d, v, precision=None: Hm.mulMT(spec, p, d, v, precision),
+            mulMTM=lambda p, d, v, precision=None: Hm.mulMTM(spec, p, d, v, precision),
+            mulMMT=lambda p, d, v, precision=None: Hm.mulMMT(spec, p, d, v, precision),
             muldMdx=lambda p, d, x, u, v: Hm.muldMdx(spec, p, d, x, u, v),
             calc_Sb=lambda p, x, shifted=False: Hm.calc_Sb(spec, p, x, shifted),
             calc_dSbdx=lambda p, x, shifted=False: Hm.calc_dSbdx(spec, p, x, shifted),
@@ -88,10 +90,13 @@ def make_model_ops(spec) -> ModelOps:
             beta=spec.beta,
             is_holstein=False,
             derived=lambda p, x: Sm.ckb_coeffs(spec, p, x),
-            mulM=lambda p, d, v: Sm.mulM(spec, p, d, v),
-            mulMT=lambda p, d, v: Sm.mulMT(spec, p, d, v),
-            mulMTM=lambda p, d, v: Sm.mulMTM(spec, p, d, v),
-            mulMMT=lambda p, d, v: Sm.mulMMT(spec, p, d, v),
+            # SSH's fermion apply is the gather+FMA checkerboard fold — full
+            # f32 on the VPU with no matmul to down-precision, so the
+            # ``precision`` knob is accepted for interface parity and ignored
+            mulM=lambda p, d, v, precision=None: Sm.mulM(spec, p, d, v),
+            mulMT=lambda p, d, v, precision=None: Sm.mulMT(spec, p, d, v),
+            mulMTM=lambda p, d, v, precision=None: Sm.mulMTM(spec, p, d, v),
+            mulMMT=lambda p, d, v, precision=None: Sm.mulMMT(spec, p, d, v),
             muldMdx=lambda p, d, x, u, v: Sm.muldMdx(spec, p, d, x, u, v),
             calc_Sb=lambda p, x, shifted=False: Sm.calc_Sb(spec, p, x, shifted),
             calc_dSbdx=lambda p, x, shifted=False: Sm.calc_dSbdx(spec, p, x, shifted),

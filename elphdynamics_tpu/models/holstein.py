@@ -264,22 +264,40 @@ def _tau_sign_last(spec: HolsteinSpec, dtype):
 # fermion matrix multiplication routines
 # ---------------------------------------------------------------------------
 
-def apply_expK(spec: HolsteinSpec, p: HolsteinParams, y):
+_PRECISIONS = {
+    None: jax.lax.Precision.HIGHEST,
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+def apply_expK(spec: HolsteinSpec, p: HolsteinParams, y, precision=None):
     """exp(−Δτ·K)·y over the site axis: one MXU matmul in dense mode, the
-    checkerboard group fold otherwise."""
+    checkerboard group fold otherwise.
+
+    ``precision`` selects the dense matmul's MXU pass count (None = HIGHEST,
+    full f32). The in-CG-loop matvecs may run at "high" (bf16×3, ~half the
+    passes) under the split policy of ``[solver] loop_precision``: every
+    solve still ends in a HIGHEST-precision residual verification + retry
+    ladder (solvers.solve_checked), and ΔH/forces/endpoint solves stay at
+    HIGHEST, so the Metropolis test never sees the cheaper operator's noise.
+    """
     if spec.dense_ckb:
-        return jnp.einsum("ij,...jt->...it", p.expK, y, precision=jax.lax.Precision.HIGHEST)
+        return jnp.einsum("ij,...jt->...it", p.expK, y,
+                          precision=_PRECISIONS[precision])
     return ckb_mul(spec.ckb, p.cosht, p.sinht, y)
 
 
-def apply_expK_T(spec: HolsteinSpec, p: HolsteinParams, y):
+def apply_expK_T(spec: HolsteinSpec, p: HolsteinParams, y, precision=None):
     """exp(−Δτ·K)ᵀ·y."""
     if spec.dense_ckb:
-        return jnp.einsum("ji,...jt->...it", p.expK, y, precision=jax.lax.Precision.HIGHEST)
+        return jnp.einsum("ji,...jt->...it", p.expK, y,
+                          precision=_PRECISIONS[precision])
     return ckb_transpose_mul(spec.ckb, p.cosht, p.sinht, y)
 
 
-def mulM(spec: HolsteinSpec, p: HolsteinParams, env, v):
+def mulM(spec: HolsteinSpec, p: HolsteinParams, env, v, precision=None):
     """y = M·v with v of shape [..., N, Lτ] (HolsteinModels.jl:569-626).
 
     y(τ) = v(τ) - B(τ)·v(τ-1) for τ>0; y(0) = v(0) + B(0)·v(Lτ-1),
@@ -287,29 +305,29 @@ def mulM(spec: HolsteinSpec, p: HolsteinParams, env, v):
     """
     v = jnp.asarray(v)
     y = env * jnp.roll(v, 1, axis=-1)
-    y = apply_expK(spec, p, y)
+    y = apply_expK(spec, p, y, precision)
     return v + _tau_sign_first(spec, v.dtype) * y
 
 
-def mulMT(spec: HolsteinSpec, p: HolsteinParams, env, v):
+def mulMT(spec: HolsteinSpec, p: HolsteinParams, env, v, precision=None):
     """y = Mᵀ·v (HolsteinModels.jl:631-684).
 
     y(τ) = v(τ) - Bᵀ(τ+1)·v(τ+1) for τ<Lτ-1; y(Lτ-1) = v(Lτ-1) + Bᵀ(0)·v(0).
     """
     v = jnp.asarray(v)
-    z = apply_expK_T(spec, p, v)
+    z = apply_expK_T(spec, p, v, precision)
     w = env * z
     return v + _tau_sign_last(spec, v.dtype) * jnp.roll(w, -1, axis=-1)
 
 
-def mulMTM(spec: HolsteinSpec, p: HolsteinParams, env, v):
+def mulMTM(spec: HolsteinSpec, p: HolsteinParams, env, v, precision=None):
     """y = MᵀM·v (Models.jl:215-224)."""
-    return mulMT(spec, p, env, mulM(spec, p, env, v))
+    return mulMT(spec, p, env, mulM(spec, p, env, v, precision), precision)
 
 
-def mulMMT(spec: HolsteinSpec, p: HolsteinParams, env, v):
+def mulMMT(spec: HolsteinSpec, p: HolsteinParams, env, v, precision=None):
     """y = MMᵀ·v (Models.jl:229-238)."""
-    return mulM(spec, p, env, mulMT(spec, p, env, v))
+    return mulM(spec, p, env, mulMT(spec, p, env, v, precision), precision)
 
 
 def muldMdx(spec: HolsteinSpec, p: HolsteinParams, env, x, u, v):

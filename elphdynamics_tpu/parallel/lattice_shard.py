@@ -634,7 +634,9 @@ def _kpm_local(plan: ShardPlan, kcfg, Ltau, N, dtype, axis, ops_of):
 
 def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
                           mass_table, cfg, kpm_cfg=None,
-                          chains_axis: str | None = None):
+                          chains_axis: str | None = None,
+                          dynamic_dt: bool = False,
+                          params_axis: int | None = None):
     """Sharded HMC update ``(params, x, v, key) -> (x', v', stats, key)``
     with the [N, Lτ] phonon field partitioned P('site', None) over ``mesh``.
 
@@ -648,6 +650,20 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
     sharded symmetric KPM preconditioner: spectral setup once per update at
     the trajectory start, averaged-operator refresh per solve — the same
     buffered-skip cadence as the unsharded path.
+
+    ``dynamic_dt=True`` returns ``(params, x, v, key, dt) -> ...`` with the
+    leapfrog step size a traced scalar (trajectory length Nt stays static
+    from ``cfg``) — the burnin dt tuner's contract, mirroring
+    :func:`~elphdynamics_tpu.dynamics.hmc.make_hmc_step`.
+
+    ``params_axis=0`` (combined mesh only) maps a leading chain axis of the
+    params pytree over the local chain block — parallel tempering's
+    per-rung stacked ladder (dynamics/tempering.ladder_params).
+
+    With ``cfg.log_verbose`` the stats dict carries per-timestep
+    ``traj_H/traj_S/traj_K/traj_iters`` arrays ([Nt]-leading), restoring the
+    reference's verbose hmc_sim_log.out cadence (HMC.jl:285-304) under
+    sharding.
     """
     wplan = build_wij_plan(model_spec.wij_table, model_spec.Nsites, plan.D)
     wij_sign = model_spec.wij_sign
@@ -662,7 +678,7 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
     from elphdynamics_tpu.ops.fourier_accel import accelerate
     from elphdynamics_tpu.utils.dtypes import fdot
 
-    def step_local(params, x_loc, v_loc, key):
+    def step_local(params, x_loc, v_loc, key, dt):
         d = lax.axis_index(plan.axis)
         rows = d * B + jnp.arange(B)
         mass = lax.dynamic_slice_in_dim(mass_full, d * B, B, axis=0)
@@ -819,14 +835,15 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
         def boson_substeps(x, v):
             """Nb small bosonic steps per fermionic step (HMC.jl:535-565);
             entirely site-local."""
+            dt_b = dt / cfg.Nb
             QdSb = qf(calc_dSbdx(x))
 
             def sub(carry, _):
                 x, v, QdSb = carry
-                v = v - cfg.dt_b / 2 * QdSb
-                x = x + cfg.dt_b * v
+                v = v - dt_b / 2 * QdSb
+                x = x + dt_b * v
                 QdSb2 = qf(calc_dSbdx(x))
-                v = v - cfg.dt_b / 2 * QdSb2
+                v = v - dt_b / 2 * QdSb2
                 return (x, v, QdSb2), None
 
             (x, v, _), _ = lax.scan(sub, (x, v, QdSb), None, length=cfg.Nb)
@@ -835,9 +852,9 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
         def body(carry, _):
             x, v, Qd, zp, zp2, zp3, iters, flag = carry
             ok = flag == 0
-            v1 = v - cfg.dt / 2 * Qd
+            v1 = v - dt / 2 * Qd
             if cfg.Nb == 1:
-                x1 = x + cfg.dt * v1
+                x1 = x + dt * v1
             else:
                 x1, v1 = boson_substeps(x, v1)
             env1 = env_of(x1)
@@ -846,7 +863,7 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
             z1, it1, fl1 = solve_O(env1, Lphi1, tol1, kst,
                                    x0=_guess(zp, zp2, zp3))
             Qd1 = qf(forces(x1, env1, z1))
-            v1 = v1 - cfg.dt / 2 * Qd1
+            v1 = v1 - dt / 2 * Qd1
             x = jnp.where(ok, x1, x)
             v = jnp.where(ok, v1, v)
             Qd = jnp.where(ok, Qd1, Qd)
@@ -855,9 +872,17 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
             zp = jnp.where(ok, z1, zp)
             iters = iters + jnp.where(ok, it1, 0)
             flag = jnp.maximum(flag, jnp.where(ok, fl1, 0))
-            return (x, v, Qd, zp, zp2, zp3, iters, flag), None
+            if cfg.log_verbose:
+                # per-timestep energies reusing the tol¹ solve (psum scalars;
+                # the reference's verbose update_log, HMC.jl:285-304)
+                S_t = pdot(Lphi1, z1) / 2 + calc_Sb(x)
+                K_t = calc_K(v)
+                ys = (S_t + K_t, S_t, K_t, it1)
+            else:
+                ys = None
+            return (x, v, Qd, zp, zp2, zp3, iters, flag), ys
 
-        (x1, v1, _, z_last, _, _, iters, flag), _ = lax.scan(
+        (x1, v1, _, z_last, _, _, iters, flag), traj = lax.scan(
             body, (x_loc, v0, Qd0, z0, z0, z0, it0, flag0), None, length=Nt)
 
         env1 = env_of(x1)
@@ -873,15 +898,21 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
         x_new = jnp.where(accept, x1, x_loc)
         v_new = jnp.where(accept, v1, -v0)
         mean_iters = (iters + Nt + 1) // (Nt + 2)
+        if not cfg.log_verbose:
+            traj_out = (jnp.nan, jnp.nan, jnp.nan, jnp.nan)
+        else:
+            traj_out = traj
         return (x_new, v_new, accept, mean_iters.astype(jnp.int32), dH,
-                flag, H1, S1, K1, key)
+                flag, H1, S1, K1, traj_out[0], traj_out[1], traj_out[2],
+                traj_out[3], key)
 
     if chains_axis is None:
+        if params_axis is not None:
+            raise ValueError("params_axis requires a chains_axis (2-D mesh)")
         sharded = jax.shard_map(
             step_local, mesh=mesh,
-            in_specs=(P(), P(plan.axis, None), P(plan.axis, None), P()),
-            out_specs=(P(plan.axis, None), P(plan.axis, None), P(), P(), P(),
-                       P(), P(), P(), P(), P()),
+            in_specs=(P(), P(plan.axis, None), P(plan.axis, None), P(), P()),
+            out_specs=(P(plan.axis, None), P(plan.axis, None)) + (P(),) * 12,
             check_vma=False,
         )
     else:
@@ -889,26 +920,44 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
         # the site collectives batch over the local chains, the chain axis
         # carries no communication (pure data parallel, SURVEY §5)
         ca = chains_axis
+        p_spec = P(ca) if params_axis == 0 else P()
         sharded = jax.shard_map(
-            jax.vmap(step_local, in_axes=(None, 0, 0, 0)), mesh=mesh,
-            in_specs=(P(), P(ca, plan.axis, None), P(ca, plan.axis, None),
-                      P(ca)),
-            out_specs=(P(ca, plan.axis, None), P(ca, plan.axis, None),
-                       P(ca), P(ca), P(ca), P(ca), P(ca), P(ca), P(ca),
-                       P(ca)),
+            jax.vmap(step_local, in_axes=(params_axis, 0, 0, 0, None)),
+            mesh=mesh,
+            in_specs=(p_spec, P(ca, plan.axis, None), P(ca, plan.axis, None),
+                      P(ca), P()),
+            out_specs=(P(ca, plan.axis, None), P(ca, plan.axis, None))
+            + (P(ca),) * 12,
             check_vma=False,
         )
 
-    def step(params, x, v, key):
-        x_new, v_new, accept, iters, dH, flag, H, S, K, key = sharded(
-            params, x, v, key)
-        # H/S/K restore the hmc_sim_log.out observability of the unsharded
-        # path (HMC.jl:236-304) under --site-devices
-        return x_new, v_new, {"accepted": accept, "iters": iters,
-                              "delta_H": dH, "flag": flag,
-                              "H": H, "S": S, "K": K}, key
+    def _stats(accept, iters, dH, flag, H, S, K, tH, tS, tK, tI):
+        st = {"accepted": accept, "iters": iters, "delta_H": dH,
+              "flag": flag,
+              # H/S/K restore the hmc_sim_log.out observability of the
+              # unsharded path (HMC.jl:236-304) under --site-devices
+              "H": H, "S": S, "K": K}
+        if cfg.log_verbose:
+            # [Nt] per-timestep traces ([chains, Nt] on the combined mesh —
+            # the chain vmap stacks outside the scan axis, matching the
+            # unsharded hmc.HMCStats.traj_* layout the driver expects)
+            st.update(traj_H=tH, traj_S=tS, traj_K=tK, traj_iters=tI)
+        return st
 
-    return jax.jit(step)
+    def step(params, x, v, key, dt=None):
+        dt_in = cfg.dt if dt is None else dt
+        (x_new, v_new, accept, iters, dH, flag, H, S, K,
+         tH, tS, tK, tI, key) = sharded(params, x, v, key, dt_in)
+        return x_new, v_new, _stats(accept, iters, dH, flag, H, S, K,
+                                    tH, tS, tK, tI), key
+
+    if dynamic_dt:
+        return jax.jit(step)
+
+    def step_static(params, x, v, key):
+        return step(params, x, v, key)
+
+    return jax.jit(step_static)
 
 
 def chain_site_mesh(n_chain: int, n_site: int, devices=None) -> Mesh:
@@ -1213,7 +1262,9 @@ def _ssh_muldmdx_builder(model_spec, plan: ShardPlan, ph_of_site, ph_mask,
 
 def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
                               mass_table, cfg, kpm_cfg=None,
-                              chains_axis: str | None = None):
+                              chains_axis: str | None = None,
+                              dynamic_dt: bool = False,
+                              params_axis: int | None = None):
     """Sharded SSH HMC update ``(params, x, v, key) -> (x', v', stats, key)``.
 
     The [Nph, Lτ] bond-phonon field (and momenta) stay replicated — every
@@ -1224,6 +1275,10 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
     :func:`elphdynamics_tpu.dynamics.hmc.make_hmc_step` for parity testing.
     ``kpm_cfg`` enables the sharded symmetric KPM preconditioner on the
     τ-averaged hopping (setup once per update, refresh per solve).
+
+    ``dynamic_dt`` and ``cfg.log_verbose`` as in
+    :func:`make_sharded_hmc_step` (traced step size; per-timestep traj_*
+    energy traces).
     """
     from elphdynamics_tpu.models import ssh as S
     from elphdynamics_tpu.ops.fourier_accel import accelerate
@@ -1241,7 +1296,7 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
                     == np.arange(model_spec.Nph))
     ph_of_site, ph_mask = _ssh_group_phonons(model_spec, plan)
 
-    def step_local(params, x, v, key):
+    def step_local(params, x, v, key, dt):
         d = lax.axis_index(plan.axis)
         mulM, mulMT, expmu_loc = _ssh_local_ops(model_spec, plan, params)
 
@@ -1344,14 +1399,15 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
         Qd0 = qf(forces(x, coeffs0, z0))
 
         def boson_substeps(x, v):
+            dt_b = dt / cfg.Nb
             QdSb = qf(calc_dSbdx(x))
 
             def sub(carry, _):
                 x, v, QdSb = carry
-                v = v - cfg.dt_b / 2 * QdSb
-                x = x + cfg.dt_b * v
+                v = v - dt_b / 2 * QdSb
+                x = x + dt_b * v
                 QdSb2 = qf(calc_dSbdx(x))
-                v = v - cfg.dt_b / 2 * QdSb2
+                v = v - dt_b / 2 * QdSb2
                 return (x, v, QdSb2), None
 
             (x, v, _), _ = lax.scan(sub, (x, v, QdSb), None, length=cfg.Nb)
@@ -1360,16 +1416,16 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
         def body(carry, _):
             x, v, Qd, zp, zp2, zp3, iters, flag = carry
             ok = flag == 0
-            v1 = v - cfg.dt / 2 * Qd
+            v1 = v - dt / 2 * Qd
             if cfg.Nb == 1:
-                x1 = x + cfg.dt * v1
+                x1 = x + dt * v1
             else:
                 x1, v1 = boson_substeps(x, v1)
             coeffs1 = coeffs_of(x1)
             z1, it1, fl1 = solve_O(coeffs1, phi, tol1, kst,
                                    x0=_guess(zp, zp2, zp3))
             Qd1 = qf(forces(x1, coeffs1, z1))
-            v1 = v1 - cfg.dt / 2 * Qd1
+            v1 = v1 - dt / 2 * Qd1
             x = jnp.where(ok, x1, x)
             v = jnp.where(ok, v1, v)
             Qd = jnp.where(ok, Qd1, Qd)
@@ -1378,9 +1434,15 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
             zp = jnp.where(ok, z1, zp)
             iters = iters + jnp.where(ok, it1, 0)
             flag = jnp.maximum(flag, jnp.where(ok, fl1, 0))
-            return (x, v, Qd, zp, zp2, zp3, iters, flag), None
+            if cfg.log_verbose:
+                S_t = pdot(phi, z1) / 2 + calc_Sb(x)
+                K_t = calc_K(v)
+                ys = (S_t + K_t, S_t, K_t, it1)
+            else:
+                ys = None
+            return (x, v, Qd, zp, zp2, zp3, iters, flag), ys
 
-        (x1, v1, _, z_last, _, _, iters, flag), _ = lax.scan(
+        (x1, v1, _, z_last, _, _, iters, flag), traj = lax.scan(
             body, (x, v0, Qd0, z0, z0, z0, it0, flag0), None, length=Nt)
 
         coeffs1 = coeffs_of(x1)
@@ -1396,38 +1458,60 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
         x_new = jnp.where(accept, x1, x)
         v_new = jnp.where(accept, v1, -v0)
         mean_iters = (iters + Nt + 1) // (Nt + 2)
+        if not cfg.log_verbose:
+            traj_out = (jnp.nan, jnp.nan, jnp.nan, jnp.nan)
+        else:
+            traj_out = traj
         return (x_new, v_new, accept, mean_iters.astype(jnp.int32), dH,
-                flag, H1, S1, K1, key)
+                flag, H1, S1, K1, traj_out[0], traj_out[1], traj_out[2],
+                traj_out[3], key)
 
     if chains_axis is None:
+        if params_axis is not None:
+            raise ValueError("params_axis requires a chains_axis (2-D mesh)")
         sharded = jax.shard_map(
             step_local, mesh=mesh,
-            in_specs=(P(), P(), P(), P()),
-            out_specs=(P(), P(), P(), P(), P(), P(), P(), P(), P(), P()),
+            in_specs=(P(), P(), P(), P(), P()),
+            out_specs=(P(),) * 14,
             check_vma=False,
         )
     else:
         # 2-D (chain × site) mesh: per-chain replicated bond fields over the
         # site axis, chain axis pure data parallel
         ca = chains_axis
+        p_spec = P(ca) if params_axis == 0 else P()
         sharded = jax.shard_map(
-            jax.vmap(step_local, in_axes=(None, 0, 0, 0)), mesh=mesh,
-            in_specs=(P(), P(ca), P(ca), P(ca)),
-            out_specs=(P(ca), P(ca), P(ca), P(ca), P(ca), P(ca), P(ca),
-                       P(ca), P(ca), P(ca)),
+            jax.vmap(step_local, in_axes=(params_axis, 0, 0, 0, None)),
+            mesh=mesh,
+            in_specs=(p_spec, P(ca), P(ca), P(ca), P()),
+            out_specs=(P(ca),) * 14,
             check_vma=False,
         )
 
-    def step(params, x, v, key):
-        x_new, v_new, accept, iters, dH, flag, H, S, K, key = sharded(
-            params, x, v, key)
-        # H/S/K restore the hmc_sim_log.out observability of the unsharded
-        # path (HMC.jl:236-304) under --site-devices
-        return x_new, v_new, {"accepted": accept, "iters": iters,
-                              "delta_H": dH, "flag": flag,
-                              "H": H, "S": S, "K": K}, key
+    def _stats(accept, iters, dH, flag, H, S, K, tH, tS, tK, tI):
+        st = {"accepted": accept, "iters": iters, "delta_H": dH,
+              "flag": flag,
+              # H/S/K restore the hmc_sim_log.out observability of the
+              # unsharded path (HMC.jl:236-304) under --site-devices
+              "H": H, "S": S, "K": K}
+        if cfg.log_verbose:
+            st.update(traj_H=tH, traj_S=tS, traj_K=tK, traj_iters=tI)
+        return st
 
-    return jax.jit(step)
+    def step(params, x, v, key, dt=None):
+        dt_in = cfg.dt if dt is None else dt
+        (x_new, v_new, accept, iters, dH, flag, H, S, K,
+         tH, tS, tK, tI, key) = sharded(params, x, v, key, dt_in)
+        return x_new, v_new, _stats(accept, iters, dH, flag, H, S, K,
+                                    tH, tS, tK, tI), key
+
+    if dynamic_dt:
+        return jax.jit(step)
+
+    def step_static(params, x, v, key):
+        return step(params, x, v, key)
+
+    return jax.jit(step_static)
 
 
 # ---------------------------------------------------------------------------
@@ -1509,12 +1593,15 @@ def _cg_local(A, rhs, tol, maxiter, pdot, P_apply=None, x0=None,
 
 def make_sharded_langevin_step(model_spec, plan: ShardPlan, mesh: Mesh,
                                Q_table, dt: float, method: str = "euler",
-                               scfg=None, kpm_cfg=None):
+                               scfg=None, kpm_cfg=None,
+                               chains_axis: str | None = None):
     """Sharded Holstein Langevin update ``(params, x, key) -> (x', stats,
     key)`` with the [N, Lτ] field partitioned P('site', None); Euler / RK /
     Heun integrators (LangevinDynamics.jl:81-324). Noise follows the exact
     key-split order of :func:`elphdynamics_tpu.dynamics.langevin.
-    make_langevin_step` for parity testing."""
+    make_langevin_step` for parity testing. ``chains_axis`` runs the step
+    chain-batched on a 2-D (chain × site) mesh — the chain axis is pure data
+    parallel; the CG trip counts couple across it (see ``_cg_local``)."""
     from elphdynamics_tpu.dynamics.solve import SolverConfig
     from elphdynamics_tpu.ops.fourier_accel import accelerate
 
@@ -1590,7 +1677,7 @@ def make_sharded_langevin_step(model_spec, plan: ShardPlan, mesh: Mesh,
             P_apply = (kpm_make_apply(kst, env) if kst is not None else None)
             rhs = mulMT(env, g)
             z, it, flag = _cg_local(A, rhs, scfg.tol, scfg.maxiter, pdot,
-                                    P_apply)
+                                    P_apply, sync_axis=chains_axis)
             dSf = -2.0 * muldMdx(env, x, g, z)
             return dSf + calc_dSbdx(x), it, flag, key
 
@@ -1629,12 +1716,21 @@ def make_sharded_langevin_step(model_spec, plan: ShardPlan, mesh: Mesh,
             raise ValueError(method)
         return x_new, it.astype(jnp.int32), flag, key
 
-    sharded = jax.shard_map(
-        step_local, mesh=mesh,
-        in_specs=(P(), P(plan.axis, None), P()),
-        out_specs=(P(plan.axis, None), P(), P(), P()),
-        check_vma=False,
-    )
+    if chains_axis is None:
+        sharded = jax.shard_map(
+            step_local, mesh=mesh,
+            in_specs=(P(), P(plan.axis, None), P()),
+            out_specs=(P(plan.axis, None), P(), P(), P()),
+            check_vma=False,
+        )
+    else:
+        ca = chains_axis
+        sharded = jax.shard_map(
+            jax.vmap(step_local, in_axes=(None, 0, 0)), mesh=mesh,
+            in_specs=(P(), P(ca, plan.axis, None), P(ca)),
+            out_specs=(P(ca, plan.axis, None), P(ca), P(ca), P(ca)),
+            check_vma=False,
+        )
 
     def step(params, x, key):
         x_new, iters, flag, key = sharded(params, x, key)
@@ -1645,10 +1741,12 @@ def make_sharded_langevin_step(model_spec, plan: ShardPlan, mesh: Mesh,
 
 def make_sharded_ssh_langevin_step(model_spec, plan: ShardPlan, mesh: Mesh,
                                    Q_table, dt: float, method: str = "euler",
-                                   scfg=None, kpm_cfg=None):
+                                   scfg=None, kpm_cfg=None,
+                                   chains_axis: str | None = None):
     """Sharded SSH Langevin update: bond-phonon field replicated, electron
     vectors sharded, fermionic force psum-assembled (as in
-    :func:`make_sharded_ssh_hmc_step`)."""
+    :func:`make_sharded_ssh_hmc_step`). ``chains_axis`` as in
+    :func:`make_sharded_langevin_step`."""
     from elphdynamics_tpu.dynamics.solve import SolverConfig
     from elphdynamics_tpu.models import ssh as S
     from elphdynamics_tpu.ops.fourier_accel import accelerate
@@ -1699,7 +1797,7 @@ def make_sharded_ssh_langevin_step(model_spec, plan: ShardPlan, mesh: Mesh,
                        else None)
             rhs = mulMT(coeffs, g)
             z, it, flag = _cg_local(A, rhs, scfg.tol, scfg.maxiter, pdot,
-                                    P_apply)
+                                    P_apply, sync_axis=chains_axis)
             part = muldmdx_partial(coeffs, x, g, z)
             dSf = -2.0 * lax.psum(part, plan.axis)
             tied = jnp.zeros_like(dSf).at[prim].add(dSf)
@@ -1741,12 +1839,21 @@ def make_sharded_ssh_langevin_step(model_spec, plan: ShardPlan, mesh: Mesh,
             raise ValueError(method)
         return x_new, it.astype(jnp.int32), flag, key
 
-    sharded = jax.shard_map(
-        step_local, mesh=mesh,
-        in_specs=(P(), P(), P()),
-        out_specs=(P(), P(), P(), P()),
-        check_vma=False,
-    )
+    if chains_axis is None:
+        sharded = jax.shard_map(
+            step_local, mesh=mesh,
+            in_specs=(P(), P(), P()),
+            out_specs=(P(), P(), P(), P()),
+            check_vma=False,
+        )
+    else:
+        ca = chains_axis
+        sharded = jax.shard_map(
+            jax.vmap(step_local, in_axes=(None, 0, 0)), mesh=mesh,
+            in_specs=(P(), P(ca), P(ca)),
+            out_specs=(P(ca), P(ca), P(ca), P(ca)),
+            check_vma=False,
+        )
 
     def step(params, x, key):
         x_new, iters, flag, key = sharded(params, x, key)

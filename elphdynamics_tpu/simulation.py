@@ -234,10 +234,11 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
     tcfg_t = setup.tempering_cfg
     tempering = tcfg_t is not None
     if tempering:
-        if n_chains < 2 or site_devices > 1:
+        if n_chains < 2:
+            raise ValueError("[tempering] needs --chains = K*M (>1)")
+        if site_devices > 1 and setup.dynamics_type != "hmc":
             raise NotImplementedError(
-                "[tempering] needs --chains = K*M (>1); --site-devices "
-                "tempering is not yet supported")
+                "[tempering] with --site-devices supports HMC only")
         from elphdynamics_tpu.dynamics.tempering import (
             ladder_params, make_exchange_step, target_mask)
     p_ax = 0 if tempering else None
@@ -261,9 +262,6 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
             make_sharded_ssh_langevin_step, site_mesh)
         plan = build_shard_plan(ops.spec.ckb, site_devices)
         if combined:
-            if setup.dynamics_type != "hmc":
-                raise NotImplementedError(
-                    "combined chain × site sharding supports HMC only")
             smesh = chain_site_mesh(max(n_devices, 1), site_devices)
         else:
             smesh = site_mesh(site_devices)
@@ -286,8 +284,12 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
 
         # params placement cache: re-place onto the mesh only when the
         # params object actually changes (μ-tuner updates), NOT every step —
-        # on the axon runtime every forced transfer is a full round trip
+        # on the axon runtime every forced transfer is a full round trip.
+        # Tempering's stacked ladder params carry a leading chain axis and
+        # shard over 'chain' (combined mesh only — the gate above).
         _pcache = {}
+        _prm_sh = (NamedSharding(smesh, _P("chain"))
+                   if (tempering and combined) else _rep)
 
         def _place_params(params):
             # identity check holds a strong reference to the source object,
@@ -295,7 +297,7 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
             if _pcache.get("src") is not params:
                 _pcache["src"] = params
                 _pcache["val"] = jax.tree.map(
-                    lambda a: jax.device_put(a, _rep) if a is not None else a,
+                    lambda a: jax.device_put(a, _prm_sh) if a is not None else a,
                     params)
             return _pcache["val"]
 
@@ -321,24 +323,27 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
             _ca = "chain" if combined else None
             sim_step = _adapt(_maker(
                 ops.spec, plan, smesh, setup.fa_mass, setup.hmc_cfg,
-                kpm_cfg=setup.kpm_cfg, chains_axis=_ca))
+                kpm_cfg=setup.kpm_cfg, chains_axis=_ca, params_axis=p_ax))
             burnin_step = _adapt(_maker(
                 ops.spec, plan, smesh, setup.fa_mass, setup.hmc_burnin_cfg,
-                kpm_cfg=setup.kpm_cfg, chains_axis=_ca))
+                kpm_cfg=setup.kpm_cfg, chains_axis=_ca, params_axis=p_ax))
         else:
             _lmaker = (make_sharded_langevin_step if ops.is_holstein
                        else make_sharded_ssh_langevin_step)
+            _ca = "chain" if combined else None
             _lraw = _lmaker(ops.spec, plan, smesh, setup.fa_Q,
                             setup.langevin_dt, setup.langevin_method,
-                            setup.solver_cfg, kpm_cfg=setup.kpm_cfg)
+                            setup.solver_cfg, kpm_cfg=setup.kpm_cfg,
+                            chains_axis=_ca)
 
             def _lwrap(params, state, key):
                 params = _place_params(params)
-                key = jax.device_put(key, _rep)
+                key = jax.device_put(key, _ksh)
                 x = jax.device_put(state.x, _xsh)
                 x, stats, key = _lraw(params, x, key)
+                acc = jnp.ones(stats["flag"].shape, dtype=bool)
                 return HMCState(x=x, v=state.v), \
-                    {"accepted": jnp.asarray(True), "iters": stats["iters"],
+                    {"accepted": acc, "iters": stats["iters"],
                      "flag": stats["flag"]}, key
 
             sim_step = burnin_step = _lwrap
@@ -380,12 +385,15 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
         from elphdynamics_tpu.parallel.lattice_shard import (
             make_sharded_reflection_update, make_sharded_swap_update)
         _sca = "chain" if combined else None
+        # under tempering the params carry the per-rung chain axis the
+        # sharded special updates do not thread — the chain-vmapped
+        # (gathering) fallback below handles p_ax instead
         if (ops.is_holstein and setup.reflect_cfg.n_moves
-                and setup.reflect_cfg.freq):
+                and setup.reflect_cfg.freq and not tempering):
             sharded_reflect = make_sharded_reflection_update(
                 ops.spec, plan, smesh, setup.reflect_cfg,
                 kpm_cfg=setup.kpm_cfg, chains_axis=_sca)
-        if setup.swap_cfg.n_moves and setup.swap_cfg.freq:
+        if setup.swap_cfg.n_moves and setup.swap_cfg.freq and not tempering:
             sharded_swap = make_sharded_swap_update(
                 ops.spec, plan, smesh, setup.swap_cfg,
                 kpm_cfg=setup.kpm_cfg, is_holstein=ops.is_holstein,
@@ -525,37 +533,57 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
     _bcfg = setup.hmc_burnin_cfg
     if (setup.dynamics_type == "hmc" and _bcfg is not None and _bcfg.tune_dt
             and sp.burnin > 0):
-        if site_devices > 1:
-            raise NotImplementedError(
-                "[hmc] tune_dt is not yet supported with --site-devices")
         from elphdynamics_tpu.dynamics.hmc import (DtTunerState,
                                                    dt_tuner_init,
                                                    dt_tuner_update)
-        _raw_bt = make_hmc_step(ops, setup.fa_mass, _bcfg, precond,
-                                dynamic_dt=True)
-        if n_chains > 1:
-            _vbt = jax.vmap(_raw_bt, in_axes=(p_ax, 0, 0, None))
-            if mesh is not None:
-                from jax.sharding import PartitionSpec as P
-                _vbt = jax.shard_map(
-                    _vbt, mesh=mesh,
-                    in_specs=(P("chain") if tempering else P(),
-                              P("chain"), P("chain"), P()),
-                    out_specs=P("chain"), check_vma=False)
-        else:
-            _vbt = _raw_bt
         _target = _bcfg.target_acceptance
+        if site_devices > 1:
+            # sharded dynamic-dt step (make_sharded_*hmc_step dynamic_dt):
+            # the tuner update runs eagerly on device scalars — no extra
+            # compiles, one tiny dispatch per burnin update
+            _raw_sbt = _maker(ops.spec, plan, smesh, setup.fa_mass, _bcfg,
+                              kpm_cfg=setup.kpm_cfg, chains_axis=_ca,
+                              dynamic_dt=True, params_axis=p_ax)
 
-        def _burnin_tuned(params, state, keys, tuner):
-            st, stats, keys = _vbt(params, state, keys, jnp.exp(tuner.log_dt))
-            # flagged (solver-aborted) trajectories are auto-rejected:
-            # count them at probability 0 so they push dt down too
-            p = jnp.minimum(1.0, jnp.exp(-stats.delta_H))
-            p = jnp.where(jnp.isfinite(p) & (stats.flag == 0), p, 0.0)
-            tuner = dt_tuner_update(tuner, jnp.mean(p), _target)
-            return st, stats, keys, tuner
+            def _burnin_tuned(params, state, keys, tuner):
+                params_m = _place_params(params)
+                keys_m = jax.device_put(keys, _ksh)
+                x = jax.device_put(state.x, _xsh)
+                v = jax.device_put(state.v, _xsh)
+                x, v, stats, keys = _raw_sbt(params_m, x, v, keys_m,
+                                             jnp.exp(tuner.log_dt))
+                p = jnp.minimum(1.0, jnp.exp(-stats["delta_H"]))
+                p = jnp.where(jnp.isfinite(p) & (stats["flag"] == 0), p, 0.0)
+                tuner = dt_tuner_update(tuner, jnp.mean(p), _target)
+                return HMCState(x=x, v=v), stats, keys, tuner
 
-        burnin_tuned_j = jax.jit(_burnin_tuned)
+            burnin_tuned_j = _burnin_tuned
+        else:
+            _raw_bt = make_hmc_step(ops, setup.fa_mass, _bcfg, precond,
+                                    dynamic_dt=True)
+            if n_chains > 1:
+                _vbt = jax.vmap(_raw_bt, in_axes=(p_ax, 0, 0, None))
+                if mesh is not None:
+                    from jax.sharding import PartitionSpec as P
+                    _vbt = jax.shard_map(
+                        _vbt, mesh=mesh,
+                        in_specs=(P("chain") if tempering else P(),
+                                  P("chain"), P("chain"), P()),
+                        out_specs=P("chain"), check_vma=False)
+            else:
+                _vbt = _raw_bt
+
+            def _burnin_tuned(params, state, keys, tuner):
+                st, stats, keys = _vbt(params, state, keys,
+                                       jnp.exp(tuner.log_dt))
+                # flagged (solver-aborted) trajectories are auto-rejected:
+                # count them at probability 0 so they push dt down too
+                p = jnp.minimum(1.0, jnp.exp(-stats.delta_H))
+                p = jnp.where(jnp.isfinite(p) & (stats.flag == 0), p, 0.0)
+                tuner = dt_tuner_update(tuner, jnp.mean(p), _target)
+                return st, stats, keys, tuner
+
+            burnin_tuned_j = jax.jit(_burnin_tuned)
         dt_tuner = dt_tuner_init(_bcfg.dt)
 
     def _freeze_tuned_dt(tuned_dt: float):
@@ -564,8 +592,13 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
         time that the fixed-Nt burnin tuner traded away)."""
         nonlocal sim_step_j
         cfg2 = setup.hmc_cfg._replace(dt=float(tuned_dt))
-        s2 = make_hmc_step(ops, setup.fa_mass, cfg2, precond)
-        sim_step_j = _sharded(s2) if n_chains > 1 else jax.jit(s2)
+        if site_devices > 1:
+            sim_step_j = _adapt(_maker(
+                ops.spec, plan, smesh, setup.fa_mass, cfg2,
+                kpm_cfg=setup.kpm_cfg, chains_axis=_ca, params_axis=p_ax))
+        else:
+            s2 = make_hmc_step(ops, setup.fa_mass, cfg2, precond)
+            sim_step_j = _sharded(s2) if n_chains > 1 else jax.jit(s2)
         sim_stats["tuned_dt"] = float(tuned_dt)
         logger.info(
             "tune_dt: frozen dt=%.6g Nt=%d (configured dt=%.6g Nt=%d, "

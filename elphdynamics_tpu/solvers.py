@@ -297,13 +297,17 @@ def block_cg(
       noise; letting it into the shared Gram solves corrupts every other
       column. Frozen columns are zeroed out of the direction block and the
       Gram gets a unit diagonal in their slot.
-    * **directions are column-normalized** every iteration (a diagonal
-      rescaling that cancels exactly in the X update), keeping the Gram
-      PᵀAP at O(1) scale so its batched LU stays accurate as individual
-      residuals shrink toward tol.
+    * **Gram solves are diagonally scaled to unit diagonal** (see
+      ``colsolve``) — the conditioning the former per-iteration column
+      normalization bought, without its two extra full-field passes; the
+      initial direction block is still normalized once.
     * α/β come from the explicit Gram solves ``(PᵀAP)α = PᵀR`` and
       ``(PᵀAP)β = −QᵀZ`` rather than the ρ-recursion — self-correcting
       under inexact arithmetic.
+    * **all Gram/update einsums are pinned to HIGHEST precision** — the
+      TPU default (single-pass bf16) injects ~8e-3 noise into the shared
+      Gram and the X/R updates, measured on-chip to blow the iteration
+      count up ~8× at β=16.
     """
     B = jnp.asarray(B)
     if B.ndim < 3:
@@ -317,9 +321,14 @@ def block_cg(
         return lax.psum(v, psum_axis) if psum_axis is not None else v
 
     def gram(U, W):
-        # [..., a, b] = Σ_{N,Lτ} U[..., a]·W[..., b] (hardware precision —
-        # the solve ends in the compensated verification ladder)
-        return _ps(jnp.einsum("...aij,...bij->...ab", U, W))
+        # [..., a, b] = Σ_{N,Lτ} U[..., a]·W[..., b]. Precision MUST be
+        # HIGHEST: on TPU the default einsum precision is single-pass bf16,
+        # whose noise in the shared Gram corrupts every column's α/β and
+        # blows the iteration count up ~8× (measured on-chip at β=16 —
+        # scripts/bench_block.py; the CPU studies ran full f32 and were
+        # blind to it). The contraction is s×s-small, so the cost is nil.
+        return _ps(jnp.einsum("...aij,...bij->...ab", U, W,
+                              precision=lax.Precision.HIGHEST))
 
     def nrm(a):
         return jnp.sqrt(_ps(_dot(a, a)))
@@ -328,8 +337,32 @@ def block_cg(
         return jnp.sqrt(_ps(_dot_hot(a, a)))
 
     def colsolve(G, C):
-        # batched s×s solve, [..., s, s] @ [..., s, k]
-        return jnp.linalg.solve(G, C)
+        """Batched s×s solve G⁻¹·C with the diagonal scaling
+        D⁻½·(D⁻½GD⁻½)⁻¹·D⁻½ folded in — the same conditioning the former
+        per-iteration column normalization of Pd bought, at s×s cost
+        instead of two full-field passes (it cancels identically in the
+        X/R updates). s=2 (the spin-stacked trajectory solves) uses the
+        closed-form 2×2 inverse: on TPU a batched LU is ~100 µs of
+        latency-bound non-MXU work per call, two calls per iteration —
+        the measured reason block CG lost wall time while winning
+        iterations (scripts/bench_block.py)."""
+        dg = jnp.diagonal(G, axis1=-2, axis2=-1)
+        sc = 1.0 / jnp.sqrt(jnp.where(dg > 0, dg, 1.0))
+        Gh = G * sc[..., :, None] * sc[..., None, :]
+        Ch = sc[..., :, None] * C
+        if s == 2:
+            a = Gh[..., 0, 0]
+            b = Gh[..., 0, 1]
+            b2 = Gh[..., 1, 0]
+            c = Gh[..., 1, 1]
+            det = a * c - b * b2
+            det = jnp.where(det != 0, det, 1.0)
+            r0 = (c[..., None] * Ch[..., 0, :] - b[..., None] * Ch[..., 1, :]) / det[..., None]
+            r1 = (a[..., None] * Ch[..., 1, :] - b2[..., None] * Ch[..., 0, :]) / det[..., None]
+            Y = jnp.stack([r0, r1], axis=-2)
+        else:
+            Y = jnp.linalg.solve(Gh, Ch)
+        return sc[..., :, None] * Y
 
     normb = nrm(B)                         # [..., s]
     safe_normb = jnp.where(normb > 0, normb, 1.0)
@@ -367,8 +400,12 @@ def block_cg(
         G = G + eye * (~active).astype(G.dtype)[..., None, :]
         alpha = colsolve(G, gram(Pd, R))    # [..., sdir, srhs]
         alpha = alpha * active[..., None, :].astype(alpha.dtype)
-        X_new = X + jnp.einsum("...aij,...ab->...bij", Pd, alpha)
-        R_new = R - jnp.einsum("...aij,...ab->...bij", Q, alpha)
+        # HIGHEST for the same reason as gram(): the bf16 default would
+        # inject ~8e-3 relative noise straight into X and R every iteration
+        X_new = X + jnp.einsum("...aij,...ab->...bij", Pd, alpha,
+                               precision=lax.Precision.HIGHEST)
+        R_new = R - jnp.einsum("...aij,...ab->...bij", Q, alpha,
+                               precision=lax.Precision.HIGHEST)
         eps = nrm_hot(R_new) / safe_normb
         # per-column κ lower bound, as in cg (IterativeSolvers.jl:214)
         logr = jnp.log(2.0 * eps0 / jnp.where(eps > 0, eps, 1e-300))
@@ -377,7 +414,8 @@ def block_cg(
         done = (eps < tol) | (kmin_new > kappa_max)
         Z_new = P(R_new) * _bc(active & ~done, R_new)
         beta = colsolve(G, -gram(Q, Z_new))
-        Pd_new = normalize(Z_new + jnp.einsum("...aij,...ab->...bij", Pd, beta))
+        Pd_new = Z_new + jnp.einsum("...aij,...ab->...bij", Pd, beta,
+                                    precision=lax.Precision.HIGHEST)
 
         m = _bc(active, X)
         X = jnp.where(m, X_new, X)
@@ -409,22 +447,25 @@ def block_solve_checked(
     tol: float = 1e-5,
     maxiter: int = 1000,
     kappa_max: float = 1e12,
+    apply_A_check: Callable | None = None,
 ):
     """:func:`block_cg` with the residual-verification + retry ladder of
     :func:`solve_checked` (Models.jl:74-186); failed columns are re-solved
-    by plain unpreconditioned masked CG."""
+    by plain unpreconditioned masked CG. ``apply_A_check`` as in
+    :func:`solve_checked`."""
+    A_chk = apply_A_check if apply_A_check is not None else apply_A
     res1 = block_cg(apply_A, B, X0=X0, apply_P=apply_P, tol=tol,
                     maxiter=maxiter, kappa_max=kappa_max)
     normb = _norm(B)
     safe_normb = jnp.where(normb > 0, normb, 1.0)
-    err = _norm(apply_A(res1.x) - B) / safe_normb
+    err = _norm(A_chk(res1.x) - B) / safe_normb
     bad = err > jnp.sqrt(tol)
     flag = jnp.where(bad, jnp.where(res1.iters >= maxiter, 1, 2), 0)
     x_start = jnp.where(_bc(bad, res1.x), 0.0, res1.x)
-    res2 = cg(apply_A, B, x0=x_start, tol=tol, maxiter=10 * maxiter,
+    res2 = cg(A_chk, B, x0=x_start, tol=tol, maxiter=10 * maxiter,
               kappa_max=kappa_max, active0=bad)
     x = jnp.where(_bc(bad, res1.x), res2.x, res1.x)
-    err2 = _norm(apply_A(x) - B) / safe_normb
+    err2 = _norm(A_chk(x) - B) / safe_normb
     iters = res1.iters + jnp.where(bad, res2.iters, 0)
     still_bad = bad & (err2 > jnp.sqrt(tol))
     flag = jnp.where(still_bad, flag, 0)
@@ -449,6 +490,7 @@ def solve_checked(
     kappa_max: float = 1e12,
     fallback: bool = True,
     deflate=None,
+    apply_A_check: Callable | None = None,
 ):
     """CG solve with residual verification and retry ladder (Models.jl:74-186).
 
@@ -459,12 +501,19 @@ def solve_checked(
     exits immediately if nothing failed. ``x0`` optionally warm-starts the
     first solve (the ``construct_guess`` knob the reference documents in its
     example TOMLs; the retry always restarts from zero, undeflated).
+
+    ``apply_A_check`` optionally supplies a higher-precision operator for
+    the residual verification and the retry (the split in-loop precision
+    policy, ``[solver] loop_precision``): the cheap operator only steers the
+    iteration, the verified residual and any fallback re-solve are computed
+    with the accurate one.
     """
+    A_chk = apply_A_check if apply_A_check is not None else apply_A
     res1 = cg(apply_A, b, x0=x0, apply_P=apply_P, tol=tol, maxiter=maxiter,
               kappa_max=kappa_max, deflate=deflate)
     normb = _norm(b)
     safe_normb = jnp.where(normb > 0, normb, 1.0)
-    err = _norm(apply_A(res1.x) - b) / safe_normb
+    err = _norm(A_chk(res1.x) - b) / safe_normb
     bad = err > jnp.sqrt(tol)
     flag = jnp.where(bad, jnp.where(res1.iters >= maxiter, 1, 2), 0)
 
@@ -472,10 +521,10 @@ def solve_checked(
         return SolveResult(x=res1.x, iters=res1.iters, residual=err, flag=flag)
 
     x_start = jnp.where(_bc(bad, res1.x), 0.0, res1.x)
-    res2 = cg(apply_A, b, x0=x_start, tol=tol, maxiter=10 * maxiter,
+    res2 = cg(A_chk, b, x0=x_start, tol=tol, maxiter=10 * maxiter,
               kappa_max=kappa_max, active0=bad)
     x = jnp.where(_bc(bad, res1.x), res2.x, res1.x)
-    err2 = _norm(apply_A(x) - b) / safe_normb
+    err2 = _norm(A_chk(x) - b) / safe_normb
     iters = res1.iters + res2.iters
     still_bad = bad & (err2 > jnp.sqrt(tol))
     flag = jnp.where(still_bad, flag, 0)

@@ -1006,3 +1006,150 @@ def test_combined_mesh_special_updates_match_vmapped():
         np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref),
                                    rtol=1e-6, atol=1e-8)
         assert len(x_sh.sharding.device_set) == C * D
+
+
+# ---------------------------------------------------------------------------
+# round-4 composition closures: verbose traces, dynamic dt, 2-D Langevin,
+# per-rung stacked params (VERDICT r3 items 4 & 8)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_sharded_hmc_verbose_traj_matches_unsharded():
+    """cfg.log_verbose under sharding must reproduce the unsharded
+    per-timestep traj_H/S/K/iters rows (HMC.jl:285-304 verbose parity)."""
+    from elphdynamics_tpu.dynamics.hmc import HMCConfig, HMCState, make_hmc_step
+    from elphdynamics_tpu.ops.fourier_accel import build_mass
+    from elphdynamics_tpu.parallel.lattice_shard import make_sharded_hmc_step
+
+    D = 4
+    assert jax.device_count() >= D
+    spec, params, ops = _build(L=4, beta=1.0, dtau=0.1, lam=0.8)
+    plan = build_shard_plan(spec.ckb, D)
+    mesh = site_mesh(D)
+    mass = build_mass(np.asarray(params.omega), spec.dtau, spec.Ltau,
+                      [dict(omega_min=0.0, omega_max=10.0, mass=0.5)])
+    cfg = HMCConfig(dt=0.1, trajectory_time=0.4, Nb=1, tol=1e-10,
+                    maxiter=3000, log_verbose=True)
+
+    ref_step = jax.jit(make_hmc_step(ops, mass, cfg, precond=None))
+    sh_step = make_sharded_hmc_step(spec, plan, mesh, mass, cfg)
+
+    key = jax.random.PRNGKey(3)
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (spec.Nph, spec.Ltau))
+    v = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (spec.Nph, spec.Ltau))
+    ref_state, ref_stats, _ = ref_step(params, HMCState(x=x, v=v), key)
+    xs, vs, stats, _ = sh_step(params, x, v, key)
+
+    assert stats["traj_H"].shape == (cfg.Nt,)
+    np.testing.assert_allclose(np.asarray(stats["traj_H"]),
+                               np.asarray(ref_stats.traj_H), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(stats["traj_S"]),
+                               np.asarray(ref_stats.traj_S), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(stats["traj_K"]),
+                               np.asarray(ref_stats.traj_K), rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_sharded_hmc_dynamic_dt_matches_static():
+    """The dynamic_dt sharded step fed cfg.dt as a traced scalar must equal
+    the static-cfg sharded step (the tune_dt x --site-devices contract)."""
+    from elphdynamics_tpu.dynamics.hmc import HMCConfig
+    from elphdynamics_tpu.ops.fourier_accel import build_mass
+    from elphdynamics_tpu.parallel.lattice_shard import make_sharded_hmc_step
+
+    D = 4
+    assert jax.device_count() >= D
+    spec, params, ops = _build(L=4, beta=1.0, dtau=0.1, lam=0.8)
+    plan = build_shard_plan(spec.ckb, D)
+    mesh = site_mesh(D)
+    mass = build_mass(np.asarray(params.omega), spec.dtau, spec.Ltau,
+                      [dict(omega_min=0.0, omega_max=10.0, mass=0.5)])
+    cfg = HMCConfig(dt=0.1, trajectory_time=0.4, Nb=2, tol=1e-8, maxiter=2000)
+
+    st_step = make_sharded_hmc_step(spec, plan, mesh, mass, cfg)
+    dy_step = make_sharded_hmc_step(spec, plan, mesh, mass, cfg,
+                                    dynamic_dt=True)
+    key = jax.random.PRNGKey(11)
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (spec.Nph, spec.Ltau))
+    v = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (spec.Nph, spec.Ltau))
+    xs, vs, st, _ = st_step(params, x, v, key)
+    xd, vd, dyn, _ = dy_step(params, x, v, key, jnp.asarray(cfg.dt, x.dtype))
+    np.testing.assert_allclose(np.asarray(xd), np.asarray(xs), atol=1e-10)
+    assert abs(float(dyn["delta_H"]) - float(st["delta_H"])) < 1e-8
+    # a different traced dt runs WITHOUT retracing and changes the result
+    xd2, _, dyn2, _ = dy_step(params, x, v, key, jnp.asarray(0.05, x.dtype))
+    assert abs(float(dyn2["delta_H"]) - float(dyn["delta_H"])) > 0
+
+
+@pytest.mark.slow
+def test_sharded_langevin_2d_chain_mesh_matches_unsharded():
+    """Langevin on the combined chain x site mesh (previously HMC-only)
+    reproduces the vmapped unsharded step per chain."""
+    from elphdynamics_tpu.dynamics.langevin import make_langevin_step
+    from elphdynamics_tpu.dynamics.solve import SolverConfig
+    from elphdynamics_tpu.ops.fourier_accel import build_Q
+    from elphdynamics_tpu.parallel.lattice_shard import (
+        chain_site_mesh, make_sharded_langevin_step)
+
+    n_chain, D = 2, 4
+    assert jax.device_count() >= n_chain * D
+    spec, params, ops = _build(L=4, beta=1.0, dtau=0.1, lam=0.8)
+    plan = build_shard_plan(spec.ckb, D)
+    mesh = chain_site_mesh(n_chain, D)
+    Q = build_Q(np.asarray(params.omega), spec.dtau, spec.Ltau,
+                [dict(omega_min=0.0, omega_max=10.0, mass=0.5)])
+    scfg = SolverConfig(tol=1e-9, maxiter=3000)
+
+    sh = make_sharded_langevin_step(spec, plan, mesh, Q, 0.01, "rk", scfg,
+                                    chains_axis="chain")
+    ref = jax.jit(jax.vmap(make_langevin_step(ops, Q, 0.01, "rk", scfg, None),
+                           in_axes=(None, 0, 0)))
+    keys = jax.random.split(jax.random.PRNGKey(4), n_chain)
+    xs = 0.3 * jax.random.normal(jax.random.PRNGKey(5),
+                                 (n_chain, spec.Nph, spec.Ltau))
+    x_sh, st_sh, _ = sh(params, xs, keys)
+    x_ref, st_ref, _ = ref(params, xs, keys)
+    np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref),
+                               rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.slow
+def test_sharded_hmc_2d_stacked_params_matches_unsharded():
+    """params_axis=0 on the combined mesh (parallel tempering's per-rung
+    ladder): each chain runs at its own coupling."""
+    from elphdynamics_tpu.dynamics.hmc import HMCConfig, HMCState, make_hmc_step
+    from elphdynamics_tpu.ops.fourier_accel import build_mass
+    from elphdynamics_tpu.parallel.lattice_shard import (
+        chain_site_mesh, make_sharded_hmc_step)
+
+    n_chain, D = 2, 4
+    assert jax.device_count() >= n_chain * D
+    spec, params, ops = _build(L=4, beta=1.0, dtau=0.1, lam=0.8)
+    plan = build_shard_plan(spec.ckb, D)
+    mesh = chain_site_mesh(n_chain, D)
+    mass = build_mass(np.asarray(params.omega), spec.dtau, spec.Ltau,
+                      [dict(omega_min=0.0, omega_max=10.0, mass=0.5)])
+    cfg = HMCConfig(dt=0.1, trajectory_time=0.3, Nb=1, tol=1e-9, maxiter=3000)
+
+    # rung 1 at 0.5x the coupling (ladder_params semantics)
+    pstack = jax.tree.map(
+        lambda a: jnp.stack([a, a]) if a is not None else None, params)
+    pstack = pstack._replace(lam=pstack.lam.at[1].mul(0.5))
+
+    sh = make_sharded_hmc_step(spec, plan, mesh, mass, cfg,
+                               chains_axis="chain", params_axis=0)
+    ref = jax.jit(jax.vmap(make_hmc_step(ops, mass, cfg, precond=None),
+                           in_axes=(0, 0, 0)))
+    keys = jax.random.split(jax.random.PRNGKey(9), n_chain)
+    xs = 0.3 * jax.random.normal(jax.random.PRNGKey(8),
+                                 (n_chain, spec.Nph, spec.Ltau))
+    vs = jnp.zeros_like(xs)
+    x_sh, v_sh, st_sh, _ = sh(pstack, xs, vs, keys)
+    ref_state, ref_stats, _ = ref(pstack, HMCState(x=xs, v=vs), keys)
+    np.testing.assert_allclose(np.asarray(st_sh["delta_H"]),
+                               np.asarray(ref_stats.delta_H),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(x_sh), np.asarray(ref_state.x),
+                               rtol=1e-5, atol=1e-7)
+    # the two chains really ran different couplings
+    assert abs(float(st_sh["delta_H"][0] - st_sh["delta_H"][1])) > 0
