@@ -115,6 +115,7 @@ def build_holstein(
     rng: np.random.Generator | None = None,
     dtype=None,
     dense_threshold: int = 4096,
+    twist=None,            # (θ1, θ2, θ3) twisted-BC flux angles, radians
 ) -> tuple[HolsteinSpec, HolsteinParams]:
     """Construct a Holstein model spec + parameter pytree.
 
@@ -123,6 +124,18 @@ def build_holstein(
     neighbor-table sort + checkerboard grouping (HolsteinModels.jl:484-517).
     ``per_orbit`` optionally maps parameter names to {orbit: (val, std)}
     overrides for multi-orbital unit cells.
+
+    **Complex hopping** (the reference's ``Continuous =
+    Union{AbstractFloat,Complex}`` surface, Models.jl:20): complex ``t``
+    values in ``t_assignments`` — or a nonzero ``twist``, which multiplies
+    every bond of displacement dL by the uniform-vector-potential Peierls
+    phase ``exp(i·Σ_d θ_d·dL_d/L_d)`` (total flux θ_d through cycle d) —
+    switch the checkerboard tables to the Hermitian convention
+    c = cosh(Δτ|t|), s = (t/|t|)·sinh(Δτ|t|) with conj(s) on the second
+    endpoint (Checkerboard.jl:78). Supported surface: operators
+    (mulM/mulMT≡M†/mulMTM), dense expK, and the Hermitian-M†M CG solves
+    (utils/dtypes.fdot). HMC/Langevin forces and the measurement stack stay
+    real-hopping-only (no stock reference example exercises complex t).
     """
     rng = rng or np.random.default_rng(0)
     N = lattice.nsites
@@ -146,6 +159,16 @@ def build_holstein(
     lam2_v = _assign(lam2, lam2_std, "lambda2")
 
     # hopping bonds (HolsteinModels.jl:418-444)
+    if twist is not None and np.any(np.asarray(twist)):
+        tw3 = np.zeros(3)
+        tw3[: len(tuple(twist))] = twist
+        twist = tw3
+    else:
+        twist = None
+    t_dtype = (np.complex128 if twist is not None
+               or any(np.iscomplexobj(a[0]) for a in t_assignments)
+               else np.float64)
+    Ls = np.asarray([lattice.L1, lattice.L2, lattice.L3], np.float64)
     tables = []
     tvals = []
     bond_defs = []
@@ -155,8 +178,12 @@ def build_holstein(
         nnew = tb.shape[1]
         phase = np.sign(tval) if tval != 0 else 1.0
         tv = phase * (abs(tval) + (tstd * rng.standard_normal(nnew) if tstd else 0.0))
+        if twist is not None:
+            dL3 = np.zeros(3)
+            dL3[: len(dL)] = dL
+            tv = tv * np.exp(1j * float(np.sum(twist * dL3 / Ls)))
         tables.append(tb)
-        tvals.append(np.broadcast_to(tv, (nnew,)).astype(np.float64))
+        tvals.append(np.broadcast_to(tv, (nnew,)).astype(t_dtype))
         bond_defs.append((o1, o2, tuple(dL)))
         bond_def_of_bond.extend([idef] * nnew)
     if tables:
@@ -164,7 +191,7 @@ def build_holstein(
         t = np.concatenate(tvals)
     else:
         table = np.zeros((2, 0), dtype=np.int64)
-        t = np.zeros(0)
+        t = np.zeros(0, dtype=t_dtype)
     table_sorted, perm = sort_neighbor_table(table)
     t_sorted = t[perm]
     ckb = build_checkerboard_spec(N, table_sorted)
@@ -209,28 +236,46 @@ def build_holstein(
         ckb_to_bond=ckb_to_bond,
         bond_to_ckb=bond_to_ckb,
     )
+    cosh_v, sinh_v = _ckb_tables(dtau, t_ckb)
+    cdtype = dtype
+    if np.iscomplexobj(t):
+        cdtype = (jnp.complex64 if jnp.dtype(dtype) == jnp.float32
+                  else jnp.complex128)
     params = HolsteinParams(
         mu=jnp.asarray(mu_v, dtype),
         omega=jnp.asarray(om_v, dtype),
         omega4=jnp.asarray(om4_v, dtype),
         lam=jnp.asarray(lam_v, dtype),
         lam2=jnp.asarray(lam2_v, dtype),
-        cosht=jnp.asarray(np.cosh(dtau * t_ckb), dtype),
-        sinht=jnp.asarray(np.sinh(dtau * t_ckb), dtype),
+        cosht=jnp.asarray(cosh_v, cdtype),
+        sinht=jnp.asarray(sinh_v, cdtype),
         wij=jnp.asarray(wij, dtype),
-        t=jnp.asarray(t, dtype),
-        expK=(jnp.asarray(_ckb_dense(ckb, dtau, t_ckb), dtype) if dense_ckb else None),
-        expK_inv=(jnp.asarray(_ckb_dense(ckb, dtau, t_ckb, inverse=True), dtype)
+        t=jnp.asarray(t, cdtype),
+        expK=(jnp.asarray(_ckb_dense(ckb, dtau, t_ckb), cdtype) if dense_ckb else None),
+        expK_inv=(jnp.asarray(_ckb_dense(ckb, dtau, t_ckb, inverse=True), cdtype)
                   if dense_ckb else None),
     )
     return spec, params
 
 
+def _ckb_tables(dtau, t_ckb):
+    """(cosh, sinh) checkerboard coefficient tables. Real t: the reference's
+    cosh/sinh(Δτ·t) (HolsteinModels.jl:492-493). Complex t: the Hermitian
+    2×2-block convention c = cosh(Δτ|t|), s = (t/|t|)·sinh(Δτ|t|) — reduces
+    exactly to the real formulas for real t (the sign rides the phase)."""
+    if np.iscomplexobj(t_ckb):
+        at = np.abs(t_ckb)
+        phase = np.where(at > 0, t_ckb / np.where(at > 0, at, 1.0), 1.0)
+        return np.cosh(dtau * at).astype(np.complex128), \
+            phase * np.sinh(dtau * at)
+    return np.cosh(dtau * t_ckb), np.sinh(dtau * t_ckb)
+
+
 def _ckb_dense(ckb, dtau, t_ckb, inverse=False):
     from elphdynamics_tpu.ops.checkerboard import dense_matrix
 
-    return dense_matrix(ckb, np.cosh(dtau * t_ckb), np.sinh(dtau * t_ckb),
-                        inverse=inverse)
+    cosh_v, sinh_v = _ckb_tables(dtau, t_ckb)
+    return dense_matrix(ckb, cosh_v, sinh_v, inverse=inverse)
 
 
 # ---------------------------------------------------------------------------
@@ -290,9 +335,12 @@ def apply_expK(spec: HolsteinSpec, p: HolsteinParams, y, precision=None):
 
 
 def apply_expK_T(spec: HolsteinSpec, p: HolsteinParams, y, precision=None):
-    """exp(−Δτ·K)ᵀ·y."""
+    """exp(−Δτ·K)ᵀ·y — the ADJOINT exp(−Δτ·K)†·y on the complex-hopping
+    path (expK is Hermitian there, so the fold's reversed group order
+    already is the adjoint; the dense path conjugates explicitly)."""
     if spec.dense_ckb:
-        return jnp.einsum("ji,...jt->...it", p.expK, y,
+        K = jnp.conj(p.expK) if jnp.iscomplexobj(p.expK) else p.expK
+        return jnp.einsum("ji,...jt->...it", K, y,
                           precision=_PRECISIONS[precision])
     return ckb_transpose_mul(spec.ckb, p.cosht, p.sinht, y)
 

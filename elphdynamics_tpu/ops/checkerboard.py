@@ -167,6 +167,14 @@ def _group_coeffs(spec: CheckerboardSpec, g: int, cosh_b, sinh_b):
     if c.ndim == 1:
         c = c[:, None]
         s = s[:, None]
+    if jnp.iscomplexobj(s):
+        # complex hopping (Peierls phase / twisted BC): the 2×2 bond block
+        # is the Hermitian [c, s; s̄, c] — the first endpoint receives s,
+        # the second conj(s) (Checkerboard.jl:78,116,137). Each block being
+        # Hermitian, the reversed-order "transpose" fold is exactly the
+        # adjoint exp(−Δτ·K)†.
+        lo = spec.is_lo[g][:, None]
+        s = jnp.where(lo, s, jnp.conj(s))
     c = jnp.where(m, c, jnp.ones((), dtype=c.dtype))
     s = jnp.where(m, s, jnp.zeros((), dtype=s.dtype))
     return c, s
@@ -233,13 +241,17 @@ def dense_matrix(spec: CheckerboardSpec, cosh_b, sinh_b, inverse: bool = False) 
     """
     from elphdynamics_tpu import native
 
-    cosh_b = np.asarray(cosh_b, dtype=np.float64)
-    sinh_b = np.asarray(sinh_b, dtype=np.float64)
+    is_complex = np.iscomplexobj(cosh_b) or np.iscomplexobj(sinh_b)
+    ddtype = np.complex128 if is_complex else np.float64
+    cosh_b = np.asarray(cosh_b, dtype=ddtype)
+    sinh_b = np.asarray(sinh_b, dtype=ddtype)
     N = spec.nsites
-    nd = native.dense_matrix(spec.neighbor_table, N, cosh_b, sinh_b, inverse=inverse)
-    if nd is not None:
-        return nd
-    D = np.eye(N)
+    if not is_complex:
+        nd = native.dense_matrix(spec.neighbor_table, N, cosh_b, sinh_b,
+                                 inverse=inverse)
+        if nd is not None:
+            return nd
+    D = np.eye(N, dtype=ddtype)
     order = range(spec.nbonds) if not inverse else range(spec.nbonds - 1, -1, -1)
     sgn = -1.0 if inverse else 1.0
     for n in order:
@@ -248,6 +260,8 @@ def dense_matrix(spec: CheckerboardSpec, cosh_b, sinh_b, inverse: bool = False) 
         s = sgn * sinh_b[n]
         ri = D[i].copy()
         rj = D[j].copy()
+        # second endpoint takes conj(s) (Checkerboard.jl:78); identical to
+        # the real path when s is real
         D[i] = c * ri + s * rj
-        D[j] = c * rj + s * ri
+        D[j] = c * rj + np.conj(s) * ri
     return D

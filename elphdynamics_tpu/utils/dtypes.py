@@ -117,7 +117,19 @@ def fdot(a, b, axis=(-2, -1)):
     feed a double-f32 pairwise reduction, so the result is accurate to ~1 ulp
     of the true dot — the product-rounding O(n·ε) and summation O(log n·ε)
     error terms are both eliminated.
+
+    Complex inputs (the complex-hopping path, Models.jl:20's
+    ``Continuous = Union{AbstractFloat,Complex}``) return the REAL Hermitian
+    inner product Re(a†·b) = Re(a)·Re(b) + Im(a)·Im(b) through the same
+    accurate real reductions — exactly the inner product under which the
+    Hermitian-positive-definite M†M is an SPD operator on ℝ²ⁿ, so the real
+    CG/norm machinery applies unchanged.
     """
+    if jnp.iscomplexobj(a) or jnp.iscomplexobj(b):
+        a = jnp.asarray(a)
+        b = jnp.asarray(b)
+        return (fdot(jnp.real(a), jnp.real(b), axis)
+                + fdot(jnp.imag(a), jnp.imag(b), axis))
     if jax.config.jax_enable_x64:
         if a.dtype == jnp.float32:
             return jnp.sum(a.astype(jnp.float64) * b.astype(jnp.float64), axis=axis)
@@ -140,6 +152,11 @@ def fdot_fast(a, b, axis=(-2, -1)):
     quantities that genuinely cancel (ΔH, residual checks, action sums) use
     the full :func:`fdot` instead.
     """
+    if jnp.iscomplexobj(a) or jnp.iscomplexobj(b):
+        a = jnp.asarray(a)
+        b = jnp.asarray(b)
+        return (fdot_fast(jnp.real(a), jnp.real(b), axis)
+                + fdot_fast(jnp.imag(a), jnp.imag(b), axis))
     if jax.config.jax_enable_x64 and a.dtype == jnp.float32:
         return jnp.sum(a.astype(jnp.float64) * b.astype(jnp.float64), axis=axis)
     return jnp.sum(a * b, axis=axis)

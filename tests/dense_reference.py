@@ -19,16 +19,19 @@ def dense_expK(nsites, neighbor_table, groups, cosh_b, sinh_b, tau=None):
     E_{nb-1} ... E_1 E_0.
     """
     nb = neighbor_table.shape[1]
-    D = np.eye(nsites)
+    cplx = np.iscomplexobj(cosh_b) or np.iscomplexobj(sinh_b)
+    D = np.eye(nsites, dtype=np.complex128 if cplx else np.float64)
     for n in range(nb):
         i, j = neighbor_table[0, n], neighbor_table[1, n]
         c = cosh_b[n] if np.ndim(cosh_b[n]) == 0 else cosh_b[n][tau]
         s = sinh_b[n] if np.ndim(sinh_b[n]) == 0 else sinh_b[n][tau]
-        E = np.eye(nsites)
+        E = np.eye(nsites, dtype=D.dtype)
         E[i, i] = c
         E[j, j] = c
         E[i, j] = s
-        E[j, i] = s
+        # conj(s) on the second endpoint (Checkerboard.jl:78) — identity
+        # for real s, the Hermitian bond block for complex hopping
+        E[j, i] = np.conj(s)
         D = E @ D
     return D
 
@@ -41,7 +44,9 @@ def dense_M(B_blocks):
     """
     L = len(B_blocks)
     N = B_blocks[0].shape[0]
-    M = np.zeros((N * L, N * L))
+    M = np.zeros((N * L, N * L),
+                 dtype=np.complex128 if np.iscomplexobj(B_blocks[0])
+                 else np.float64)
 
     def idx(site, tau):
         return site * L + tau
