@@ -53,8 +53,9 @@ class HMCConfig(NamedTuple):
     block: bool = False
     # split in-loop operator precision ([solver] loop_precision; see
     # dynamics/solve._cg_operators — tol¹ trajectory solves only, endpoints
-    # and verification stay at HIGHEST)
-    loop_precision: str | None = None
+    # and verification stay at HIGHEST; default "high" per the measured
+    # bench_deep.py A/B, see SolverConfig.loop_precision)
+    loop_precision: str | None = "high"
     # trajectory integrator: "leapfrog" (the reference's only integrator,
     # HMC.jl:343-638) or "2mn" — Omelyan/Mushrabi/Peshkov 2nd-order
     # minimum-norm (hep-lat/0506011 §2): two force evaluations per dt step

@@ -37,8 +37,15 @@ class SolverConfig(NamedTuple):
     # in-CG-loop fermion matvecs at this MXU precision ("high" = bf16×3,
     # ~half of HIGHEST's passes) while the residual verification, retry
     # ladder, forces, energies, and endpoint quantities stay at HIGHEST.
-    # None/"highest" = the reference-faithful full-f32 operator everywhere.
-    loop_precision: str | None = None
+    # "highest" = the reference-faithful full-f32 operator everywhere.
+    # Default "high": measured +3%/+7%/+10%/+19% across (8×8, 32×32) ×
+    # β ∈ {4, 16} with acceptance, |ΔH|, and flag counts unchanged
+    # (scripts/bench_deep.py; BASELINE.md §split precision) — every solve
+    # is still HIGHEST-verified, so a pathological configuration degrades
+    # to a flagged retry, not a wrong answer. Only the dense-matmul
+    # (Holstein, N ≤ dense_threshold) operator has a pass count to cut;
+    # the gather+FMA fold path (SSH, large N) ignores the knob.
+    loop_precision: str | None = "high"
 
 
 class PrecondApplies(NamedTuple):

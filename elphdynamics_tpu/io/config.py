@@ -239,8 +239,9 @@ def build_setup(cfg: dict, datafolder: str, dtype=None) -> SimulationSetup:
                               # TPU addition: split in-loop operator
                               # precision ("high" = bf16×3 in the CG loop,
                               # HIGHEST verification/endpoints — see
-                              # dynamics/solve._cg_operators)
-                              loop_precision=sol.get("loop_precision", None))
+                              # dynamics/solve._cg_operators; "highest"
+                              # restores the reference-faithful operator)
+                              loop_precision=sol.get("loop_precision", "high"))
     kpm_cfg = None
     if "preconditioner" in sol:
         p = sol["preconditioner"]

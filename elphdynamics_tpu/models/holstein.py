@@ -73,6 +73,11 @@ class HolsteinSpec:
     ckb: CheckerboardSpec
     # apply exp(−Δτ·K) as a dense [N,N] MXU matmul instead of the group fold
     dense_ckb: bool = False
+    # fold-mode large-N fast path: the fused single-pass Pallas VMEM fold
+    # (ops/ckb_pallas.py) — measured 1.5× over the XLA group fold and 4.9×
+    # over dense at N=4096 (BASELINE.md checkerboard strategy table); only
+    # taken on TPU backends at apply time
+    pallas_fold: bool = False
     # dispersive phonon coupling ωᵢⱼ(xᵢ ± xⱼ)² tables (may be empty)
     wij_table: np.ndarray = field(default_factory=lambda: np.zeros((2, 0), dtype=np.int64))
     wij_sign: np.ndarray = field(default_factory=lambda: np.zeros(0, dtype=np.int64))
@@ -85,7 +90,7 @@ class HolsteinSpec:
 
     def __hash__(self):
         return hash((self.Nsites, self.Ltau, self.Nbonds, round(self.beta, 12),
-                     round(self.dtau, 12), self.dense_ckb))
+                     round(self.dtau, 12), self.dense_ckb, self.pallas_fold))
 
     def __eq__(self, other):
         return (
@@ -114,7 +119,13 @@ def build_holstein(
     per_orbit: dict | None = None,
     rng: np.random.Generator | None = None,
     dtype=None,
-    dense_threshold: int = 4096,
+    # N ≤ dense_threshold: exp(−Δτ·K) as one [N,N] MXU matmul (also the
+    # regime where the split loop_precision lever applies); above it, the
+    # group fold — as the fused Pallas kernel on TPU from pallas_threshold
+    # up (80 µs vs 119 µs XLA fold vs 393 µs dense per apply at N=4096,
+    # BASELINE.md strategy table)
+    dense_threshold: int = 2048,
+    pallas_threshold: int = 2048,
     twist=None,            # (θ1, θ2, θ3) twisted-BC flux angles, radians
 ) -> tuple[HolsteinSpec, HolsteinParams]:
     """Construct a Holstein model spec + parameter pytree.
@@ -217,6 +228,9 @@ def build_holstein(
         wij_sign = np.zeros(0, dtype=np.int64)
 
     dense_ckb = 0 < ckb.nbonds and N <= dense_threshold
+    from elphdynamics_tpu.ops.ckb_pallas import HAS_PALLAS
+    pallas_fold = (not dense_ckb and ckb.nbonds > 0 and N >= pallas_threshold
+                   and HAS_PALLAS and not np.iscomplexobj(t))
     spec = HolsteinSpec(
         lattice=lattice,
         beta=float(beta),
@@ -229,6 +243,7 @@ def build_holstein(
         Ndof=N * Ltau,
         ckb=ckb,
         dense_ckb=dense_ckb,
+        pallas_fold=pallas_fold,
         wij_table=wij_table,
         wij_sign=wij_sign,
         bond_defs=tuple(bond_defs),
@@ -331,7 +346,19 @@ def apply_expK(spec: HolsteinSpec, p: HolsteinParams, y, precision=None):
     if spec.dense_ckb:
         return jnp.einsum("ij,...jt->...it", p.expK, y,
                           precision=_PRECISIONS[precision])
+    if spec.pallas_fold and _tpu_backend():
+        from elphdynamics_tpu.ops import ckb_pallas
+        return ckb_pallas.ckb_mul(spec.ckb, p.cosht, p.sinht, y)
     return ckb_mul(spec.ckb, p.cosht, p.sinht, y)
+
+
+def _tpu_backend() -> bool:
+    """Pallas kernels lower for TPU backends only; CPU (tests, x64 parity
+    runs) keeps the XLA group fold."""
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
 
 
 def apply_expK_T(spec: HolsteinSpec, p: HolsteinParams, y, precision=None):
@@ -342,6 +369,9 @@ def apply_expK_T(spec: HolsteinSpec, p: HolsteinParams, y, precision=None):
         K = jnp.conj(p.expK) if jnp.iscomplexobj(p.expK) else p.expK
         return jnp.einsum("ji,...jt->...it", K, y,
                           precision=_PRECISIONS[precision])
+    if spec.pallas_fold and _tpu_backend():
+        from elphdynamics_tpu.ops import ckb_pallas
+        return ckb_pallas.ckb_transpose_mul(spec.ckb, p.cosht, p.sinht, y)
     return ckb_transpose_mul(spec.ckb, p.cosht, p.sinht, y)
 
 

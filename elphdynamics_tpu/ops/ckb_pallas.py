@@ -97,9 +97,13 @@ def fold_2d(spec: CheckerboardSpec, cosh_b, sinh_b, v2d, *,
     offsets, mask, c, s = _site_tables(spec, cosh_b, sinh_b, reverse, sign)
     N, K = v2d.shape
     vkn = v2d.T  # [K, N]: sites on lanes
-    # keep in + out + the vp temporary within a conservative VMEM budget
+    # keep in + out + the vp temporary within a conservative VMEM budget;
+    # the in/out blocks are DOUBLE-BUFFERED by the pipeline (×2 each), so
+    # the per-tile footprint is ~5 blocks — the round-3 "Mosaic compile
+    # failure" at N=4096 was exactly this budget overflowing (tk=192 ⇒
+    # ~15 MB + tables), not a Mosaic limitation; tk ≤ 96 compiles and runs
     budget = 9 * 2 ** 20
-    tk_max = max(8, (budget // (3 * 4 * N)) // 8 * 8)
+    tk_max = max(8, (budget // (5 * 4 * N)) // 8 * 8)
     tk = min(tile_k, K, tk_max)
     grid = (pl.cdiv(K, tk),)
     G, n_off = offsets.shape

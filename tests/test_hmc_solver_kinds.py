@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from elphdynamics_tpu.dynamics.hmc import HMCConfig, HMCState, make_hmc_step
 from elphdynamics_tpu.dynamics.init_phonons import init_phonons_half_filled
@@ -26,6 +27,7 @@ def make_model():
     return make_model_ops(spec), spec, params
 
 
+@pytest.mark.slow
 def test_hmc_bicgstab_energy_conservation():
     """A fine leapfrog must conserve H through the BiCGStab O⁻¹ path
     (two sequential M-solves with Left/Right KPM, HMC.jl:859-903)."""

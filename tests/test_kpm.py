@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from elphdynamics_tpu import solvers
 from elphdynamics_tpu.lattice import Lattice, UnitCell
@@ -81,6 +82,7 @@ def test_kpm_spin_batched():
         assert np.allclose(out[s], ref, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_exact_lowfreq_blocks_match_dense_inverse():
     """KPMConfig.exact_lowfreq (beyond-reference hybrid): with ALL
     frequencies exact and a τ-constant field, the symmetric apply IS

@@ -24,8 +24,8 @@ def _build(L=8, beta=2.0, dtau=0.1, lam=0.8):
     return spec, params, make_model_ops(spec)
 
 
-@pytest.mark.parametrize(
-    "D", [4, pytest.param(8, marks=pytest.mark.slow)])
+@pytest.mark.slow
+@pytest.mark.parametrize("D", [4, 8])
 def test_sharded_matvecs_match_unsharded(D):
     assert jax.device_count() >= D
     spec, params, ops = _build()
@@ -47,6 +47,7 @@ def test_sharded_matvecs_match_unsharded(D):
     np.testing.assert_allclose(got_MT, ref_MT, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_sharded_cg_solves_MTM(tmp_path):
     D = 8
     assert jax.device_count() >= D
@@ -90,6 +91,7 @@ def test_plan_rejects_non_adjacent_bonds():
     assert plan.B == 2
 
 
+@pytest.mark.slow
 def test_sharded_hmc_step_matches_unsharded():
     """The FULL lattice-sharded HMC update must reproduce the unsharded
     make_hmc_step trajectory (same key, no preconditioner, tight tol) to
@@ -691,6 +693,7 @@ def test_sharded_hmc_warm_start_matches_unsharded():
                                rtol=1e-6, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_sharded_greens_sampler_matches_unsharded():
     """The site-sharded nᵥ-vector Green's-function sampler draws the SAME
     random vectors as measure.greens.sample_greens (exact key-split parity)
@@ -729,6 +732,7 @@ def test_sharded_greens_sampler_matches_unsharded():
     assert int(iters) > 0
 
 
+@pytest.mark.slow
 def test_sharded_ssh_greens_sampler_matches_unsharded():
     from elphdynamics_tpu.dynamics.solve import SolverConfig
     from elphdynamics_tpu.measure import greens as G
@@ -760,6 +764,7 @@ def test_sharded_ssh_greens_sampler_matches_unsharded():
     assert len(MinvR.sharding.device_set) == D
 
 
+@pytest.mark.slow
 def test_sharded_greens_sampler_block_cg_matches_unsharded():
     """`[solver] block` under --site-devices: the psum-aware block CG
     (solvers.block_cg psum_axis) reproduces the unsharded solutions within
@@ -794,6 +799,7 @@ def test_sharded_greens_sampler_block_cg_matches_unsharded():
     assert int(iters) > 0
 
 
+@pytest.mark.slow
 def test_sharded_hmc_block_trajectory_matches_unsharded():
     """`[solver] block` in the site-sharded HMC: the psum-aware s=2 block
     CG on the spin-stacked trajectory solves reproduces the unsharded
@@ -829,6 +835,7 @@ def test_sharded_hmc_block_trajectory_matches_unsharded():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_chain_site_2d_mesh_hmc_block():
     """Block CG on the 2-D (chain × site) mesh: the sync_axis-coupled
     while_loop (solvers.block_cg) must keep cross-row collectives aligned

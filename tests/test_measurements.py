@@ -9,6 +9,7 @@ must converge to values computed directly from the dense inverse.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from elphdynamics_tpu.dynamics.force import SolverConfig
 from elphdynamics_tpu.lattice import Lattice, UnitCell
@@ -82,6 +83,7 @@ def test_greens_pair_tensor_unbiased():
     assert err < 0.05, err
 
 
+@pytest.mark.slow
 def test_density_and_doubleocc_unbiased():
     ops, spec, params, x = make_model()
     Minv = dense_Minv(spec, params, x)
@@ -140,6 +142,7 @@ def test_el_ke_unbiased():
         float(res["intersite"]["el_ke"][0]), want)
 
 
+@pytest.mark.slow
 def test_correlation_containers_and_susceptibility_shapes():
     ops, spec, params, x = make_model()
     mspec = MeasurementSpec(

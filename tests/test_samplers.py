@@ -88,6 +88,7 @@ def test_hmc_energy_conservation_small_dt():
         assert bool(stats.accepted)
 
 
+@pytest.mark.slow
 def test_hmc_exact_discretized_weight_Ltau2():
     """Single site, Lτ=2: the sampled ensemble must match 2-D quadrature of
     the exact discretized weight e^{−Sb}·(det M)²·e^{Δτ·λ·Σx} — a direct
@@ -177,6 +178,7 @@ def test_langevin_heun_runs_and_stays_sane():
     assert float(jnp.max(jnp.abs(x))) < 50.0
 
 
+@pytest.mark.slow
 def test_hmc_block_trajectory_solves_match_batched():
     """`[solver] block` routes the spin-stacked trajectory solves through
     block CG (solve_oinv gating): with a fixed key the whole trajectory —
@@ -210,6 +212,7 @@ def test_hmc_block_trajectory_solves_match_batched():
     assert abs(outs[True][1] - outs[False][1]) < 5e-3
 
 
+@pytest.mark.slow
 def test_2mn_integrator_energy_error_beats_leapfrog():
     """The Omelyan 2MN integrator ([hmc] integrator = "2mn",
     hep-lat/0506011) must cut |ΔH| by ~an order of magnitude vs leapfrog

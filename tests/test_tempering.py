@@ -164,6 +164,7 @@ def test_tempering_rung0_matches_ed():
     assert abs((xh ** 2).mean() - ed["x2"]) < 0.06, ((xh ** 2).mean(), ed["x2"])
 
 
+@pytest.mark.slow
 def test_tempering_config_and_driver(tmp_path):
     """[tempering] end-to-end through the CLI driver: builds, runs, bins
     only rung-0 chains, logs the exchange acceptance."""
