@@ -1,7 +1,6 @@
 #!/bin/bash
-# Unattended TPU bench battery for the block-CG work (fire once the axon
-# tunnel is back). Appends everything to $LOG. Each stage is bounded so a
-# hung tunnel can't wedge the battery.
+# Unattended TPU bench battery (round 4). Appends everything to $LOG.
+# Each stage is bounded so a hung tunnel can't wedge the battery.
 set -u
 cd "$(dirname "$0")/.."
 LOG=${1:-/tmp/tpu_bench_battery.log}
@@ -17,33 +16,33 @@ if ! probe; then
 fi
 
 run() {
-  echo "--- $* ($(date -u +%TZ))" >> "$LOG"
-  timeout 1800 "$@" >> "$LOG" 2>&1
+  echo "--- $* ($(date -u +%FT%TZ))" >> "$LOG"
+  timeout 2400 "$@" >> "$LOG" 2>&1
   echo "--- exit $? " >> "$LOG"
 }
 
-# 1. block-CG wall-time A/B at the north-star beta (estimator + convolution)
-run python scripts/bench_block.py --beta 4 --L 8 --chains 32 --nv 10 --steps 10
-# 2. same at deep beta (the regime block CG targets)
-run python scripts/bench_block.py --beta 16 --L 8 --chains 16 --nv 10 --steps 10 --equil 20
-# 3. deep-beta trajectory A/B: beta-scaling rows with and without block
-run python scripts/bench_beta.py --model holstein --L 8 --betas 8,16 --lowfreq 0 --steps 4
-run python scripts/bench_beta.py --model holstein --L 8 --betas 8,16 --lowfreq 0 --steps 4 --block
-# 4. dt-targeting at the north-star size: fewer solves per trajectory is a
-#    direct latency win at 8x8 (CPU study: acc stays 1.0 well past dt=0.05)
-run python scripts/bench_beta.py --model holstein --L 8 --betas 4 --lowfreq 0 --steps 6 --dt 0.1
-run python scripts/bench_beta.py --model holstein --L 8 --betas 4 --lowfreq 0 --steps 6 --dt 0.143
-# 4b. the full deep-beta recipe: block CG + dt targeting together
-run python scripts/bench_beta.py --model holstein --L 8 --betas 16 --lowfreq 0 --steps 4 --dt 0.1 --block
-# 5. headline bench must not regress
+# 1. headline bench (8x8 + 32x32 companion, frozen denominator)
 run python bench.py
-echo "=== battery done $(date -u +%FT%TZ) ===" >> "$LOG"
+# 2. split-precision + block arms at the four corners of (size, beta)
+run python scripts/bench_deep.py --L 8 --beta 4 --chains 128 --steps 20 --arms base,high
+run python scripts/bench_deep.py --L 8 --beta 16 --chains 32 --steps 10 --arms base,high,high@0.06
+run python scripts/bench_deep.py --L 32 --beta 4 --chains 32 --steps 10 --arms base,high
+run python scripts/bench_deep.py --L 32 --beta 16 --chains 8 --steps 5 --equil 20 --dt 0.025 --arms base,high
+# 3. checkerboard strategy table incl. the Pallas fold at N=4096
+run python scripts/bench_ckb.py
+# 4. estimator-solve A/B (block CG wall time; honest-negative regression)
+run python scripts/bench_block.py --beta 16 --L 8 --chains 32 --nv 10 --steps 10
+# 5. SSH rows at scale
+run python scripts/bench_ssh.py
+run python scripts/bench_beta.py --model ssh --L 16 --betas 4,8,16 --lowfreq 0 --steps 6
+# 6. Langevin refresh
+run python scripts/bench_langevin.py --L 8 --chains 128
+echo "=== battery benches done $(date -u +%FT%TZ) ===" >> "$LOG"
 
-# 6. production-example wall-time regression (BASELINE "full production run"
-#    row: ~95 s at --chains 8 on one chip, round 2): the round-3 driver work
-#    (sharded specials, multihost fetch paths, auto chains) must not tax it
+# 7. production-example wall-time regression (BASELINE "full production run"
+#    row: ~95 s at --chains 8 on one chip, round 2)
 run python - << 'PYEOF'
-import copy, tempfile, time
+import tempfile, time
 from elphdynamics_tpu.io.config import load_toml
 from elphdynamics_tpu.simulation import simulate
 cfg = load_toml("examples/holstein_hmc_square.toml")
@@ -58,21 +57,16 @@ with tempfile.TemporaryDirectory() as tmp:
            "write_s": round(stats["write_time"], 1),
            "acceptance": round(stats["acceptance_rate"], 4)})
 PYEOF
-echo "=== battery stage 6 done $(date -u +%FT%TZ) ===" >> "$LOG"
+echo "=== battery stage 7 done $(date -u +%FT%TZ) ===" >> "$LOG"
 
-# 7. tune_dt on-chip proof at deep beta: the tuner must land near the
-#    hand-measured dt=0.1/acc~0.8 recipe that the deep-beta example ships
-#    (BASELINE integrator study) without being told
+# 8. tune_dt on-chip proof at deep beta: starting from dt=0.05 the tuner
+#    must land near the scanned optimum dt~0.06 (BASELINE dt-scan table)
 run python - << 'PYEOF'
 import tempfile, time
 from elphdynamics_tpu.io.config import load_toml
 from elphdynamics_tpu.simulation import simulate
 cfg = load_toml("examples/holstein_hmc_deep_beta.toml")
-cfg["hmc"].update({"burnin_updates": 150, "simulation_updates": 40,
-                   # start from the naive default dt: the tuner must
-                   # rediscover the example's hand-measured dt~0.1
-                   "dt": 0.05,
-                   "tune_dt": True, "target_acceptance": 0.8})
+cfg["hmc"].update({"burnin_updates": 150, "simulation_updates": 40})
 cfg["simulation"]["num_bins"] = 2
 with tempfile.TemporaryDirectory() as tmp:
     cfg["simulation"]["filepath"] = tmp
@@ -83,4 +77,4 @@ with tempfile.TemporaryDirectory() as tmp:
            "iters": round(stats["iters"], 1),
            "wall_s": round(time.time() - t0, 1)})
 PYEOF
-echo "=== battery stage 7 done $(date -u +%FT%TZ) ===" >> "$LOG"
+echo "=== battery done $(date -u +%FT%TZ) ===" >> "$LOG"

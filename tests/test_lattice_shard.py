@@ -1160,3 +1160,57 @@ def test_sharded_hmc_2d_stacked_params_matches_unsharded():
                                rtol=1e-5, atol=1e-7)
     # the two chains really ran different couplings
     assert abs(float(st_sh["delta_H"][0] - st_sh["delta_H"][1])) > 0
+
+
+@pytest.mark.slow
+def test_tune_dt_composes_with_site_devices(tmp_path):
+    """[hmc] tune_dt under --site-devices (the round-3 carve-out,
+    simulation.py NotImplementedError): the sharded dynamic-dt burnin step
+    tunes and the sampling phase freezes the averaged dt."""
+    import copy
+    import os
+
+    from elphdynamics_tpu.simulation import simulate
+    from test_simulation_driver import BASE_CFG
+
+    cfg = copy.deepcopy(BASE_CFG)
+    cfg["hmc"]["burnin_updates"] = 6
+    cfg["hmc"]["simulation_updates"] = 4
+    cfg["hmc"]["tune_dt"] = True
+    cfg["hmc"]["target_acceptance"] = 0.7
+    cfg["hmc"].pop("reflection_update", None)
+    cfg["hmc"].pop("swap_update", None)
+    cfg["lattice"]["L"] = 4
+    cfg["simulation"]["num_bins"] = 2
+    cfg["simulation"]["filepath"] = str(tmp_path)
+    stats = simulate(cfg, site_devices=4)
+    assert "tuned_dt" in stats and stats["tuned_dt"] > 0
+    assert 0.0 <= stats["acceptance_rate"] <= 1.0
+
+
+@pytest.mark.slow
+def test_tempering_composes_with_site_devices(tmp_path):
+    """[tempering] on the combined chain x site mesh: per-rung stacked
+    params ride params_axis=0 through the sharded HMC step, exchanges run
+    as the global jit, rung-0 chains bin."""
+    import copy
+    import os
+
+    from elphdynamics_tpu.simulation import simulate
+    from test_simulation_driver import BASE_CFG
+
+    cfg = copy.deepcopy(BASE_CFG)
+    cfg["hmc"]["burnin_updates"] = 2
+    cfg["hmc"]["simulation_updates"] = 4
+    cfg["hmc"].pop("reflection_update", None)
+    cfg["hmc"].pop("swap_update", None)
+    cfg["lattice"]["L"] = 4
+    cfg["simulation"]["num_bins"] = 2
+    cfg["simulation"]["filepath"] = str(tmp_path)
+    cfg["tempering"] = {"ladder": [1.0, 0.8], "freq": 2}
+    stats = simulate(cfg, n_chains=2, site_devices=4)
+    assert "tempering_acceptance_rate" in stats
+    assert 0.0 <= stats["acceptance_rate"] <= 1.0
+    run = os.path.join(str(tmp_path), "testrun-1")
+    assert os.path.isfile(os.path.join(
+        run, "global_measurements_f", "global_measurements_00001.out"))
