@@ -102,14 +102,46 @@ def _orthonormalize(W):
     return Q.T.reshape(k, N, Lt).astype(W.dtype)
 
 
+def _orthonormalize_psum(W, psum):
+    """CholeskyQR2 over the site-sharded flattened field axes: ``W`` is the
+    LOCAL [k, B, Lτ] row block and ``psum`` reduces over the site mesh axis.
+    Two Cholesky-QR passes restore full f32 orthonormality even after the
+    hard Chebyshev filter skews the Gram; only span(W) matters downstream,
+    and span is shard-decomposition invariant, so the sharded projector
+    agrees with the unsharded QR one to rounding."""
+    k, B, Lt = W.shape
+    Wf = W.reshape(k, -1).astype(jnp.float32)
+    for _ in range(2):
+        G = psum(jnp.matmul(Wf, Wf.T,
+                            precision=jax.lax.Precision.HIGHEST))
+        # jitter scale mirrors refresh(): near-parallel rows (the filter
+        # concentrates everything toward the slow tail) stay factorizable;
+        # a truly degenerate row has G[i,i]≈jitter and solves to zero —
+        # the same outcome as the unsharded QR's degenerate-column zeroing
+        jitter = 1e-6 * (jnp.trace(G) / k) + 1e-30
+        L = jnp.linalg.cholesky(G + jitter * jnp.eye(k, dtype=G.dtype))
+        bad = jnp.any(jnp.isnan(L))
+        L = jnp.where(bad, jnp.eye(k, dtype=G.dtype), L)
+        Wf = jax.scipy.linalg.solve_triangular(L, Wf, lower=True)
+        Wf = jnp.where(bad, jnp.zeros_like(Wf), Wf)
+    return Wf.reshape(k, B, Lt).astype(W.dtype)
+
+
 def refresh(st: DeflationState, apply_A: Callable, apply_P: Callable,
-            cfg: DeflationConfig) -> DeflationState:
+            cfg: DeflationConfig, psum: Callable | None = None) -> DeflationState:
     """Once-per-update basis improvement at the current field.
 
     ``apply_A``/``apply_P`` act on [..., N, Lτ] with leading batch axes
     (every model operator and KPM apply already does). Cost:
     ``power_iters`` single + ``filter_degree``·k batched operator applies
     plus one [N·Lτ, k] QR and a k×k Cholesky.
+
+    ``psum`` (site-sharded mode, parallel/lattice_shard.py): the state's
+    field axes are LOCAL row blocks [.., B, Lτ], ``apply_A``/``apply_P``
+    are the shard-local halo operators, and ``psum`` reduces scalars /
+    k×k Grams over the site mesh axis. The QR becomes CholeskyQR2; span(W)
+    — all the projector sees — is decomposition-invariant, so sharded and
+    unsharded refreshes agree to rounding.
     """
     # --- λmax(P⁻¹A) power iteration, warm-started from the carried vector
     # (dtype-pinned: fdot may accumulate wider than the field dtype)
@@ -117,7 +149,8 @@ def refresh(st: DeflationState, apply_A: Callable, apply_P: Callable,
 
     def pstep(v, _):
         w = apply_P(apply_A(v))
-        lam = jnp.sqrt(fdot(w, w, axis=(-2, -1)))
+        nrm2 = fdot(w, w, axis=(-2, -1))
+        lam = jnp.sqrt(psum(nrm2) if psum is not None else nrm2)
         v_new = (w / jnp.maximum(lam, 1e-30).astype(w.dtype)).astype(vdt)
         return v_new, lam
 
@@ -143,7 +176,8 @@ def refresh(st: DeflationState, apply_A: Callable, apply_P: Callable,
     W1 = ell(W0)
     for _ in range(max(cfg.filter_degree - 1, 0)):
         W0, W1 = W1, (2.0 * ell(W1) - W0).astype(wdt)
-    W = _orthonormalize(W1)
+    W = (_orthonormalize_psum(W1, psum) if psum is not None
+         else _orthonormalize(W1))
 
     # --- projector normal matrix: chol(WᵀAW) as ONE [k,NL]×[NL,k] matmul —
     # an fdot outer-product form would materialize a [k, k, N·Lτ] temp
@@ -152,6 +186,8 @@ def refresh(st: DeflationState, apply_A: Callable, apply_P: Callable,
     k = W.shape[0]
     C = jnp.matmul(W.reshape(k, -1), AW.reshape(k, -1).T,
                    precision=jax.lax.Precision.HIGHEST)
+    if psum is not None:
+        C = psum(C)
     C = 0.5 * (C + C.T)
     jitter = 1e-6 * (jnp.trace(C) / C.shape[0]) + 1e-30
     chol = jnp.linalg.cholesky(C + jitter * jnp.eye(C.shape[0], dtype=C.dtype))
@@ -162,7 +198,7 @@ def refresh(st: DeflationState, apply_A: Callable, apply_P: Callable,
     return DeflationState(W=W, chol=chol, pvec=pvec, lam_max=lam_max)
 
 
-def project(st: DeflationState, r0, x0):
+def project(st: DeflationState, r0, x0, psum: Callable | None = None):
     """Init-deflation: correct ``x0`` toward the A-orthogonal projection of
     the error onto span(W), using the refresh-point ``WᵀAW`` factor.
 
@@ -172,6 +208,10 @@ def project(st: DeflationState, r0, x0):
     ``r0`` with a stored ``A_refresh·W`` would leave (x0, r0) inconsistent
     and bias the converged solution below the verification threshold; one
     extra operator apply per solve buys exactness instead.
+
+    ``psum`` (site-sharded mode): W/r0/x0 carry local [.., B, Lτ] row
+    blocks; the [.., k] coefficient contraction is psum-reduced, the
+    k×k solve is replicated, and the correction stays local.
     """
     dtype = r0.dtype
     k = st.W.shape[0]
@@ -183,6 +223,8 @@ def project(st: DeflationState, r0, x0):
     # would materialize a [..., k, N, Lτ] temp
     c = jnp.matmul(r0.reshape(lead + (-1,)), Wf.T,
                    precision=jax.lax.Precision.HIGHEST)       # [..., k]
+    if psum is not None:
+        c = psum(c)
     # cho_solve does not broadcast the factor over RHS batch axes: fold the
     # batch into the trailing RHS axis instead
     y = jax.scipy.linalg.cho_solve((st.chol.astype(dtype), True),

@@ -664,6 +664,13 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
     ``traj_H/traj_S/traj_K/traj_iters`` arrays ([Nt]-leading), restoring the
     reference's verbose hmc_sim_log.out cadence (HMC.jl:285-304) under
     sharding.
+
+    With ``cfg.deflate_k > 0`` the returned step threads a
+    :class:`~elphdynamics_tpu.ops.deflation.DeflationState` as a trailing
+    argument/output — ``(params, x, v, key, defl[, dt]) -> (x', v', stats,
+    key, defl')`` — with the [k, N, Lτ] basis rows partitioned over the
+    site axis (refresh = shard-local Chebyshev filter + CholeskyQR2 with
+    psum'd Grams; see ops/deflation.py).
     """
     wplan = build_wij_plan(model_spec.wij_table, model_spec.Nsites, plan.D)
     wij_sign = model_spec.wij_sign
@@ -674,11 +681,12 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
     D = plan.D
     Nt = cfg.Nt
     mass_full = jnp.asarray(mass_table)
+    use_defl = int(getattr(cfg, "deflate_k", 0)) > 0
 
     from elphdynamics_tpu.ops.fourier_accel import accelerate
     from elphdynamics_tpu.utils.dtypes import fdot
 
-    def step_local(params, x_loc, v_loc, key, dt):
+    def step_local(params, x_loc, v_loc, key, dt, defl_in=None):
         d = lax.axis_index(plan.axis)
         rows = d * B + jnp.arange(B)
         mass = lax.dynamic_slice_in_dim(mass_full, d * B, B, axis=0)
@@ -760,9 +768,25 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
 
         # --- batched-over-spin preconditioned CG for MᵀM (psum dots;
         # spins share one convergence scalar — a simplicity trade)
-        def solve_O(env, rhs, tol, kst=None, x0=None):
+        def solve_O(env, rhs, tol, kst=None, x0=None, defl=None):
             P_apply = (kpm_make_apply(kst, env) if kst is not None else None)
-            return _traj_solve_local(lambda v: mulMTM(env, v), rhs, tol,
+            A = lambda v: mulMTM(env, v)
+            if defl is not None:
+                # shard-local init-projection (ops/deflation.py; the psum'd
+                # [.., k] contraction is the only cross-shard traffic). Two
+                # passes = the same iterative-refinement step solvers.cg
+                # applies; block CG and deflation don't compose (the
+                # solve_oinv gate), so the projected start goes straight
+                # to the psum CG.
+                from elphdynamics_tpu.ops import deflation as _defl_mod
+                x0p = jnp.zeros_like(rhs) if x0 is None else x0
+                r0 = rhs - A(x0p)
+                for _ in range(2):
+                    x0p = _defl_mod.project(defl, r0, x0p, psum=psum)
+                    r0 = rhs - A(x0p)
+                return _cg_local(A, rhs, tol, cfg.maxiter, pdot, P_apply,
+                                 x0=x0p, sync_axis=chains_axis)
+            return _traj_solve_local(A, rhs, tol,
                                      cfg.maxiter, pdot, P_apply, plan.axis,
                                      cfg, x0=x0, sync_axis=chains_axis)
 
@@ -785,6 +809,23 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
         kst = (kpm_setup(env0, jax.random.PRNGKey(1234))
                if kpm_cfg is not None else None)
 
+        # deflation-basis refresh at the update's starting field, exactly
+        # the unsharded cadence (dynamics/hmc.py) with shard-local blocks:
+        # the basis rows W[:, local, :] live on this shard; psum reduces
+        # the power-iteration norms and the k×k Grams
+        if use_defl:
+            from elphdynamics_tpu.ops import deflation as _defl_mod
+            apP0 = (kpm_make_apply(kst, env0) if kst is not None
+                    else (lambda v: v))
+            defl = _defl_mod.refresh(
+                defl_in, lambda v: mulMTM(env0, v), apP0,
+                _defl_mod.DeflationConfig(cfg.deflate_k, cfg.deflate_filter,
+                                          cfg.deflate_power,
+                                          cfg.deflate_cutoff),
+                psum=psum)
+        else:
+            defl = None
+
         tol1, tol2 = cfg.tol, cfg.tol ** 2
         use_guess = bool(getattr(cfg, "construct_guess", False))
         g_ord = int(getattr(cfg, "guess_order", 1))
@@ -804,7 +845,7 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
             Lam = calc_Lam(x)
             Lphi = mulLambda(Lam, phi)
             z, it, flag = solve_O(env, Lphi, tol, kst,
-                                  x0=x0 if use_guess else None)
+                                  x0=x0 if use_guess else None, defl=defl)
             Sf = pdot(Lphi, z) / 2
             return Lphi, z, Sf + calc_Sb(x), it, flag
 
@@ -861,7 +902,7 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
             Lam1 = calc_Lam(x1)
             Lphi1 = mulLambda(Lam1, phi)
             z1, it1, fl1 = solve_O(env1, Lphi1, tol1, kst,
-                                   x0=_guess(zp, zp2, zp3))
+                                   x0=_guess(zp, zp2, zp3), defl=defl)
             Qd1 = qf(forces(x1, env1, z1))
             v1 = v1 - dt / 2 * Qd1
             x = jnp.where(ok, x1, x)
@@ -902,17 +943,29 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
             traj_out = (jnp.nan, jnp.nan, jnp.nan, jnp.nan)
         else:
             traj_out = traj
-        return (x_new, v_new, accept, mean_iters.astype(jnp.int32), dH,
-                flag, H1, S1, K1, traj_out[0], traj_out[1], traj_out[2],
-                traj_out[3], key)
+        out = (x_new, v_new, accept, mean_iters.astype(jnp.int32), dH,
+               flag, H1, S1, K1, traj_out[0], traj_out[1], traj_out[2],
+               traj_out[3], key)
+        if use_defl:
+            out = out + (defl,)
+        return out
+
+    from elphdynamics_tpu.ops.deflation import DeflationState as _DState
 
     if chains_axis is None:
         if params_axis is not None:
             raise ValueError("params_axis requires a chains_axis (2-D mesh)")
+        in_specs = (P(), P(plan.axis, None), P(plan.axis, None), P(), P())
+        out_specs = (P(plan.axis, None), P(plan.axis, None)) + (P(),) * 12
+        if use_defl:
+            # basis rows partitioned over sites; k×k factor + λmax replicated
+            dspec = _DState(W=P(None, plan.axis, None), chol=P(),
+                            pvec=P(plan.axis, None), lam_max=P())
+            in_specs = in_specs + (dspec,)
+            out_specs = out_specs + (dspec,)
         sharded = jax.shard_map(
             step_local, mesh=mesh,
-            in_specs=(P(), P(plan.axis, None), P(plan.axis, None), P(), P()),
-            out_specs=(P(plan.axis, None), P(plan.axis, None)) + (P(),) * 12,
+            in_specs=in_specs, out_specs=out_specs,
             check_vma=False,
         )
     else:
@@ -921,13 +974,20 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
         # carries no communication (pure data parallel, SURVEY §5)
         ca = chains_axis
         p_spec = P(ca) if params_axis == 0 else P()
+        in_axes = (params_axis, 0, 0, 0, None) + ((0,) if use_defl else ())
+        in_specs = (p_spec, P(ca, plan.axis, None), P(ca, plan.axis, None),
+                    P(ca), P())
+        out_specs = (P(ca, plan.axis, None), P(ca, plan.axis, None)) \
+            + (P(ca),) * 12
+        if use_defl:
+            dspec = _DState(W=P(ca, None, plan.axis, None), chol=P(ca),
+                            pvec=P(ca, plan.axis, None), lam_max=P(ca))
+            in_specs = in_specs + (dspec,)
+            out_specs = out_specs + (dspec,)
         sharded = jax.shard_map(
-            jax.vmap(step_local, in_axes=(params_axis, 0, 0, 0, None)),
+            jax.vmap(step_local, in_axes=in_axes),
             mesh=mesh,
-            in_specs=(p_spec, P(ca, plan.axis, None), P(ca, plan.axis, None),
-                      P(ca), P()),
-            out_specs=(P(ca, plan.axis, None), P(ca, plan.axis, None))
-            + (P(ca),) * 12,
+            in_specs=in_specs, out_specs=out_specs,
             check_vma=False,
         )
 
@@ -943,6 +1003,26 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
             # unsharded hmc.HMCStats.traj_* layout the driver expects)
             st.update(traj_H=tH, traj_S=tS, traj_K=tK, traj_iters=tI)
         return st
+
+    if use_defl:
+        # deflation threads the per-update basis through the step as an
+        # explicit trailing in/out (the driver keeps it in HMCState.defl,
+        # mirroring the unsharded make_hmc_step contract)
+        def step_defl(params, x, v, key, defl, dt=None):
+            dt_in = cfg.dt if dt is None else dt
+            (x_new, v_new, accept, iters, dH, flag, H, S, K,
+             tH, tS, tK, tI, key, defl_new) = sharded(
+                params, x, v, key, dt_in, defl)
+            return (x_new, v_new, _stats(accept, iters, dH, flag, H, S, K,
+                                         tH, tS, tK, tI), key, defl_new)
+
+        if dynamic_dt:
+            return jax.jit(step_defl)
+
+        def step_defl_static(params, x, v, key, defl):
+            return step_defl(params, x, v, key, defl)
+
+        return jax.jit(step_defl_static)
 
     def step(params, x, v, key, dt=None):
         dt_in = cfg.dt if dt is None else dt
@@ -1295,8 +1375,9 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
     prim_mask_np = (model_spec.primary_phonon
                     == np.arange(model_spec.Nph))
     ph_of_site, ph_mask = _ssh_group_phonons(model_spec, plan)
+    use_defl = int(getattr(cfg, "deflate_k", 0)) > 0
 
-    def step_local(params, x, v, key, dt):
+    def step_local(params, x, v, key, dt, defl_in=None):
         d = lax.axis_index(plan.axis)
         mulM, mulMT, expmu_loc = _ssh_local_ops(model_spec, plan, params)
 
@@ -1333,11 +1414,22 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
         else:
             kpm_setup = kpm_make_apply = None
 
-        def solve_O(coeffs, rhs, tol, kst=None, x0=None):
+        def solve_O(coeffs, rhs, tol, kst=None, x0=None, defl=None):
             P_apply = (kpm_make_apply(kst, coeffs) if kst is not None
                        else None)
+            A = lambda v: mulMT(coeffs, mulM(coeffs, v))
+            if defl is not None:
+                # shard-local init-projection (see make_sharded_hmc_step)
+                from elphdynamics_tpu.ops import deflation as _defl_mod
+                x0p = jnp.zeros_like(rhs) if x0 is None else x0
+                r0 = rhs - A(x0p)
+                for _ in range(2):
+                    x0p = _defl_mod.project(defl, r0, x0p, psum=psum)
+                    r0 = rhs - A(x0p)
+                return _cg_local(A, rhs, tol, cfg.maxiter, pdot, P_apply,
+                                 x0=x0p, sync_axis=chains_axis)
             return _traj_solve_local(
-                lambda v: mulMT(coeffs, mulM(coeffs, v)), rhs, tol,
+                A, rhs, tol,
                 cfg.maxiter, pdot, P_apply, plan.axis, cfg, x0=x0,
                 sync_axis=chains_axis)
 
@@ -1355,6 +1447,21 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
         kst = (kpm_setup(coeffs0, jax.random.PRNGKey(1234))
                if kpm_cfg is not None else None)
 
+        # deflation-basis refresh at the update's starting field (electron
+        # vector space [k, B, Lτ] local blocks; unsharded cadence)
+        if use_defl:
+            from elphdynamics_tpu.ops import deflation as _defl_mod
+            apP0 = (kpm_make_apply(kst, coeffs0) if kst is not None
+                    else (lambda v: v))
+            defl = _defl_mod.refresh(
+                defl_in, lambda v: mulMT(coeffs0, mulM(coeffs0, v)), apP0,
+                _defl_mod.DeflationConfig(cfg.deflate_k, cfg.deflate_filter,
+                                          cfg.deflate_power,
+                                          cfg.deflate_cutoff),
+                psum=psum)
+        else:
+            defl = None
+
         tol1, tol2 = cfg.tol, cfg.tol ** 2
         use_guess = bool(getattr(cfg, "construct_guess", False))
         g_ord = int(getattr(cfg, "guess_order", 1))
@@ -1370,7 +1477,7 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
 
         def S_of(x, coeffs, tol, x0=None):
             z, it, flag = solve_O(coeffs, phi, tol, kst,
-                                  x0=x0 if use_guess else None)
+                                  x0=x0 if use_guess else None, defl=defl)
             Sf = pdot(phi, z) / 2
             return z, Sf + calc_Sb(x), it, flag
 
@@ -1423,7 +1530,7 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
                 x1, v1 = boson_substeps(x, v1)
             coeffs1 = coeffs_of(x1)
             z1, it1, fl1 = solve_O(coeffs1, phi, tol1, kst,
-                                   x0=_guess(zp, zp2, zp3))
+                                   x0=_guess(zp, zp2, zp3), defl=defl)
             Qd1 = qf(forces(x1, coeffs1, z1))
             v1 = v1 - dt / 2 * Qd1
             x = jnp.where(ok, x1, x)
@@ -1462,17 +1569,28 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
             traj_out = (jnp.nan, jnp.nan, jnp.nan, jnp.nan)
         else:
             traj_out = traj
-        return (x_new, v_new, accept, mean_iters.astype(jnp.int32), dH,
-                flag, H1, S1, K1, traj_out[0], traj_out[1], traj_out[2],
-                traj_out[3], key)
+        out = (x_new, v_new, accept, mean_iters.astype(jnp.int32), dH,
+               flag, H1, S1, K1, traj_out[0], traj_out[1], traj_out[2],
+               traj_out[3], key)
+        if use_defl:
+            out = out + (defl,)
+        return out
+
+    from elphdynamics_tpu.ops.deflation import DeflationState as _DState
 
     if chains_axis is None:
         if params_axis is not None:
             raise ValueError("params_axis requires a chains_axis (2-D mesh)")
+        in_specs = (P(), P(), P(), P(), P())
+        out_specs = (P(),) * 14
+        if use_defl:
+            dspec = _DState(W=P(None, plan.axis, None), chol=P(),
+                            pvec=P(plan.axis, None), lam_max=P())
+            in_specs = in_specs + (dspec,)
+            out_specs = out_specs + (dspec,)
         sharded = jax.shard_map(
             step_local, mesh=mesh,
-            in_specs=(P(), P(), P(), P(), P()),
-            out_specs=(P(),) * 14,
+            in_specs=in_specs, out_specs=out_specs,
             check_vma=False,
         )
     else:
@@ -1480,11 +1598,18 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
         # site axis, chain axis pure data parallel
         ca = chains_axis
         p_spec = P(ca) if params_axis == 0 else P()
+        in_axes = (params_axis, 0, 0, 0, None) + ((0,) if use_defl else ())
+        in_specs = (p_spec, P(ca), P(ca), P(ca), P())
+        out_specs = (P(ca),) * 14
+        if use_defl:
+            dspec = _DState(W=P(ca, None, plan.axis, None), chol=P(ca),
+                            pvec=P(ca, plan.axis, None), lam_max=P(ca))
+            in_specs = in_specs + (dspec,)
+            out_specs = out_specs + (dspec,)
         sharded = jax.shard_map(
-            jax.vmap(step_local, in_axes=(params_axis, 0, 0, 0, None)),
+            jax.vmap(step_local, in_axes=in_axes),
             mesh=mesh,
-            in_specs=(p_spec, P(ca), P(ca), P(ca), P()),
-            out_specs=(P(ca),) * 14,
+            in_specs=in_specs, out_specs=out_specs,
             check_vma=False,
         )
 
@@ -1497,6 +1622,23 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
         if cfg.log_verbose:
             st.update(traj_H=tH, traj_S=tS, traj_K=tK, traj_iters=tI)
         return st
+
+    if use_defl:
+        def step_defl(params, x, v, key, defl, dt=None):
+            dt_in = cfg.dt if dt is None else dt
+            (x_new, v_new, accept, iters, dH, flag, H, S, K,
+             tH, tS, tK, tI, key, defl_new) = sharded(
+                params, x, v, key, dt_in, defl)
+            return (x_new, v_new, _stats(accept, iters, dH, flag, H, S, K,
+                                         tH, tS, tK, tI), key, defl_new)
+
+        if dynamic_dt:
+            return jax.jit(step_defl)
+
+        def step_defl_static(params, x, v, key, defl):
+            return step_defl(params, x, v, key, defl)
+
+        return jax.jit(step_defl_static)
 
     def step(params, x, v, key, dt=None):
         dt_in = cfg.dt if dt is None else dt

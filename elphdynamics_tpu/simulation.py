@@ -93,9 +93,11 @@ def simulate(config, run_id: int | None = None, n_chains: int = 1,
     multihost, all GLOBAL devices).
     ``site_devices > 1`` shards the spatial lattice of each chain over the
     mesh (SURVEY §5's context-parallel analog) — for problems whose
-    ``N·Lτ`` footprint outgrows a single chip. Both may be combined
-    (HMC only): a 2-D ``(chain × site)`` mesh of
-    ``n_devices · site_devices`` chips.
+    ``N·Lτ`` footprint outgrows a single chip. Both may be combined:
+    a 2-D ``(chain × site)`` mesh of ``n_devices · site_devices`` chips
+    (HMC and Langevin; ``tune_dt``, ``[solver.deflation]`` and
+    ``[tempering]`` (HMC) compose with the site axis — the one remaining
+    carve-out is ``--site-devices`` under ``--multihost``).
 
     ``multihost=True`` initializes ``jax.distributed`` (one process per
     host; see parallel/multihost.py for the contract): every process runs
@@ -282,6 +284,28 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
                     else _rep)
             _ksh = _rep
 
+        # deflation-basis shardings ([solver.deflation] composes with
+        # --site-devices: the [k, N, Lτ] basis rows partition over 'site',
+        # the k×k factor and λmax replicate; parallel/lattice_shard.py
+        # threads the state through the step as a trailing in/out)
+        _defl_on = (setup.dynamics_type == "hmc" and setup.hmc_cfg is not None
+                    and setup.hmc_cfg.deflate_k > 0)
+        if _defl_on:
+            _dW = NamedSharding(
+                smesh, _P("chain", None, "site", None) if combined
+                else _P(None, "site", None))
+            _dpv = NamedSharding(
+                smesh, _P("chain", "site", None) if combined
+                else _P("site", None))
+            _dsc = NamedSharding(smesh, _P("chain") if combined else _P())
+
+            def _place_defl(defl):
+                return defl._replace(
+                    W=jax.device_put(defl.W, _dW),
+                    chol=jax.device_put(defl.chol, _dsc),
+                    pvec=jax.device_put(defl.pvec, _dpv),
+                    lam_max=jax.device_put(defl.lam_max, _dsc))
+
         # params placement cache: re-place onto the mesh only when the
         # params object actually changes (μ-tuner updates), NOT every step —
         # on the axon runtime every forced transfer is a full round trip.
@@ -311,6 +335,10 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
                 key = jax.device_put(key, _ksh)
                 x = jax.device_put(state.x, _xsh)
                 v = jax.device_put(state.v, _xsh)
+                if _defl_on:
+                    defl = _place_defl(state.defl)
+                    x, v, stats, key, defl = raw_step(params, x, v, key, defl)
+                    return HMCState(x=x, v=v, defl=defl), stats, key
                 x, v, stats, key = raw_step(params, x, v, key)
                 # key stays mesh-replicated: the sharded measurement sampler
                 # consumes it in place; special updates re-place on demand
@@ -550,12 +578,19 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
                 keys_m = jax.device_put(keys, _ksh)
                 x = jax.device_put(state.x, _xsh)
                 v = jax.device_put(state.v, _xsh)
-                x, v, stats, keys = _raw_sbt(params_m, x, v, keys_m,
-                                             jnp.exp(tuner.log_dt))
+                if _defl_on:
+                    defl = _place_defl(state.defl)
+                    x, v, stats, keys, defl = _raw_sbt(
+                        params_m, x, v, keys_m, defl, jnp.exp(tuner.log_dt))
+                    st_new = HMCState(x=x, v=v, defl=defl)
+                else:
+                    x, v, stats, keys = _raw_sbt(params_m, x, v, keys_m,
+                                                 jnp.exp(tuner.log_dt))
+                    st_new = HMCState(x=x, v=v)
                 p = jnp.minimum(1.0, jnp.exp(-stats["delta_H"]))
                 p = jnp.where(jnp.isfinite(p) & (stats["flag"] == 0), p, 0.0)
                 tuner = dt_tuner_update(tuner, jnp.mean(p), _target)
-                return HMCState(x=x, v=v), stats, keys, tuner
+                return st_new, stats, keys, tuner
 
             burnin_tuned_j = _burnin_tuned
         else:
@@ -713,9 +748,6 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
     _hcfg = setup.hmc_cfg
     if (setup.dynamics_type == "hmc" and _hcfg is not None
             and _hcfg.deflate_k > 0):
-        if site_devices > 1:
-            raise NotImplementedError(
-                "[solver.deflation] is not yet supported with --site-devices")
         from elphdynamics_tpu.dynamics.hmc import init_deflation
         # independent seed: keeps the main RNG stream identical with or
         # without deflation, and works on resume (key is per-chain there)
