@@ -1736,14 +1736,17 @@ def _cg_local(A, rhs, tol, maxiter, pdot, P_apply=None, x0=None,
 def make_sharded_langevin_step(model_spec, plan: ShardPlan, mesh: Mesh,
                                Q_table, dt: float, method: str = "euler",
                                scfg=None, kpm_cfg=None,
-                               chains_axis: str | None = None):
+                               chains_axis: str | None = None,
+                               params_axis: int | None = None):
     """Sharded Holstein Langevin update ``(params, x, key) -> (x', stats,
     key)`` with the [N, Lτ] field partitioned P('site', None); Euler / RK /
     Heun integrators (LangevinDynamics.jl:81-324). Noise follows the exact
     key-split order of :func:`elphdynamics_tpu.dynamics.langevin.
     make_langevin_step` for parity testing. ``chains_axis`` runs the step
     chain-batched on a 2-D (chain × site) mesh — the chain axis is pure data
-    parallel; the CG trip counts couple across it (see ``_cg_local``)."""
+    parallel; the CG trip counts couple across it (see ``_cg_local``).
+    ``params_axis=0`` (combined mesh only) maps a leading chain axis of the
+    params leaves — the ``[tempering]`` per-rung ladder."""
     from elphdynamics_tpu.dynamics.solve import SolverConfig
     from elphdynamics_tpu.ops.fourier_accel import accelerate
 
@@ -1859,6 +1862,8 @@ def make_sharded_langevin_step(model_spec, plan: ShardPlan, mesh: Mesh,
         return x_new, it.astype(jnp.int32), flag, key
 
     if chains_axis is None:
+        if params_axis is not None:
+            raise ValueError("params_axis requires a chains_axis (2-D mesh)")
         sharded = jax.shard_map(
             step_local, mesh=mesh,
             in_specs=(P(), P(plan.axis, None), P()),
@@ -1867,9 +1872,10 @@ def make_sharded_langevin_step(model_spec, plan: ShardPlan, mesh: Mesh,
         )
     else:
         ca = chains_axis
+        p_spec = P(ca) if params_axis == 0 else P()
         sharded = jax.shard_map(
-            jax.vmap(step_local, in_axes=(None, 0, 0)), mesh=mesh,
-            in_specs=(P(), P(ca, plan.axis, None), P(ca)),
+            jax.vmap(step_local, in_axes=(params_axis, 0, 0)), mesh=mesh,
+            in_specs=(p_spec, P(ca, plan.axis, None), P(ca)),
             out_specs=(P(ca, plan.axis, None), P(ca), P(ca), P(ca)),
             check_vma=False,
         )
@@ -1884,11 +1890,12 @@ def make_sharded_langevin_step(model_spec, plan: ShardPlan, mesh: Mesh,
 def make_sharded_ssh_langevin_step(model_spec, plan: ShardPlan, mesh: Mesh,
                                    Q_table, dt: float, method: str = "euler",
                                    scfg=None, kpm_cfg=None,
-                                   chains_axis: str | None = None):
+                                   chains_axis: str | None = None,
+                                   params_axis: int | None = None):
     """Sharded SSH Langevin update: bond-phonon field replicated, electron
     vectors sharded, fermionic force psum-assembled (as in
-    :func:`make_sharded_ssh_hmc_step`). ``chains_axis`` as in
-    :func:`make_sharded_langevin_step`."""
+    :func:`make_sharded_ssh_hmc_step`). ``chains_axis``/``params_axis`` as
+    in :func:`make_sharded_langevin_step`."""
     from elphdynamics_tpu.dynamics.solve import SolverConfig
     from elphdynamics_tpu.models import ssh as S
     from elphdynamics_tpu.ops.fourier_accel import accelerate
@@ -1982,6 +1989,8 @@ def make_sharded_ssh_langevin_step(model_spec, plan: ShardPlan, mesh: Mesh,
         return x_new, it.astype(jnp.int32), flag, key
 
     if chains_axis is None:
+        if params_axis is not None:
+            raise ValueError("params_axis requires a chains_axis (2-D mesh)")
         sharded = jax.shard_map(
             step_local, mesh=mesh,
             in_specs=(P(), P(), P()),
@@ -1990,9 +1999,10 @@ def make_sharded_ssh_langevin_step(model_spec, plan: ShardPlan, mesh: Mesh,
         )
     else:
         ca = chains_axis
+        p_spec = P(ca) if params_axis == 0 else P()
         sharded = jax.shard_map(
-            jax.vmap(step_local, in_axes=(None, 0, 0)), mesh=mesh,
-            in_specs=(P(), P(ca), P(ca)),
+            jax.vmap(step_local, in_axes=(params_axis, 0, 0)), mesh=mesh,
+            in_specs=(p_spec, P(ca), P(ca)),
             out_specs=(P(ca), P(ca), P(ca), P(ca)),
             check_vma=False,
         )

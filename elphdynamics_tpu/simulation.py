@@ -96,7 +96,7 @@ def simulate(config, run_id: int | None = None, n_chains: int = 1,
     ``N·Lτ`` footprint outgrows a single chip. Both may be combined:
     a 2-D ``(chain × site)`` mesh of ``n_devices · site_devices`` chips
     (HMC and Langevin; ``tune_dt``, ``[solver.deflation]`` and
-    ``[tempering]`` (HMC) compose with the site axis — the one remaining
+    ``[tempering]`` compose with the site axis — the one remaining
     carve-out is ``--site-devices`` under ``--multihost``).
 
     ``multihost=True`` initializes ``jax.distributed`` (one process per
@@ -238,9 +238,6 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
     if tempering:
         if n_chains < 2:
             raise ValueError("[tempering] needs --chains = K*M (>1)")
-        if site_devices > 1 and setup.dynamics_type != "hmc":
-            raise NotImplementedError(
-                "[tempering] with --site-devices supports HMC only")
         from elphdynamics_tpu.dynamics.tempering import (
             ladder_params, make_exchange_step, target_mask)
     p_ax = 0 if tempering else None
@@ -362,7 +359,7 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
             _lraw = _lmaker(ops.spec, plan, smesh, setup.fa_Q,
                             setup.langevin_dt, setup.langevin_method,
                             setup.solver_cfg, kpm_cfg=setup.kpm_cfg,
-                            chains_axis=_ca)
+                            chains_axis=_ca, params_axis=p_ax)
 
             def _lwrap(params, state, key):
                 params = _place_params(params)
