@@ -19,7 +19,11 @@ Contract:
   (all global devices) is the normal choice;
 * resume needs the datafolder reachable from every process (shared
   filesystem — the usual TPU-pod NFS/GCS setup);
-* ``--site-devices`` (lattice sharding) stays single-process for now.
+* ``--site-devices`` (lattice sharding) composes: the site (or combined
+  chain × site) mesh spans the global device set, the halo ppermutes ride
+  the cross-process links, and the off-hot-loop gathers (special updates,
+  measurement convolution stage) target the replicated mesh sharding
+  instead of one device (simulation.py ``gather_x``).
 
 Collective discipline: :func:`fetch` and the broadcast helpers are
 collectives — every process must reach them the same number of times.

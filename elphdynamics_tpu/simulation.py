@@ -95,9 +95,10 @@ def simulate(config, run_id: int | None = None, n_chains: int = 1,
     mesh (SURVEY §5's context-parallel analog) — for problems whose
     ``N·Lτ`` footprint outgrows a single chip. Both may be combined:
     a 2-D ``(chain × site)`` mesh of ``n_devices · site_devices`` chips
-    (HMC and Langevin; ``tune_dt``, ``[solver.deflation]`` and
-    ``[tempering]`` compose with the site axis — the one remaining
-    carve-out is ``--site-devices`` under ``--multihost``).
+    (HMC and Langevin; ``tune_dt``, ``[solver.deflation]``, ``[tempering]``
+    and ``--multihost`` all compose with the site axis — under multihost
+    the site mesh spans the global device set and the off-hot-loop gathers
+    become XLA all-gathers to a replicated sharding).
 
     ``multihost=True`` initializes ``jax.distributed`` (one process per
     host; see parallel/multihost.py for the contract): every process runs
@@ -114,10 +115,6 @@ def simulate(config, run_id: int | None = None, n_chains: int = 1,
         n_devices = len(jax.devices())
     if site_devices == 0:
         site_devices = len(jax.devices())
-    if mh and site_devices > 1:
-        raise NotImplementedError(
-            "--site-devices under multihost is not yet supported "
-            "(chain-mesh data parallelism only)")
     if n_chains == 0 and site_devices > 1:
         raise ValueError("--chains 0 (auto) needs an explicit chain count "
                          "when composing with --site-devices")
@@ -188,6 +185,22 @@ def simulate(config, run_id: int | None = None, n_chains: int = 1,
             logger.removeHandler(handler)
 
 
+def _check_mh_mesh_coverage(mh: bool, mesh) -> None:
+    """Multihost meshes must span the GLOBAL device set: a mesh built from
+    a device prefix that misses some process's local devices leaves that
+    process with no addressable shard, and its shard_map fails with an
+    opaque runtime error — catch the misconfiguration up front."""
+    if not mh:
+        return
+    used = mesh.devices.size
+    total = len(jax.devices())
+    if used != total:
+        raise ValueError(
+            f"multihost run: the device mesh uses {used} of {total} global "
+            "devices. Choose --devices/--site-devices so their product "
+            "covers every process's devices (e.g. --devices 0 for all).")
+
+
 def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
          site_devices: int = 1) -> dict:
     ops = setup.ops
@@ -215,6 +228,7 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
         from elphdynamics_tpu.parallel.chains import chain_mesh
         mesh = chain_mesh(n_devices)
         chain_sharding = NamedSharding(mesh, P("chain"))
+        _check_mh_mesh_coverage(mh, mesh)
 
     def constrain(tree):
         """Pin chain-batched arrays to the mesh inside jitted programs."""
@@ -264,6 +278,7 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
             smesh = chain_site_mesh(max(n_devices, 1), site_devices)
         else:
             smesh = site_mesh(site_devices)
+        _check_mh_mesh_coverage(mh, smesh)
 
         from jax.sharding import NamedSharding, PartitionSpec as _P
         _rep = NamedSharding(smesh, _P())
@@ -349,9 +364,14 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
             sim_step = _adapt(_maker(
                 ops.spec, plan, smesh, setup.fa_mass, setup.hmc_cfg,
                 kpm_cfg=setup.kpm_cfg, chains_axis=_ca, params_axis=p_ax))
-            burnin_step = _adapt(_maker(
-                ops.spec, plan, smesh, setup.fa_mass, setup.hmc_burnin_cfg,
-                kpm_cfg=setup.kpm_cfg, chains_axis=_ca, params_axis=p_ax))
+            # without [hmc.burnin] overrides the burnin program is the
+            # sampling program — reuse it (one big remote compile saved)
+            burnin_step = (
+                sim_step if setup.hmc_burnin_cfg == setup.hmc_cfg
+                else _adapt(_maker(
+                    ops.spec, plan, smesh, setup.fa_mass,
+                    setup.hmc_burnin_cfg, kpm_cfg=setup.kpm_cfg,
+                    chains_axis=_ca, params_axis=p_ax)))
         else:
             _lmaker = (make_sharded_langevin_step if ops.is_holstein
                        else make_sharded_ssh_langevin_step)
@@ -374,7 +394,12 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
             sim_step = burnin_step = _lwrap
     elif setup.dynamics_type == "hmc":
         sim_step = make_hmc_step(ops, setup.fa_mass, setup.hmc_cfg, precond)
-        burnin_step = make_hmc_step(ops, setup.fa_mass, setup.hmc_burnin_cfg, precond)
+        # identical burnin config ⇒ reuse the sampling program (the jit
+        # sites below propagate the identity, saving a full compile)
+        burnin_step = (
+            sim_step if setup.hmc_burnin_cfg == setup.hmc_cfg
+            else make_hmc_step(ops, setup.fa_mass, setup.hmc_burnin_cfg,
+                               precond))
     else:
         lstep = make_langevin_step(ops, setup.fa_Q, setup.langevin_dt,
                                    setup.langevin_method, setup.solver_cfg, precond)
@@ -455,7 +480,8 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
             burnin_step_j = burnin_step
         else:
             sim_step_j = _sharded(sim_step)
-            burnin_step_j = _sharded(burnin_step)
+            burnin_step_j = (sim_step_j if burnin_step is sim_step
+                             else _sharded(burnin_step))
         _mstep_v = jax.vmap(mstep, in_axes=(p_ax, 0, 0))
         # bin mask: with tempering only rung-0 (physical λ) chains bin
         _tmask = (jnp.asarray(target_mask(tcfg_t, n_chains)) if tempering
@@ -505,12 +531,17 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
             burnin_step_j = burnin_step
         else:
             sim_step_j = jax.jit(sim_step)
-            burnin_step_j = jax.jit(burnin_step)
+            burnin_step_j = (sim_step_j if burnin_step is sim_step
+                             else jax.jit(burnin_step))
 
         if sharded_sampler is not None:
             from elphdynamics_tpu.measure.greens import GreensData
             analyze_j = jax.jit(mstep.analyze)
-            _dev0 = jax.devices()[0]
+            # single-process: gather the bounded convolution stage to one
+            # device. Multihost: a single device is not addressable from
+            # every process — gather to the replicated mesh sharding
+            # instead (an XLA all-gather; analyze_j then runs replicated)
+            _dev0 = _rep if mh else jax.devices()[0]
 
             def _mstep_one(params, x, keys):
                 # the solves run sharded over the site mesh; R/M⁻¹R gather
@@ -774,6 +805,7 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
             # collective state gather below stays symmetric
             want = bool(bcast_int(int(want)))
         if want:
+            flush_stats()  # checkpointed sim_stats must include the window
             t0 = time.time()
             data = {"x": state.x, "v": state.v, "key": chain_keys}
             if mh:
@@ -805,9 +837,11 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
         """Site-sharded fields are gathered to one device before the
         special updates (their Metropolis scans need the whole lattice; they
         are off the hot loop). The next sampler step re-shards via its
-        shard_map in_specs."""
+        shard_map in_specs. Under multihost the gather target is the
+        replicated mesh sharding (a collective all-gather — one process's
+        device is not addressable from the others)."""
         if site_devices > 1:
-            return jax.device_put(x, jax.devices()[0])
+            return jax.device_put(x, _rep if mh else jax.devices()[0])
         return x
 
     def meas_x(x):
@@ -821,7 +855,7 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
         on one device. Gather them there (the next sampler step re-shards
         via its shard_map in_specs, like ``gather_x``)."""
         if combined:
-            return jax.device_put(keys, jax.devices()[0])
+            return jax.device_put(keys, _rep if mh else jax.devices()[0])
         return keys
 
     def do_special(params, state, keys, n):
@@ -836,7 +870,7 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
             # unsharded special-update jits (combined 2-D mesh): gather the
             # (mesh-resident) key only when one actually fires — never on
             # the per-step hot path
-            keys = jax.device_put(keys, jax.devices()[0])
+            keys = jax.device_put(keys, _rep if mh else jax.devices()[0])
 
         def sp_x(x, sharded_fn):
             if sharded_fn is not None:
@@ -855,14 +889,14 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
             xn, acc, keys = reflect_j(p_, sp_x(state.x, sharded_reflect), keys)
             state = state._replace(x=xn)
             sim_stats["simulation_time"] += time.time() - t0
-            sim_stats["reflect_acceptance_rate"] += float(np.mean(fetch(acc)))
+            _accs["reflect"] = _fold(_accs["reflect"], float(n), acc, 0.0, 0)
         if fire_swap:
             t0 = time.time()
             p_, keys = sp_args(params, keys, sharded_swap)
             xn, acc, keys = swap_j(p_, sp_x(state.x, sharded_swap), keys)
             state = state._replace(x=xn)
             sim_stats["simulation_time"] += time.time() - t0
-            sim_stats["swap_acceptance_rate"] += float(np.mean(fetch(acc)))
+            _accs["swap"] = _fold(_accs["swap"], float(n), acc, 0.0, 0)
         return state, keys
 
     def do_exchange(params, state, keys, n):
@@ -880,8 +914,8 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
         state = state._replace(x=place(xn), v=place(vn))
         keys = place(keys)
         sim_stats["simulation_time"] += time.time() - t0
-        sim_stats["tempering_acceptance_rate"] += float(fetch(acc))
-        log_solver_flags("tempering exchange", n, flag)
+        _accs["tempering"] = _fold(_accs["tempering"], float(n),
+                                   acc, 0.0, flag)
         return state, keys
 
     mu_update_freq = max(sp.meas_freq, 1)
@@ -949,6 +983,152 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
                 "(flags=%s)", kind, n, nf, flags.size,
                 np.unique(flags[flags != 0]).tolist())
 
+    # ---- deferred statistics (async dispatch pipeline). A host sync costs
+    # one full round trip on remote runtimes (~30 ms measured on the axon
+    # tunnel), and the loop used to pay 3-6 of them per update for scalars
+    # nobody reads until the summary — at small lattices the round trips,
+    # not compute, bounded the driver. The per-update acceptance/iteration/
+    # flag scalars therefore fold into DEVICE-side accumulators (one tiny
+    # async dispatch) and come back as a single packed transfer only at
+    # checkpoint / bin / finalize boundaries, so the device pipeline never
+    # drains between measurements. ``[hmc] log = true`` (per-update energy
+    # rows, HMC.jl:236-243) stays async too: the row data lands in a
+    # device-side RING BUFFER drained as one packed transfer every LOGB
+    # updates. Only ``verbose = true`` (per-TIMESTEP rows, a deep-debug
+    # mode whose trajectory arrays change shape between the burnin and
+    # sampling phases) keeps the synchronous per-update path.
+    stats_sync = hmc_want and hmc_verbose
+    LOGB = 64
+
+    _logdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    @jax.jit
+    def _log_push(buf, i, n, acc, H, S, K, iters):
+        def put(k, v):
+            return buf[k].at[i].set(
+                jnp.atleast_1d(jnp.asarray(v).astype(_logdt)))
+        return {"n": buf["n"].at[i].set(jnp.asarray(n, _logdt)),
+                "acc": put("acc", acc), "H": put("H", H), "S": put("S", S),
+                "K": put("K", K), "iters": put("iters", iters)}
+
+    _lb = {"buf": None, "cnt": 0}
+
+    def push_log_row(n, stats):
+        """Queue one per-update energy-log row on device (no host sync)."""
+        get = (stats.get if isinstance(stats, dict)
+               else lambda k, d=None: getattr(stats, k, d))
+        if not hmc_want or get("H") is None:
+            return
+        if _lb["buf"] is None:
+            C = max(n_chains, 1)
+            z = jnp.zeros((LOGB, C), _logdt)
+            _lb["buf"] = {"n": jnp.zeros(LOGB, _logdt), "acc": z,
+                          "H": z, "S": z, "K": z, "iters": z}
+        _lb["buf"] = _log_push(_lb["buf"], _lb["cnt"], float(n),
+                               get("accepted"), get("H"), get("S"),
+                               get("K"), get("iters"))
+        _lb["cnt"] += 1
+        if _lb["cnt"] >= LOGB:
+            drain_log_rows()
+
+    def drain_log_rows():
+        """One packed transfer for up to LOGB queued log rows (collective
+        fetch under multihost — drain points are config-derived), written
+        in update order by the primary process."""
+        if _lb["cnt"] == 0:
+            return
+        from elphdynamics_tpu.utils.transfer import tree_to_host
+        h = fetch_tree(_lb["buf"]) if mh else tree_to_host(_lb["buf"])
+        h = {k: np.asarray(v) for k, v in h.items()}
+        if hmc_log is not None:
+            for i in range(_lb["cnt"]):
+                nrow = int(h["n"][i])
+                for c in range(h["acc"].shape[1]):
+                    hmc_log.write(
+                        f"{nrow} {int(h['acc'][i, c])} -1 {h['H'][i, c]:.8f} "
+                        f"{h['S'][i, c]:.8f} {h['K'][i, c]:.8f} "
+                        f"{int(h['iters'][i, c])}\n")
+        _lb["cnt"] = 0
+
+    def _zero_acc():
+        return {"n": 0.0, "acc": 0.0, "iters": 0.0, "nflag": 0.0,
+                "first": 1e30, "last": -1.0, "fmax": 0.0}
+
+    @jax.jit
+    def _fold(s, n, acc, iters, flag):
+        acc = jnp.asarray(acc, jnp.float32)
+        iters = jnp.asarray(iters, jnp.float32)
+        flag = jnp.atleast_1d(jnp.asarray(flag))
+        nf = jnp.sum((flag != 0).astype(jnp.float32))
+        has = nf > 0
+        return {
+            "n": s["n"] + 1.0,
+            "acc": s["acc"] + jnp.mean(acc),
+            "iters": s["iters"] + jnp.mean(iters),
+            "nflag": s["nflag"] + nf,
+            "first": jnp.where(has, jnp.minimum(s["first"], n), s["first"]),
+            "last": jnp.where(has, jnp.maximum(s["last"], n), s["last"]),
+            "fmax": jnp.maximum(s["fmax"], jnp.max(flag).astype(jnp.float32)),
+        }
+
+    @jax.jit
+    def _fold_count(s, n, cnt):
+        # measurement stage: ``n_flagged`` is already the masked count
+        cnt = jnp.asarray(cnt, jnp.float32)
+        has = cnt > 0
+        return {**s, "n": s["n"] + 1.0, "nflag": s["nflag"] + cnt,
+                "first": jnp.where(has, jnp.minimum(s["first"], n),
+                                   s["first"]),
+                "last": jnp.where(has, jnp.maximum(s["last"], n), s["last"])}
+
+    # one accumulator per statistic stream: each stream's arrays keep one
+    # consistent device placement, so the folds never mix committed sets
+    _accs = {k: _zero_acc() for k in
+             ("update", "reflect", "swap", "tempering", "measurement")}
+    _acc_key = {"update": ("iters", "acceptance_rate"),
+                "reflect": (None, "reflect_acceptance_rate"),
+                "swap": (None, "swap_acceptance_rate"),
+                "tempering": (None, "tempering_acceptance_rate"),
+                "measurement": (None, None)}
+
+    def flush_stats():
+        """Drain the device-side accumulators: one packed transfer per
+        active stream (collective fetch under multihost — flush points are
+        config-derived, so every process reaches them in lockstep), then
+        the host-side bookkeeping. Solver-failure warnings aggregate over
+        the window; ``[hmc] verbose`` restores per-update granularity."""
+        from elphdynamics_tpu.utils.transfer import tree_to_host
+        t0 = time.time()
+        drain_log_rows()
+        moved = False
+        for kind, s in _accs.items():
+            if isinstance(s["n"], float):
+                if s["n"] == 0.0:
+                    continue
+                h = dict(s)
+            else:
+                h = {k: float(v) for k, v in
+                     (fetch_tree(s) if mh else tree_to_host(s)).items()}
+                moved = True
+            _accs[kind] = _zero_acc()
+            it_key, acc_key = _acc_key[kind]
+            if it_key:
+                sim_stats[it_key] += h["iters"]
+            if acc_key:
+                sim_stats[acc_key] += h["acc"]
+            nf = int(round(h["nflag"]))
+            if nf:
+                sim_stats["solver_failures"] = \
+                    sim_stats.get("solver_failures", 0) + nf
+                logger.warning(
+                    "solver failure during %s, updates %d..%d: %d flagged "
+                    "(max flag %d)", kind, int(h["first"]), int(h["last"]),
+                    nf, int(h["fmax"]))
+        if moved:
+            # the drain waits on all outstanding sampling compute: attribute
+            # it to simulation time (async loops record only dispatch time)
+            sim_stats["simulation_time"] += time.time() - t0
+
     # ---- thermalization (RunSimulation.jl:171-204)
     for n in range(burnin_start, sp.burnin):
         maybe_checkpoint(n, 0)
@@ -960,10 +1140,15 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
             state, stats, chain_keys = burnin_step_j(params, state, chain_keys)
         acc, iters, flag = _stats_of(stats)
         sim_stats["simulation_time"] += time.time() - t0
-        sim_stats["iters"] += float(np.mean(fetch(iters)))
-        sim_stats["acceptance_rate"] += float(np.mean(fetch(acc)))
-        log_solver_flags("burnin", n + 1, flag)
-        log_hmc(n + 1, stats)
+        if stats_sync:
+            sim_stats["iters"] += float(np.mean(fetch(iters)))
+            sim_stats["acceptance_rate"] += float(np.mean(fetch(acc)))
+            log_solver_flags("burnin", n + 1, flag)
+            log_hmc(n + 1, stats)
+        else:
+            _accs["update"] = _fold(_accs["update"], float(n + 1),
+                                    acc, iters, flag)
+            push_log_row(n + 1, stats)
         state, chain_keys = do_special(params, state, chain_keys, n + 1)
         state, chain_keys = do_exchange(params, state, chain_keys, n + 1)
         if mu_tuner.active and (n + 1) % mu_update_freq == 0:
@@ -989,10 +1174,15 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
         state, stats, chain_keys = sim_step_j(params, state, chain_keys)
         acc, iters, flag = _stats_of(stats)
         sim_stats["simulation_time"] += time.time() - t0
-        sim_stats["iters"] += float(np.mean(fetch(iters)))
-        sim_stats["acceptance_rate"] += float(np.mean(fetch(acc)))
-        log_solver_flags("simulation", n + 1, flag)
-        log_hmc(sp.burnin + n + 1, stats)
+        if stats_sync:
+            sim_stats["iters"] += float(np.mean(fetch(iters)))
+            sim_stats["acceptance_rate"] += float(np.mean(fetch(acc)))
+            log_solver_flags("simulation", n + 1, flag)
+            log_hmc(sp.burnin + n + 1, stats)
+        else:
+            _accs["update"] = _fold(_accs["update"], float(n + 1),
+                                    acc, iters, flag)
+            push_log_row(sp.burnin + n + 1, stats)
         state, chain_keys = do_special(params, state, chain_keys, n + 1)
         state, chain_keys = do_exchange(params, state, chain_keys, n + 1)
 
@@ -1003,26 +1193,29 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
                     params, meas_x(state.x), meas_keys(chain_keys))
             container = accum_j(container, {k: inc[k] for k in container})
             sim_stats["measurement_time"] += time.time() - t0
-            nfl = int(fetch(mstats.get("n_flagged", 0)))
-            if nfl:
-                sim_stats["solver_failures"] = sim_stats.get("solver_failures", 0) + nfl
-                logger.warning("solver failure during measurement %d: "
-                               "%d chains masked from the bin", nmeas, nfl)
+            _accs["measurement"] = _fold_count(
+                _accs["measurement"], float(nmeas),
+                mstats.get("n_flagged", 0))
             if mu_tuner.active:
                 npairs = setup.mspec.nv * (setup.mspec.nv - 1) // 2
                 Nm = float(inc["global"]["density"]) / npairs * ops.Nsites
                 N2m = float(inc["global"]["Nsqr"]) / npairs
                 params = apply_mu(params, mu_tuner.update(Nm, N2m))
-            # snapshots
-            t0 = time.time()
-            for sname, svals in (snaps or {}).items():
-                svals = fetch(svals)
+            # snapshots: one packed transfer for the whole dict (the axon
+            # per-transfer round-trip rule), not one fetch per kind
+            if snaps:
+                t0 = time.time()
+                from elphdynamics_tpu.utils.transfer import tree_to_host
+                snaps_h = fetch_tree(snaps) if mh else tree_to_host(snaps)
                 if primary:
-                    out_io.write_snapshot(datafolder, sname, svals, nmeas)
-            sim_stats["write_time"] += time.time() - t0
+                    for sname, svals in snaps_h.items():
+                        out_io.write_snapshot(datafolder, sname,
+                                              np.asarray(svals), nmeas)
+                sim_stats["write_time"] += time.time() - t0
 
             if nmeas % sp.bin_size == 0:
                 bin_idx = nmeas // sp.bin_size
+                flush_stats()  # drain the window's deferred stats/warnings
                 t0 = time.time()
                 processed = process_bin_j(container)
                 from elphdynamics_tpu.utils.transfer import tree_to_host
@@ -1037,6 +1230,7 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
                                  min_interval=min(10.0, sp.chckpnt_freq_s))
 
     # ---- finalize (RunSimulation.jl:282-306; SimulationSummary.jl:23-140)
+    flush_stats()
     total = sp.burnin + sp.nsteps
     sim_stats["iters"] /= max(total, 1)
     sim_stats["acceptance_rate"] /= max(total, 1)

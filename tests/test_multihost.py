@@ -135,3 +135,127 @@ def test_multihost_driver_matches_single_process(tmp_path):
         assert ca[:3] == cb[:3], (a, b_)          # update, accepted, timestep
         assert abs(float(ca[3]) - float(cb[3])) < 1e-6 * (
             1.0 + abs(float(ca[3]))), (a, b_)     # total energy
+
+
+def _slim_site_cfg():
+    """The site-sharded legs pay hot-loop collectives over gloo with two
+    processes pinned to ONE host core — slim the lattice/updates hard so
+    each leg stays inside a ~10-min chunk window."""
+    cfg = copy.deepcopy(CFG)
+    del cfg["tempering"]  # needs >=2 chains/rung; these legs run 1-2 chains
+    # 4-way site sharding needs >=4 sites per row so bonds cross at most
+    # one block boundary (lattice_shard.build_shard_plan)
+    cfg["lattice"]["L"] = 4
+    cfg["holstein"]["beta"] = 0.5
+    cfg["hmc"].update(burnin_updates=2, simulation_updates=2, meas_freq=1,
+                      num_multitimesteps=1)
+    cfg["solver"]["maxiter"] = 300
+    cfg["measurements"]["num_random_vectors"] = 2
+    cfg["simulation"]["num_bins"] = 2
+    return cfg
+
+
+def _run_site_leg(tmp_path, cfg, leg, n_chains, site_devices,
+                  devs_per_proc=1, n_devices=1):
+    """One multihost x site-devices leg: single-process baseline on the
+    8-virtual-device pytest process vs the same sharded program spanning
+    two OS processes (devs_per_proc devices each); bins must match."""
+    import json
+
+    from elphdynamics_tpu.simulation import simulate
+
+    cfg1 = copy.deepcopy(cfg)
+    cfg1["simulation"]["filepath"] = str(tmp_path / "one")
+    os.makedirs(str(tmp_path / "one"))
+    simulate(cfg1, n_chains=n_chains, n_devices=n_devices,
+             site_devices=site_devices)
+
+    cfgf = str(tmp_path / "cfg.json")
+    json.dump(cfg, open(cfgf, "w"))
+    runner = textwrap.dedent(f"""
+        import json, os, sys
+        proc, port, filepath = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+        import jax
+        jax.config.update("jax_enable_x64", True)
+        from elphdynamics_tpu.parallel.multihost import init_multihost
+        init_multihost(coordinator_address="127.0.0.1:" + port,
+                       num_processes=2, process_id=proc)
+        cfg = json.load(open(sys.argv[4]))
+        cfg["simulation"]["filepath"] = filepath
+        from elphdynamics_tpu.simulation import simulate
+        stats = simulate(cfg, n_chains={n_chains}, n_devices={n_devices},
+                         site_devices={site_devices})
+        print("LEG_DONE", proc, stats["acceptance_rate"], flush=True)
+    """)
+    runf = str(tmp_path / "runner.py")
+    open(runf, "w").write(runner)
+    mhdir = str(tmp_path / "mh")
+    os.makedirs(mhdir)
+    port = str(_free_port())
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count="
+                         + str(devs_per_proc),
+               PALLAS_AXON_POOL_IPS="",
+               PYTHONPATH=REPO)
+    procs = [subprocess.Popen(
+        [sys.executable, runf, str(p), port, mhdir, cfgf],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for p in (0, 1)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=1500)
+            outs.append(out)
+    finally:
+        for p in procs:  # a timeout must not leave orphaned runners
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, (leg, out[-4000:])
+        assert "LEG_DONE" in out, (leg, out[-4000:])
+
+    od = os.path.join(str(tmp_path / "one"), "mh-1")
+    md = os.path.join(mhdir, "mh-1")
+    assert os.path.isfile(os.path.join(md, "checkpoint.npz")), leg
+    for b in (1, 2):
+        fn = f"global_measurements_{b:05d}.out"
+        g1 = {l.split()[0]: float(l.split()[1])
+              for l in open(os.path.join(od, "global_measurements_f", fn))}
+        g2 = {l.split()[0]: float(l.split()[1])
+              for l in open(os.path.join(md, "global_measurements_f", fn))}
+        for k in g1:
+            assert abs(g1[k] - g2[k]) < 5e-6 * (1.0 + abs(g1[k])), \
+                (leg, b, k, g1[k], g2[k])
+
+
+@pytest.mark.slow
+def test_multihost_site_sharded_matches_single_process(tmp_path):
+    """--site-devices composes with --multihost (the last composition
+    carve-out): a 1-D site mesh over 4 global devices spans two OS
+    processes; the checkerboard halo ppermutes cross the process boundary,
+    the sharded special updates run on the cross-process mesh, and the
+    sharded-sampler convolution stage gathers to a replicated sharding
+    instead of one device. Bins must match the single-process run of the
+    SAME sharded program (identical seed and collective partition)."""
+    cfg = _slim_site_cfg()
+    # one device per process: the 2-way site mesh is exactly the
+    # cross-process boundary; extra virtual devices only thrash the
+    # single host core
+    _run_site_leg(tmp_path, cfg, "site", n_chains=1, site_devices=2)
+
+
+@pytest.mark.slow
+def test_multihost_combined_mesh_matches_single_process(tmp_path):
+    """The combined 2-D (chain x site) mesh under --multihost: 2 chains x
+    2 site shards over the 4 cross-process devices; the combined-mode
+    measurement gathers (meas_x / meas_keys) ride replicated-sharding
+    all-gathers."""
+    cfg = _slim_site_cfg()
+    # no special updates: this leg targets the combined-mode measurement
+    # gather path; specials x multihost are the site leg's job
+    del cfg["hmc"]["reflection_update"]
+    # the 2-D mesh must span ALL processes' devices: 2 chain ranks x
+    # 2 site ranks = 4 global devices (2 per process)
+    _run_site_leg(tmp_path, cfg, "comb", n_chains=2, site_devices=2,
+                  devs_per_proc=2, n_devices=2)

@@ -219,6 +219,43 @@ def test_solver_failures_logged_and_masked(tmp_path):
     assert vals and all(np.isfinite(v) for v in vals)
 
 
+def test_async_stats_match_sync_and_aggregate_failures(tmp_path):
+    """With [hmc] log off the driver defers per-update statistics into
+    device-side accumulators (async dispatch pipeline, simulation.py
+    flush_stats). The deferred accounting must reproduce the synchronous
+    path's counters exactly (the dynamics are identical either way), and
+    forced solver failures must still reach the run log (as an aggregated
+    per-window warning) and the summary."""
+    cfg = copy.deepcopy(BASE_CFG)
+    cfg["simulation"]["filepath"] = str(tmp_path / "sync")
+    cfg["solver"]["maxiter"] = 2
+    cfg["hmc"]["burnin_updates"] = 2
+    cfg["hmc"]["simulation_updates"] = 4
+    cfg["simulation"]["num_bins"] = 1
+    cfg["simulation"]["write_M_matrix"] = False
+    os.makedirs(str(tmp_path / "sync"))
+    stats_sync = simulate(cfg, n_chains=2)
+
+    cfg2 = copy.deepcopy(cfg)
+    cfg2["simulation"]["filepath"] = str(tmp_path / "async")
+    cfg2["hmc"]["log"] = False
+    os.makedirs(str(tmp_path / "async"))
+    stats_async = simulate(cfg2, n_chains=2)
+
+    for k in ("acceptance_rate", "iters", "reflect_acceptance_rate",
+              "swap_acceptance_rate"):
+        assert abs(stats_sync[k] - stats_async[k]) < 1e-5, (
+            k, stats_sync[k], stats_async[k])
+    assert stats_async.get("solver_failures", 0) == \
+        stats_sync.get("solver_failures", 0) > 0
+    log = open(os.path.join(str(tmp_path / "async"), "testrun-1",
+                            "testrun.log")).read()
+    assert "solver failure" in log
+    txt = open(os.path.join(str(tmp_path / "async"), "testrun-1",
+                            "testrun_summary.out")).read()
+    assert "Solver Failures" in txt
+
+
 def test_simulate_honeycomb_multiorbital(tmp_path):
     """Multi-orbital (norbits=2, honeycomb) driver run: per-orbit parameter
     assignment, orbit-indexed onsite measurements, and multi-orbital
