@@ -69,7 +69,9 @@ def total_force(
     earlier full setup skips the spectral-bounds recomputation."""
     derived = ops.derived(params, x)
     key, kg = jax.random.split(key)
-    g = jax.random.normal(kg, x.shape[:-2] + (ops.Nsites, ops.Ltau), dtype=x.dtype)
+    from elphdynamics_tpu.utils.dtypes import trace_noise
+    g = trace_noise(kg, params, x.shape[:-2] + (ops.Nsites, ops.Ltau),
+                    x.dtype)
     pa = resolve_precond(precond, params, x, prev_state=pstate)
     fres = fermionic_force(ops, params, x, derived, g, scfg, pa)
     dSdx = fres.dSdx + ops.calc_dSbdx(params, x, shifted)

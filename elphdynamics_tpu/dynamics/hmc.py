@@ -35,7 +35,7 @@ from jax import lax
 from elphdynamics_tpu.dynamics.force import SolverConfig
 from elphdynamics_tpu.models.adapter import ModelOps
 from elphdynamics_tpu.ops.fourier_accel import accelerate
-from elphdynamics_tpu.utils.dtypes import fdot
+from elphdynamics_tpu.utils.dtypes import fdot, pseudofermion_noise
 
 
 class HMCConfig(NamedTuple):
@@ -180,8 +180,11 @@ def make_hmc_step(
         x0 = z_guess if (cfg.construct_guess and cfg.solver_kind == "cg") else None
         res = solve_oinv(ops, params, derived, Lphi, scfg, pa, x0=x0,
                          deflate=defl)
-        # spin axis is leading: reduce iters (avg, reference's cld(sum,2)) & flag
-        iters = (jnp.sum(res.iters, axis=0) + 1) // 2
+        # spin axis is leading: reduce iters (avg, reference's cld(sum,2)) &
+        # flag. The stack is [2] real spins or [1] complex (both spins in one
+        # packed solve) — average over whatever is there.
+        ns = res.iters.shape[0]
+        iters = (jnp.sum(res.iters, axis=0) + ns - 1) // ns
         flag = jnp.max(res.flag, axis=0)
         return res.x, iters, flag
 
@@ -235,8 +238,11 @@ def make_hmc_step(
         R = ops.tie(jax.random.normal(k_v, x0.shape, dtype=x0.dtype))
         v0 = cfg.alpha * v_in + jnp.sqrt(1.0 - cfg.alpha ** 2) * accelerate(mass, R, -0.5)
 
-        # --- refresh φ per spin (HMC.jl:666-692)
-        Rpm = jax.random.normal(k_p, (2, ops.Nsites, ops.Ltau), dtype=x0.dtype)
+        # --- refresh φ per spin (HMC.jl:666-692); on the complex-hopping
+        # path the two spin fields pack into one complex stack entry
+        # (utils.dtypes.pseudofermion_noise — the TRS twist ensemble)
+        Rpm = pseudofermion_noise(k_p, params, (ops.Nsites, ops.Ltau),
+                                  x0.dtype)
         derived0 = ops.derived(params, x0)
         MtR = ops.mulMT(params, derived0, Rpm)
         if has_lambda:

@@ -59,7 +59,8 @@ def _refresh_phi(ops: ModelOps, params, x, key):
     """φ± = Λ⁻¹MᵀR± and the exact action S₀ = Σ±|R±|²/2 + Sb
     (HMC.jl:666-692)."""
     key, kp = jax.random.split(key)
-    R = jax.random.normal(kp, (2, ops.Nsites, ops.Ltau), dtype=x.dtype)
+    from elphdynamics_tpu.utils.dtypes import pseudofermion_noise
+    R = pseudofermion_noise(kp, params, (ops.Nsites, ops.Ltau), x.dtype)
     derived = ops.derived(params, x)
     MtR = ops.mulMT(params, derived, R)
     if ops.calc_Lambda is not None:

@@ -422,6 +422,12 @@ def muldMdx(spec: HolsteinSpec, p: HolsteinParams, env, x, u, v):
     # reference: dMdx(τ=1) has -Δτ..., τ>1 has +Δτ → sign = -1 at τ=0, +1 else
     d = sgn * spec.dtau * (lam + 2.0 * lam2 * x) * env * jnp.roll(v, 1, axis=-1)
     y = apply_expK_T(spec, p, u)
+    if jnp.iscomplexobj(y) or jnp.iscomplexobj(d):
+        # complex-hopping path: the force on the REAL field x is
+        # Re[u†·∂M/∂x·v] (the adjoint pairing; the real path's uᵀ∂Mv is its
+        # real-dtype specialization). apply_expK_T is already the adjoint
+        # exp(−ΔτK)† on this path, so only the elementwise conjugate remains.
+        return jnp.real(jnp.conj(y) * d)
     return y * d
 
 
@@ -507,4 +513,8 @@ def muldLambdadx(spec: HolsteinSpec, p: HolsteinParams, x, Lam, vl, vr):
     lam = p.lam[:, None]
     lam2 = p.lam2[:, None]
     sgn = -_tau_sign_first(spec, Lam.dtype)
-    return sgn * vl * spec.dtau * (lam / 2.0 + lam2 * x) * Lam * jnp.roll(vr, 1, axis=-1)
+    base = sgn * spec.dtau * (lam / 2.0 + lam2 * x) * Lam * jnp.roll(vr, 1, axis=-1)
+    if jnp.iscomplexobj(vl) or jnp.iscomplexobj(vr):
+        # complex path: Re[vl†·∂Λ/∂x·vr] (Λ itself is real diagonal)
+        return jnp.real(jnp.conj(vl) * base)
+    return vl * base

@@ -160,3 +160,45 @@ def fdot_fast(a, b, axis=(-2, -1)):
     if jax.config.jax_enable_x64 and a.dtype == jnp.float32:
         return jnp.sum(a.astype(jnp.float64) * b.astype(jnp.float64), axis=axis)
     return jnp.sum(a * b, axis=axis)
+
+
+def params_are_complex(params) -> bool:
+    """True when any model-parameter leaf is complex — the complex-hopping
+    (Peierls-phase / twisted-BC) path, Models.jl:20's ``Continuous =
+    Union{AbstractFloat,Complex}`` surface. Trace-time only (dtypes are
+    static under jit)."""
+    return any(jnp.iscomplexobj(leaf)
+               for leaf in jax.tree_util.tree_leaves(params))
+
+
+def pseudofermion_noise(key, params, shape, dtype):
+    """Spin-stacked pseudofermion Gaussians for the φ (and exact-S₀) refresh.
+
+    Real hopping: ``[2, *shape]`` independent unit normals — one real field
+    per spin (HMC.jl:666-692). Complex hopping: the SAME two fields packed as
+    ONE complex stack entry ``[1, *shape] = R↑ + i·R↓``. Under the real
+    ℝ²ⁿ-embedding this is *exactly* the two-spin real algorithm: the complex
+    φ = M†(R↑+iR↓) carries cov emb(M†M), its Gaussian weight normalization is
+    |det M|² = det M(θ)·det M(−θ) — the sign-problem-free time-reversal-
+    symmetric twist ensemble (spin-↓ sees the conjugate Peierls phases), and
+    Re(φ†z)/2 (utils.dtypes.fdot) reduces to the two real per-spin actions at
+    θ = 0.
+    """
+    R = jax.random.normal(key, (2,) + tuple(shape), dtype=dtype)
+    if params_are_complex(params):
+        return (R[0] + 1j * R[1])[None]
+    return R
+
+
+def trace_noise(key, params, shape, dtype):
+    """Gaussian probe for stochastic trace/force estimators
+    (LangevinDynamics.jl:334-345).
+
+    Real: unit normals with E[ggᵀ] = I. Complex hopping: circular complex
+    normals with E[gg†] = I, so −2·Re[g†·∂M·M⁻¹g] estimates the TRS-ensemble
+    force −2·Re Tr[M⁻¹∂M] (= d/dx of −ln|det M|²)."""
+    if params_are_complex(params):
+        g = jax.random.normal(key, (2,) + tuple(shape), dtype=dtype)
+        half = jnp.asarray(0.5, dtype) ** 0.5
+        return (g[0] + 1j * g[1]) * half
+    return jax.random.normal(key, tuple(shape), dtype=dtype)

@@ -144,3 +144,168 @@ def test_complex_f32_smoke():
                      None)
     assert int(res.flag.max()) == 0
     assert float(res.residual.max()) < 3e-2  # sqrt-tol verification ball
+
+
+# ---------------------------------------------------------------------------
+# round 4+: the complex path through the DYNAMICS stack (HMC / Langevin).
+# The complex pseudofermion packs the two real spin fields as Re/Im
+# (utils.dtypes.pseudofermion_noise): at zero twist the algorithm must
+# reproduce the real two-spin action and forces EXACTLY (analytically equal;
+# numerically to solver tolerance).
+# ---------------------------------------------------------------------------
+
+def _forced_complex(L=4, lam=0.6, beta=0.8, dtau=0.1):
+    """Same model twice: real dtype, and complex dtype at ZERO twist
+    (complex t values force the dtype; the matrices are numerically real)."""
+    uc = UnitCell.create(2, 1, [[1.0, 0.0], [0.0, 1.0]], [[0.0, 0.0]])
+    lat = Lattice.create(uc, L)
+    kw = dict(beta=beta, dtau=dtau, omega=1.0, lam=lam, mu=-0.1)
+    ta_r = [(1.0, 0.0, 0, 0, (1, 0, 0)), (1.0, 0.0, 0, 0, (0, 1, 0))]
+    ta_c = [(1.0 + 0.0j, 0.0, 0, 0, (1, 0, 0)),
+            (1.0 + 0.0j, 0.0, 0, 0, (0, 1, 0))]
+    spec_r, p_r = H.build_holstein(lat, t_assignments=ta_r, **kw)
+    spec_c, p_c = H.build_holstein(lat, t_assignments=ta_c, **kw)
+    return (spec_r, p_r), (spec_c, p_c)
+
+
+def test_complex_packed_action_and_forces_match_real_two_spin():
+    """S and dS/dx from the packed complex pseudofermion φ = Mᵀ(R↑+iR↓)
+    equal the two-spin real values at zero twist (f64, tight tol)."""
+    from elphdynamics_tpu.dynamics.solve import SolverConfig, solve_oinv
+    from elphdynamics_tpu.models.adapter import make_model_ops
+    from elphdynamics_tpu.utils.dtypes import fdot
+
+    (spec_r, p_r), (spec_c, p_c) = _forced_complex()
+    ops_r = make_model_ops(spec_r)
+    ops_c = make_model_ops(spec_c)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(0.4 * rng.standard_normal((spec_r.Nsites, spec_r.Ltau)))
+    R = jnp.asarray(rng.standard_normal((2, spec_r.Nsites, spec_r.Ltau)))
+    scfg = SolverConfig(tol=1e-12, maxiter=5000)
+
+    def pipeline(ops, p, Rs):
+        derived = ops.derived(p, x)
+        MtR = ops.mulMT(p, derived, Rs)
+        Lam = ops.calc_Lambda(p, x)
+        phi = ops.mulLambdaInv(Lam, MtR)
+        Lphi = ops.mulLambda(Lam, phi)
+        z = solve_oinv(ops, p, derived, Lphi, scfg, None).x
+        S = fdot(Lphi, z, axis=(0, -2, -1)) / 2
+        Mz = ops.mulM(p, derived, z)
+        dmdx = ops.muldMdx(p, derived, x, Mz, z)
+        dSf = -jnp.sum(dmdx, axis=0)
+        dSf = dSf + jnp.sum(ops.muldLambdadx(p, x, Lam, phi, z), axis=0)
+        return S, dSf
+
+    S_r, F_r = pipeline(ops_r, p_r, R)
+    S_c, F_c = pipeline(ops_c, p_c, (R[0] + 1j * R[1])[None])
+    assert not jnp.iscomplexobj(S_c) and not jnp.iscomplexobj(F_c)
+    np.testing.assert_allclose(float(S_c), float(S_r), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(F_c), np.asarray(F_r), atol=1e-8)
+
+
+def test_hmc_on_twisted_lattice_accepts_and_conserves():
+    """Full HMC updates on a genuinely twisted 4×4 Holstein lattice: real
+    phonon field, flag-free solves, near-unit acceptance at small dt (f64,
+    unpreconditioned CG)."""
+    from elphdynamics_tpu.dynamics.hmc import HMCConfig, HMCState, make_hmc_step
+    from elphdynamics_tpu.dynamics.init_phonons import init_phonons_half_filled
+    from elphdynamics_tpu.models.adapter import make_model_ops
+    from elphdynamics_tpu.ops.fourier_accel import build_mass
+
+    uc = UnitCell.create(2, 1, [[1.0, 0.0], [0.0, 1.0]], [[0.0, 0.0]])
+    lat = Lattice.create(uc, 4)
+    spec, p = H.build_holstein(lat, beta=2.0, dtau=0.1, omega=1.0, lam=0.6,
+                               mu=-0.1, twist=(0.7, 0.3))
+    assert jnp.iscomplexobj(p.cosht)
+    ops = make_model_ops(spec)
+    mass = build_mass(np.asarray(p.omega), spec.dtau, spec.Ltau,
+                      [dict(omega_min=0.0, omega_max=10.0, mass=1.0)])
+    cfg = HMCConfig(dt=0.05, trajectory_time=0.5, Nb=4, tol=1e-8, maxiter=4000)
+    step = jax.jit(make_hmc_step(ops, mass, cfg))
+    key = jax.random.PRNGKey(3)
+    x, key = init_phonons_half_filled(ops, p, key)
+    st = HMCState(x=x, v=jnp.zeros_like(x))
+    n_acc, dHs = 0, []
+    for _ in range(6):
+        st, stats, key = step(p, st, key)
+        assert int(stats.flag) == 0
+        assert not jnp.iscomplexobj(st.x)
+        n_acc += int(stats.accepted)
+        dHs.append(abs(float(stats.delta_H)))
+    assert n_acc >= 5, (n_acc, dHs)
+    assert max(dHs) < 0.5, dHs
+
+
+def test_twist_2pi_is_gauge_equivalent_to_zero():
+    """A 2π twist is a pure gauge: det M identical (the framework samples
+    gauge-invariant weights, so EVERY observable of the run coincides)."""
+    uc = UnitCell.create(2, 1, [[1.0, 0.0], [0.0, 1.0]], [[0.0, 0.0]])
+    lat = Lattice.create(uc, 4)
+    kw = dict(beta=0.8, dtau=0.1, omega=1.0, lam=0.6, mu=0.0)
+    spec0, p0 = H.build_holstein(lat, **kw)
+    spec2, p2 = H.build_holstein(lat, twist=(2 * np.pi, 0.0), **kw)
+    rng = np.random.default_rng(5)
+    x = 0.4 * rng.standard_normal((spec0.Nsites, spec0.Ltau))
+
+    def dense_logdet(spec, p):
+        env = np.asarray(H.expnV(spec, p, jnp.asarray(x)))
+        expK = dense_expK(spec.Nsites, spec.ckb.neighbor_table,
+                          spec.ckb.groups, np.asarray(p.cosht),
+                          np.asarray(p.sinht))
+        M = dense_M([expK @ np.diag(env[:, t]) for t in range(spec.Ltau)])
+        sign, logabs = np.linalg.slogdet(M)
+        return sign, logabs
+
+    s0, l0 = dense_logdet(spec0, p0)
+    s2, l2 = dense_logdet(spec2, p2)
+    np.testing.assert_allclose(l2, l0, rtol=1e-10)
+    np.testing.assert_allclose(s2, complex(s0), atol=1e-9)
+
+
+def test_langevin_on_twisted_lattice_runs():
+    """Langevin force on the complex path: real forces from the circular
+    complex trace probe (E[gg†] = I), flag-free solves."""
+    from elphdynamics_tpu.dynamics.langevin import make_langevin_step
+    from elphdynamics_tpu.dynamics.solve import SolverConfig
+    from elphdynamics_tpu.models.adapter import make_model_ops
+    from elphdynamics_tpu.ops.fourier_accel import build_Q
+
+    uc = UnitCell.create(2, 1, [[1.0, 0.0], [0.0, 1.0]], [[0.0, 0.0]])
+    lat = Lattice.create(uc, 4)
+    spec, p = H.build_holstein(lat, beta=1.0, dtau=0.1, omega=1.0, lam=0.6,
+                               mu=0.0, twist=(0.5, 0.9))
+    ops = make_model_ops(spec)
+    Q = build_Q(np.asarray(p.omega), spec.dtau, spec.Ltau,
+                [dict(omega_min=0.0, omega_max=10.0, mass=0.0)])
+    step = jax.jit(make_langevin_step(ops, Q, 1e-3, "rk",
+                                      SolverConfig(tol=1e-8, maxiter=4000)))
+    key = jax.random.PRNGKey(1)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(0.3 * rng.standard_normal((spec.Nsites, spec.Ltau)))
+    for _ in range(3):
+        x, stats, key = step(p, x, key)
+        assert int(stats.flag) == 0
+        assert not jnp.iscomplexobj(x)
+
+
+def test_special_updates_on_twisted_lattice():
+    """Reflection update under complex hopping: the exact-S₀ φ refresh packs
+    the spins into one complex field; moves accept/reject with real S."""
+    from elphdynamics_tpu.dynamics.special_updates import (
+        SpecialUpdateConfig, make_reflection_update)
+    from elphdynamics_tpu.models.adapter import make_model_ops
+
+    uc = UnitCell.create(2, 1, [[1.0, 0.0], [0.0, 1.0]], [[0.0, 0.0]])
+    lat = Lattice.create(uc, 4)
+    spec, p = H.build_holstein(lat, beta=1.0, dtau=0.1, omega=1.0, lam=0.6,
+                               mu=0.0, twist=(0.7, 0.3))
+    ops = make_model_ops(spec)
+    upd = jax.jit(make_reflection_update(
+        ops, SpecialUpdateConfig(freq=1, n_moves=2, tol=1e-9, maxiter=4000)))
+    key = jax.random.PRNGKey(11)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(0.3 * rng.standard_normal((spec.Nsites, spec.Ltau)))
+    x2, n_acc, key = upd(p, x, key)
+    assert not jnp.iscomplexobj(x2)
+    assert x2.shape == x.shape
