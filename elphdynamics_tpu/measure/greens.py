@@ -45,10 +45,17 @@ class GreensData(NamedTuple):
 def sample_greens(ops: ModelOps, params, x, key, nv: int,
                   scfg: SolverConfig, precond=None):
     """Draw nᵥ random vectors and solve MᵀM·z = Mᵀ·r for all of them at once
-    (GreensFunctions.jl:201-234)."""
+    (GreensFunctions.jl:201-234).
+
+    Complex hopping: the probes become circular complex normals with
+    E[RR†] = I (utils.dtypes.trace_noise), so M⁻¹R ⊙ conj(R) estimates the
+    spin-↑ Green's function of the TRS twist ensemble; spin-↓ is its
+    conjugate."""
+    from elphdynamics_tpu.utils.dtypes import trace_noise
     derived = ops.derived(params, x)
     key, kr = jax.random.split(key)
-    R = jax.random.normal(kr, (nv, ops.Nsites, ops.Ltau), dtype=jnp.asarray(x).dtype)
+    R = trace_noise(kr, params, (nv, ops.Nsites, ops.Ltau),
+                    jnp.asarray(x).dtype)
     pa = resolve_precond(precond, params, x)
     # the nv systems share this configuration's operator → eligible for the
     # block-CG path ([solver] block = true)
@@ -168,13 +175,27 @@ def translational_average(f, g):
 class PairTensors(NamedTuple):
     """Pair-SUMMED estimator tensors [nₒ, nₒ, L1, L2, L3, 2Lτ] (complex) —
     sums over the C(nᵥ,2) unordered pairs, matching the accumulate-then-
-    normalise convention of the reference container (Measurements.jl:590-629)."""
+    normalise convention of the reference container (Measurements.jl:590-629).
+
+    On the complex-hopping (TRS twist) path every tensor is the exact
+    spin-averaged generalisation of its real meaning, so the downstream
+    assembly formulas apply unchanged: G = (G↑+G↓)/2 = Re G↑;
+    GG = G↑·G↓ (opposite-spin pairing, real expectation);
+    GDD_G00 = Re GΔΔ · Re G00 (the spin-summed direct density product /4);
+    G0D_GD0 = Re[GΔ0·G0Δ] (the per-spin exchange, averaged over ↑↑/↓↓).
+    GDD_minus = −Im GΔΔ · Im G00 — identically zero for real hopping (None
+    there); under TRS it carries the genuinely new Sz–Sz direct term
+    (n↑−n↓ = −2i·Im G↑ per configuration)."""
 
     G: jnp.ndarray          # GΔ0
     GG: jnp.ndarray         # GΔ0·GΔ0
     GDD_G00: jnp.ndarray    # GΔΔ·G00
     G0D_GD0: jnp.ndarray    # GΔ0·G0Δ
     n_pairs: int
+    GDD_minus: jnp.ndarray | None = None
+    # complex path only: the per-spin (↑) complex Green's tensor, needed by
+    # estimators whose contractions fix a spin (BondPairGreens β identities)
+    G_up: jnp.ndarray | None = None
 
 
 def pair_indices(nv: int):
@@ -184,17 +205,26 @@ def pair_indices(nv: int):
 
 def pair_tensor_sums(lattice, R, MinvR) -> PairTensors:
     """Build the four pair-summed tensors from [nv, N, Lτ] fields
-    (GreensFunctions.jl:239-288, batched over pairs)."""
+    (GreensFunctions.jl:239-288, batched over pairs).
+
+    Complex-hopping (TRS twist) path: conj goes on every probe R in a
+    same-vector pairing (the estimator is G↑ = E[M⁻¹R ⊙ conj R]); each
+    unordered pair assigns vector i to spin ↑ and j to spin ↓ = conj, and
+    spin sums reduce to Re — per factor for direct (cross-spin) products,
+    of the whole convolution for the same-spin exchange. Real hopping is
+    the exact specialization (conj/Re are identities)."""
     nv = R.shape[0]
     Ltau = R.shape[-1]
     no = lattice.unit_cell.norbits
     ncells = lattice.ncells
     V = 2 * Ltau * ncells
+    cplx = jnp.iscomplexobj(R)
 
     Rc = to_cell_layout(lattice, R)          # [nv, no, L1, L2, L3, L]
     Mc = to_cell_layout(lattice, MinvR)
+    Rcc = jnp.conj(Rc) if cplx else Rc       # the estimator's probe side
 
-    Ra = antiperiodic_double(Rc)             # [nv, no, ..., 2L]
+    Ra = antiperiodic_double(Rcc)            # [nv, no, ..., 2L]
     Ma = antiperiodic_double(Mc)
 
     # --- GΔ0 via the bilinearity identity: (nv−2)/2·Σdiag + conv(Σ,Σ)/2
@@ -202,23 +232,40 @@ def pair_tensor_sums(lattice, R, MinvR) -> PairTensors:
     diag_sum = jnp.sum(diag, axis=0)
     tot = convolve(jnp.sum(Ma, axis=0), jnp.sum(Ra, axis=0), V)
     G = ((nv - 2) * diag_sum + tot) / 2.0
+    G_up = None
+    if cplx:
+        G_up = G                             # per-spin (↑) complex tensor
+        G = jnp.real(G)                      # spin average (G↑+G↓)/2
 
     # --- product tensors, batched over pairs
     iu, ju = pair_indices(nv)
     Mi, Mj = Mc[iu], Mc[ju]
-    Ri, Rj = Rc[iu], Rc[ju]
+    Ri, Rj = Rcc[iu], Rcc[ju]
 
-    MiMj = periodic_double(Mi * Mj)
-    RiRj = periodic_double(Ri * Rj)
+    # opposite-spin product G↑Δ0·G↓Δ0: the j-side estimate is conjugated
+    # wholesale (M and probe together), expectation |G↑|² — real
+    MiMj = periodic_double(Mi * (jnp.conj(Mj) if cplx else Mj))
+    RiRj = periodic_double(Ri * (jnp.conj(Rj) if cplx else Rj))
     GG = jnp.sum(convolve(MiMj, RiRj, V), axis=0)
 
-    MjRj = periodic_double(Mj * Rj)
-    MiRi = periodic_double(Mi * Ri)
-    GDD_G00 = jnp.sum(convolve(MjRj, MiRi, V), axis=0)
+    # diagonal (density) fields D = M⁻¹R ⊙ conj R per vector
+    Dj = periodic_double(Mj * Rj)
+    Di = periodic_double(Mi * Ri)
+    if cplx:
+        dd_plus = jnp.sum(convolve(Dj, Di, V), axis=0)           # GΔΔ·G00
+        dd_cross = jnp.sum(convolve(Dj, jnp.conj(Di), V), axis=0)  # GΔΔ·conj(G00)
+        GDD_G00 = jnp.real(dd_plus + dd_cross) / 2.0   # ReGΔΔ·ReG00
+        GDD_minus = jnp.real(dd_plus - dd_cross) / 2.0  # −ImGΔΔ·ImG00
+    else:
+        GDD_G00 = jnp.sum(convolve(Dj, Di, V), axis=0)
+        GDD_minus = None
 
+    # same-spin exchange GΔ0·G0Δ (M pairs with the OTHER vector's probe)
     MiRj = periodic_double(Mi * Rj)
     MjRi = periodic_double(Mj * Ri)
     G0D_GD0 = jnp.sum(convolve(MiRj, MjRi, V), axis=0)
+    if cplx:
+        G0D_GD0 = jnp.real(G0D_GD0)          # (↑↑ + ↓↓)/2
 
     return PairTensors(G=G, GG=GG, GDD_G00=GDD_G00, G0D_GD0=G0D_GD0,
-                       n_pairs=len(iu))
+                       n_pairs=len(iu), GDD_minus=GDD_minus, G_up=G_up)

@@ -43,11 +43,21 @@ def _beta_slice_negated(arr_tau0):
 
 
 class BondFields:
-    """Cell-layout per-vector-pair fields for the intersite estimators."""
+    """Cell-layout per-vector-pair fields for the intersite estimators.
+
+    Complex-hopping (TRS twist) path: the probe fields r₁/r₂ are stored
+    CONJUGATED (the estimator pairing is G↑ = E[M⁻¹R ⊙ conj R]); the
+    estimator bodies then apply Re per factor on direct (cross-spin) terms
+    and Re on the whole product on same-spin exchange terms — identities on
+    the real path."""
 
     def __init__(self, lattice, R, MinvR, pair_idx):
         iu, ju = pair_idx
+        self.cplx = bool(jnp.iscomplexobj(R))
+        # complex128 canonicalizes to complex64 when x64 is off (TPU)
         Rc = G.to_cell_layout(lattice, R).astype(jnp.complex128)
+        if self.cplx:
+            Rc = jnp.conj(Rc)
         Mc = G.to_cell_layout(lattice, MinvR).astype(jnp.complex128)
         # reference naming: r₁/M⁻¹r₁ = vector i, r₂/M⁻¹r₂ = vector j
         self.r1 = Rc[iu]      # [P, no, L1, L2, L3, Lt]
@@ -71,15 +81,22 @@ def measure_bondbond(ops, pt, bf: BondFields, bond_pairs, time_dependent):
 
         bb = jnp.zeros(bf.r1.shape[2:], dtype=jnp.complex128)  # [L1,L2,L3,Lt]
 
-        # + 4·⟨b(i+r,τ)a⁺(i+r+r′,τ)⟩⟨d(i,0)c⁺(i+r″,0)⟩
+        # + 4·⟨b(i+r,τ)a⁺(i+r+r′,τ)⟩⟨d(i,0)c⁺(i+r″,0)⟩ — direct (Σσσ'):
+        # complex path takes Re per factor (spin-sum 2ReG per K operator)
         G1 = bf.f("M1", b) * _cshift(bf.f("r1", a), r1v)
         G2 = bf.f("M2", d) * _cshift(bf.f("r2", c), r2v)
+        if bf.cplx:
+            G1, G2 = jnp.real(G1), jnp.real(G2)
         bb = bb + 4.0 * jnp.sum(_ta(G1, G2), axis=0)
 
-        # − 2·⟨b(i+r,τ)c⁺(i+r″,0)⟩⟨d(i,0)a⁺(i+r+r′,τ)⟩
+        # − 2·⟨b(i+r,τ)c⁺(i+r″,0)⟩⟨d(i,0)a⁺(i+r+r′,τ)⟩ — same-spin exchange
+        # (Σσ → 2·Re of the whole contraction on the complex path)
         G2x = bf.f("M1", b) * _cshift(bf.f("r2", a), r1v)
         G1x = bf.f("M2", d) * _cshift(bf.f("r1", c), r2v)
-        bb = bb - 2.0 * jnp.sum(_ta(G1x, G2x), axis=0)
+        exch = jnp.sum(_ta(G1x, G2x), axis=0)
+        if bf.cplx:
+            exch = jnp.real(exch)
+        bb = bb - 2.0 * exch
 
         # + 2·δ(a,d)·δ(r+r′)·⟨b(i+r−r″,τ)c⁺(i,0)⟩, recorded at l = −r′−r″
         # exactly as the reference does (:1750-1762)
@@ -99,6 +116,13 @@ def measure_currentcurrent(ops, params, x, pt, bf: BondFields, bond_pairs,
                            time_dependent):
     """Measurements.jl:1790-2384 (Holstein uses bare t per bond, SSH the
     modulated t'(τ, bond))."""
+    if bf.cplx:
+        raise NotImplementedError(
+            "CurrentCurrent under complex hopping: the current operator "
+            "itself changes definition (J ~ i·(t·c†c − t*·c†c)), so the "
+            "8+4-term contraction table must be re-derived with conj(t) "
+            "placements — not yet implemented (the reference is real-only "
+            "here too: Measurements.jl:1790 assumes real t weights)")
     spec = ops.spec
     Lt = ops.Ltau
     lat = spec.lattice
@@ -202,31 +226,41 @@ def measure_bondpairgreens(ops, pt, bf: BondFields, bond_pairs, time_dependent,
         d, c, r2v = defs[n2][0], defs[n2][1], defs[n2][2]
         b, a, r1v = defs[n1][0], defs[n1][1], defs[n1][2]
 
-        # ⟨a(r′+r+i,τ)c⁺(r″+i,0)⟩⟨b(r+i,τ)d⁺(i,0)⟩ (:2443-2455)
-        G2 = _cshift(bf.f("M1", a), r1v) * bf.f("M2", b)
-        G1 = _cshift(bf.f("r1", c), r2v) * bf.f("r2", d)
+        # ⟨a(r′+r+i,τ)c⁺(r″+i,0)⟩⟨b(r+i,τ)d⁺(i,0)⟩ (:2443-2455).
+        # The pair operator fixes the spins (a↑c†↑)·(b↓d†↓): on the complex
+        # path the ↓ factor is the conjugated estimate — conj the j-side
+        # (M2 together with its stored-conjugated probe r2) wholesale.
+        M2b = jnp.conj(bf.f("M2", b)) if bf.cplx else bf.f("M2", b)
+        r2d = jnp.conj(bf.f("r2", d)) if bf.cplx else bf.f("r2", d)
+        G2 = _cshift(bf.f("M1", a), r1v) * M2b
+        G1 = _cshift(bf.f("r1", c), r2v) * r2d
         pg = jnp.sum(_ta(G2, G1), axis=0)
 
         if not time_dependent:
             out.append(pg[..., :1])
             continue
         main = jnp.concatenate([pg, pg[..., :1]], axis=-1)
-        # τ=β corrections (:2462-2478)
+        # τ=β corrections (:2462-2478). The wrap identities are per-spin:
+        # the (a↑c†↑) factor contributes G↑ entries (pt.G_up on the complex
+        # path), the (b↓d†↓) factor their conjugates; both reduce to the
+        # real pt.G for real hopping.
+        Gup = pt.G if pt.G_up is None else pt.G_up
+        Gdn = pt.G if pt.G_up is None else jnp.conj(pt.G_up)
         beta = main[..., Lt]
         same_r = tuple(r1v) == tuple(r2v)
         if a == c and b == d and same_r:
             delta_r0 = jnp.zeros(beta.shape).at[0, 0, 0].add(1.0 * n_pairs)
             beta = beta + delta_r0
         if b == d:
-            # − δ(r=0)·G(r′−r″; c,a; 0) placed at r = 0
+            # − δ(r=0)·G↑(r′−r″; c,a; 0) placed at r = 0
             l = (np.mod(r1v[0] - r2v[0], lat.L1), np.mod(r1v[1] - r2v[1], lat.L2),
                  np.mod(r1v[2] - r2v[2], lat.L3))
-            beta = beta.at[0, 0, 0].add(-pt.G[a, c, l[0], l[1], l[2], 0])
+            beta = beta.at[0, 0, 0].add(-Gup[a, c, l[0], l[1], l[2], 0])
         if a == c:
-            # − δ(r″ = r′+r)·G(r; d,b; 0) at r = r″−r′
+            # − δ(r″ = r′+r)·G↓(r; d,b; 0) at r = r″−r′
             l = (np.mod(r2v[0] - r1v[0], lat.L1), np.mod(r2v[1] - r1v[1], lat.L2),
                  np.mod(r2v[2] - r1v[2], lat.L3))
-            beta = beta.at[l[0], l[1], l[2]].add(-pt.G[b, d, l[0], l[1], l[2], 0])
+            beta = beta.at[l[0], l[1], l[2]].add(-Gdn[b, d, l[0], l[1], l[2], 0])
         main = main.at[..., Lt].set(beta)
         out.append(main)
     return jnp.stack(out)

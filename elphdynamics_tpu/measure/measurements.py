@@ -186,8 +186,15 @@ def make_measurement_step(ops: ModelOps, mspec: MeasurementSpec,
         out: dict[str, Any] = {"global": {}, "onsite": {}, "intersite": {},
                                "onsite_corr": {}, "intersite_corr": {}}
 
-        # ---- per-vector diagonal estimates Gᵢ(s,τ) = (M⁻¹rᵢ·rᵢ)(s,τ)
-        Gdiag = MinvR * R                       # [nv, N, Lt]
+        # ---- per-vector diagonal estimates Gᵢ(s,τ) = (M⁻¹rᵢ·conj(rᵢ))(s,τ)
+        # (conj is an identity on the real path). On the complex-hopping TRS
+        # path the spin-summed density is 2 − 2·Re G exactly (the Im parts of
+        # ↑ and ↓ = conj cancel), so the scalar estimators run on Re Gdiag;
+        # double occupancy needs |1−G|² and keeps the complex field.
+        cplx = jnp.iscomplexobj(R)
+        Rp = jnp.conj(R) if cplx else R
+        Gdiag_c = MinvR * Rp                    # [nv, N, Lt]
+        Gdiag = jnp.real(Gdiag_c) if cplx else Gdiag_c
         TrG = jnp.sum(Gdiag, axis=(-2, -1)) / Lt  # [nv]
         N_per_vec = 2.0 * (spec.Nsites - TrG)     # ⟨N̂⟩ per vector (:1287-1288)
 
@@ -205,9 +212,13 @@ def make_measurement_step(ops: ModelOps, mspec: MeasurementSpec,
         # ---- on-site (:916-1024)
         one_minus_G = 1.0 - Gdiag
         sum1mG = jnp.sum(one_minus_G, axis=0)     # Σᵢ(1−Gᵢ)  [N, Lt]
-        sumsq = jnp.sum(one_minus_G ** 2, axis=0)
         dens_site = (nv - 1) * sum1mG             # Σpairs[(1−G₁)+(1−G₂)]
-        docc_site = (sum1mG ** 2 - sumsq) / 2.0   # Σpairs (1−G₁)(1−G₂)
+        # ⟨n↑n↓⟩ = Σpairs Re[(1−G₁)(1−conj G₂)] = (|Σ(1−G)|² − Σ|1−Gᵢ|²)/2 —
+        # the real-path identity with |·|² in place of squares
+        omg_c = 1.0 - Gdiag_c
+        sum_c = jnp.sum(omg_c, axis=0)
+        docc_site = (jnp.abs(sum_c) ** 2 - jnp.sum(jnp.abs(omg_c) ** 2,
+                                                   axis=0)) / 2.0
         out["onsite"]["density"] = orbit_sum(dens_site) / norm_site
         out["onsite"]["double_occ"] = orbit_sum(docc_site) / norm_site
         mu_site = jnp.broadcast_to(params.mu[:, None], (spec.Nsites, Lt))
@@ -240,13 +251,26 @@ def make_measurement_step(ops: ModelOps, mspec: MeasurementSpec,
             s2 = jnp.asarray(spec.ckb.neighbor_table[1][spec.bond_to_ckb])
             bdef = jnp.asarray(
                 spec.bond_def_of_bond if ops.is_holstein else spec.bond_to_definition)
-            # h(b,τ) per vector: G(s1,s2)+G(s2,s1); Σpairs h = −(nv−1)Σᵢ[...]
-            est_12 = jnp.take(MinvR, s1, axis=-2) * jnp.take(R, s2, axis=-2)
-            est_21 = jnp.take(MinvR, s2, axis=-2) * jnp.take(R, s1, axis=-2)
+            # h(b,τ) per vector: G(s1,s2)+G(s2,s1); Σpairs h = −(nv−1)Σᵢ[...].
+            # Complex path: conj probe + Re — each pair's (i→↑, j→↓)
+            # assignment symmetrizes to the spin-summed 2·Re G per vector.
+            est_12c = jnp.take(MinvR, s1, axis=-2) * jnp.take(Rp, s2, axis=-2)
+            est_21c = jnp.take(MinvR, s2, axis=-2) * jnp.take(Rp, s1, axis=-2)
+            est_12 = jnp.real(est_12c) if cplx else est_12c
+            est_21 = jnp.real(est_21c) if cplx else est_21c
             h = -(nv - 1) * jnp.sum(est_12 + est_21, axis=0)   # [Nbonds, Lt]
             if ops.is_holstein:
                 Vb = ncells * Lt                              # (:1041)
-                ke_b = -params.t[:, None] * h                 # Σpairs −t·h
+                if cplx:
+                    # Hermitian pair −t·c†₂c₁ − t̄·c†₁c₂ per spin; the TRS
+                    # ↓ spin carries the conjugate phases, so the spin-summed
+                    # bond KE is 2·Re[t·G↑(1,2) + t̄·G↑(2,1)] — t pairs with
+                    # the 1→2 propagator, t̄ with the reverse
+                    ke_pair = jnp.real(params.t[:, None] * est_12c
+                                       + jnp.conj(params.t)[:, None] * est_21c)
+                    ke_b = (nv - 1) * jnp.sum(ke_pair, axis=0)
+                else:
+                    ke_b = -params.t[:, None] * h             # Σpairs −t·h
                 out["intersite"]["el_ke"] = (
                     jnp.zeros(ndefs).at[bdef].add(jnp.sum(ke_b, axis=-1)) / Vb)
             else:
@@ -347,6 +371,11 @@ def make_measurement_step(ops: ModelOps, mspec: MeasurementSpec,
                 ss = (-2.0 * sl["G0Dp"]
                       + 2.0 * sl["delta"][..., None] * delta_t0
                       * sl["G_o2o1_00"][..., None])
+                if pt.GDD_minus is not None:
+                    # TRS-twist direct term: per configuration
+                    # n↑ − n↓ = −2i·Im G↑, so ⟨SzΔSz0⟩ gains
+                    # −4·⟨ImGΔΔ·ImG00⟩ = +4·GDD_minus (zero for real hopping)
+                    ss = ss + 4.0 * pt.GDD_minus[sl["o2"], sl["o1"]]
                 if td:
                     # τ=β: swapped orbitals, negated displacement (:1512-1521)
                     o1, o2 = sl["o1"], sl["o2"]
@@ -354,6 +383,9 @@ def make_measurement_step(ops: ModelOps, mspec: MeasurementSpec,
                     neg = G._neg_index(G0D_sw[..., 0], (-3, -2, -1))
                     G_sw_00 = pt.G[o1, o2, 0, 0, 0, 0][:, None, None, None]
                     beta = -2.0 * neg + 2.0 * sl["delta"] * G_sw_00
+                    if pt.GDD_minus is not None:
+                        beta = beta + 4.0 * G._neg_index(
+                            pt.GDD_minus[o1, o2][..., 0], (-3, -2, -1))
                     ss = jnp.concatenate([ss[..., :Lt], beta[..., None]], axis=-1)
                 else:
                     ss = ss[..., :1]
@@ -418,11 +450,11 @@ def make_measurement_step(ops: ModelOps, mspec: MeasurementSpec,
         # ---- snapshots (:1349-1460): per-site instantaneous estimates
         snaps = {}
         if "density" in mspec.snapshots or "double_occupancy" in mspec.snapshots:
-            Gsite = jnp.mean(Gdiag, axis=(0, -1))      # per-site ⟨c c†⟩
+            Gsite = jnp.mean(Gdiag_c, axis=(0, -1))    # per-site ⟨c c†⟩
             if "density" in mspec.snapshots:
-                snaps["density"] = 2.0 * (1.0 - Gsite)
+                snaps["density"] = 2.0 * (1.0 - jnp.real(Gsite))
             if "double_occupancy" in mspec.snapshots:
-                snaps["double_occupancy"] = (1.0 - Gsite) ** 2
+                snaps["double_occupancy"] = jnp.abs(1.0 - Gsite) ** 2
         if "phonon_position" in mspec.snapshots:
             snaps["phonon_position"] = jnp.mean(x, axis=-1)
         stats = {"iters": gd.iters, "flag": gd.flag}
