@@ -107,11 +107,21 @@ def _build_model(cfg: dict, rng: np.random.Generator, dtype):
     lattice = _build_lattice(cfg)
     if "holstein" in cfg:
         h = cfg["holstein"]
+        # [[holstein.t]] imag: per-bond complex hopping (Peierls phase) —
+        # TOML has no complex literal, so t = val + i·imag (TPU addition;
+        # the reference's type surface admits complex t, Models.jl:20, but
+        # its TOML cannot express it)
         t_assign = [
-            (d["val"], d.get("stddev", 0.0), d["orbit"][0] - 1, d["orbit"][1] - 1,
+            (d["val"] + (1j * d["imag"] if d.get("imag", 0.0) else 0.0),
+             d.get("stddev", 0.0), d["orbit"][0] - 1, d["orbit"][1] - 1,
              tuple(list(d["dL"]) + [0] * (3 - len(d["dL"]))))
             for d in h.get("t", [])
         ]
+        # [holstein] twist = [θ1, θ2(, θ3)] — twisted boundary conditions in
+        # radians: a uniform Peierls phase θ_d/L_d per bond crossing in
+        # lattice direction d. Switches the whole stack to the complex TRS
+        # ensemble (spin ↓ sees the conjugate phases; |det M|² weight).
+        twist = h.get("twist", None)
         per_orbit = {
             name: _per_orbit(h.get(key, []))
             for name, key in (("omega", "omega"), ("mu", "mu"), ("lambda", "lambda"),
@@ -132,6 +142,7 @@ def _build_model(cfg: dict, rng: np.random.Generator, dtype):
             t_assignments=t_assign,
             wij_assignments=wij_assign,
             per_orbit={k: v for k, v in per_orbit.items() if v},
+            twist=twist,
             rng=rng, dtype=dtype,
         )
         return "holstein", spec, params

@@ -260,7 +260,9 @@ def write_M_matrix(ops: ModelOps, params, x, filename: str, threshold=1e-10,
                 colv = cols[j]
                 nz = np.nonzero(np.abs(colv) > threshold)[0]
                 for row in nz:
-                    f.write(f"{start + j + 1} {row + 1} {colv[row]:.10f} {0.0:.10f}\n")
+                    v = complex(colv[row])  # real entries get imag = 0.0
+                    f.write(f"{start + j + 1} {row + 1} "
+                            f"{v.real:.10f} {v.imag:.10f}\n")
 
 
 def _toml_value(v) -> str:

@@ -64,6 +64,13 @@ def _read_indexed_bins(folder, prefix):
     for fname in sorted(os.listdir(folder)):
         if not fname.startswith(prefix) or not fname.endswith(".out"):
             continue
+        if fname.endswith("_key.out"):
+            # the coordinate-key companion file (index orbit r tau columns)
+            # is NOT a data bin — including it silently biased every
+            # correlation mean/err (its integer coordinates averaged in as
+            # one extra 'bin'; found via a constant 1/3 imag column at
+            # num_bins = 2)
+            continue
         data = []
         with open(os.path.join(folder, fname)) as f:
             f.readline()
@@ -116,7 +123,10 @@ def _toml_print(f, d: dict, prefix: str = ""):
 # ---------------------------------------------------------------------------
 
 def _avg_std(vals: np.ndarray):
-    vals = np.asarray(vals, dtype=float).ravel()
+    vals = np.asarray(vals).ravel()
+    if np.iscomplexobj(vals):          # complex hopping: real part here,
+        vals = vals.real               # imag reported separately
+    vals = vals.astype(float)
     if vals.size == 0:
         return 0.0, 0.0
     return float(vals.mean()), float(vals.std(ddof=1)) if vals.size > 1 else 0.0
@@ -136,6 +146,10 @@ def _write_bond_definitions(f, setup):
         f.write(f"Bond ID       = {bid + 1}\n")
         f.write(f"t_avg         = {avg}\n")
         f.write(f"t_std         = {std}\n")
+        if np.iscomplexobj(tvals):
+            f.write(f"t_imag_avg    = {float(tvals.imag.mean())}\n")
+            f.write(f"t_imag_std    = "
+                    f"{float(tvals.imag.std(ddof=1)) if tvals.size > 1 else 0.0}\n")
         f.write(f"Initial Orbit = {o1 + 1}\n")
         f.write(f"Final Orbit   = {o2 + 1}\n")
         f.write(f"Displacement  = {list(dL)}\n\n")

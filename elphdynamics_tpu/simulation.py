@@ -257,9 +257,25 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
     p_ax = 0 if tempering else None
 
     # ---- preconditioner
+    from elphdynamics_tpu.utils.dtypes import params_are_complex
+    model_cplx = params_are_complex(setup.params)
+    if model_cplx and site_devices > 1:
+        raise NotImplementedError(
+            "--site-devices with complex hopping (twist / Peierls phases): "
+            "the ppermute-halo checkerboard fold is real-only "
+            "(parallel/lattice_shard.py) — run chain-parallel (--devices) "
+            "instead")
     precond = None
     if setup.kpm_cfg is not None:
-        precond = kpm.make_precond(ops, setup.kpm_cfg)
+        if model_cplx:
+            # the KPM averaged-operator Chebyshev stack is real-only
+            # (stacked-real recurrence, ops/kpm.py) — fall back to
+            # unpreconditioned CG rather than precondition wrongly
+            logger.warning(
+                "[solver.preconditioner] is not yet supported with complex "
+                "hopping (twist) — running unpreconditioned CG")
+        else:
+            precond = kpm.make_precond(ops, setup.kpm_cfg)
 
     # ---- step functions
     combined = site_devices > 1 and n_chains > 1

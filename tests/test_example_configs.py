@@ -13,14 +13,15 @@ EXAMPLES = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..",
 
 
 def test_examples_present():
-    """The reference's 8 exemplars plus the deep-β recipe (BASELINE.md)."""
+    """The reference's 8 exemplars plus the deep-β and twisted-BC recipes
+    (BASELINE.md; docs/configuration.md)."""
     names = {os.path.basename(p) for p in EXAMPLES}
     assert names == {
         "holstein_hmc_honeycomb.toml", "holstein_hmc_single_site.toml",
         "holstein_hmc_square.toml", "holstein_hmc_triangular.toml",
         "holstein_langevin_square.toml", "ssh_hmc_square.toml",
         "ssh_hmc_two_site.toml", "ssh_langevin_square.toml",
-        "holstein_hmc_deep_beta.toml",
+        "holstein_hmc_deep_beta.toml", "holstein_hmc_twisted.toml",
     }
 
 

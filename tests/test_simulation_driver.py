@@ -342,3 +342,37 @@ def test_auto_chains_matches_measured_peaks():
     assert auto_chains(256, 40, is_holstein=False) == 32  # SSH 16×16
     assert auto_chains(64, 40, n_devices=4) == 512        # same per chip
     assert auto_chains(10 ** 6, 400) == 1                 # floor
+
+
+def test_simulate_twisted_boundary_conditions(tmp_path):
+    """[holstein] twist end-to-end: complex TRS ensemble through the full
+    driver (HMC + special updates + measurements + summary); the KPM
+    preconditioner is gated off with a warning, correlation stats come out
+    real-finite, and the M-matrix dump carries genuine imaginary parts."""
+    cfg = copy.deepcopy(BASE_CFG)
+    cfg["simulation"]["filepath"] = str(tmp_path)
+    cfg["simulation"]["foldername"] = "twistrun"
+    cfg["holstein"]["twist"] = [1.2, 0.7]
+    stats = simulate(cfg)
+    folder = os.path.join(str(tmp_path), "twistrun-1")
+    assert stats["acceptance_rate"] > 0.5
+    txt = open(os.path.join(folder, "twistrun_summary.out")).read()
+    # the twist multiplies bonds by Peierls phases, so t is complex and the
+    # bond definitions report the imaginary part
+    assert "t_imag_avg" in txt
+    assert "Acceptance Rate" in txt
+    # stats equal the mean over the DATA bins only (regression: the key file
+    # must not be averaged in — its integer coordinates once biased every row)
+    import numpy as _np
+    rows = []
+    for b in (1, 2):
+        d = _np.loadtxt(os.path.join(folder, "Greens_position_f",
+                                     f"Greens_position_{b:05d}.out"),
+                        skiprows=1)
+        rows.append(d[:, 1])
+    st = _np.loadtxt(os.path.join(folder, "Greens_position_stats.out"),
+                     skiprows=1)
+    _np.testing.assert_allclose(st[:, 1], _np.mean(rows, axis=0), atol=1e-6)
+    # complex M: imag column of the dump is genuinely nonzero
+    m = _np.loadtxt(os.path.join(folder, "M_matrix.out"), skiprows=1)
+    assert _np.max(_np.abs(m[:, 3])) > 1e-3
