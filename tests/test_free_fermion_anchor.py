@@ -143,3 +143,66 @@ def test_8x8_atomic_limit_hmc_anchor():
     assert abs(x2 - ed["x2"]) < 0.07, (x2, ed["x2"])
     # the anchor is only meaningful away from the trivial point
     assert abs(ed["n"] - 1.0) > 0.05 and abs(ed["x"]) > 0.05
+
+
+@pytest.mark.slow
+def test_8x8_twisted_free_fermion_anchor():
+    """The THIRD anchor: λ = 0 with twisted boundary conditions at the same
+    8×8/β=4 production scale. The closed form (I + B^Lτ)⁻¹ holds verbatim
+    for the complex B of the twisted band structure, so the full complex
+    measurement pipeline (conj-probe estimator → spin-averaged pair tensors
+    → translation averaging) is pinned against exact values whose k-grid is
+    genuinely shifted off the real path's."""
+    L, beta, dtau, mu = 8, 4.0, 0.1, -0.4
+    twist = (1.3, 0.6)
+    uc = UnitCell.create(2, 1, [[1.0, 0.0], [0.0, 1.0]], [[0.0, 0.0]])
+    lat = Lattice.create(uc, L)
+    spec, params = H.build_holstein(
+        lat, beta=beta, dtau=dtau,
+        t_assignments=[(1.0, 0.0, 0, 0, (1, 0, 0)),
+                       (1.0, 0.0, 0, 0, (0, 1, 0))],
+        omega=1.0, lam=0.0, mu=mu, twist=twist)
+    ops = make_model_ops(spec)
+    N, Lt = spec.Nsites, spec.Ltau
+
+    expK = dense_expK(N, spec.ckb.neighbor_table, spec.ckb.groups,
+                      np.asarray(params.cosht), np.asarray(params.sinht))
+    assert np.abs(expK.imag).max() > 1e-3     # genuinely twisted
+    B = expK * np.exp(dtau * mu)
+    BL = np.linalg.matrix_power(B, Lt)
+    G0 = np.linalg.inv(np.eye(N, dtype=complex) + BL)
+    Gt = np.empty((Lt, N, N), dtype=complex)
+    Gt[0] = G0
+    for t in range(1, Lt):
+        Gt[t] = B @ Gt[t - 1]
+    exact_up = np.zeros((L, L, Lt), dtype=complex)
+    for dl1 in range(L):
+        for dl2 in range(L):
+            rows = np.array([lat.site_to_site(i, (dl1, dl2, 0),
+                                              lat.site_to_orbit[i])
+                             for i in range(N)])
+            exact_up[dl1, dl2] = Gt[:, rows, np.arange(N)].mean(axis=1)
+    density_exact = 2.0 * (1.0 - np.trace(G0).real / N)
+
+    mspec = MeasurementSpec(nv=40, onsite_corr=(("Greens", True),))
+    step = make_measurement_step(ops, mspec,
+                                 SolverConfig(tol=1e-8, maxiter=4000))
+    key = jax.random.PRNGKey(0)
+    x = jnp.asarray(0.3 * np.random.default_rng(1).standard_normal((N, Lt)))
+    accum = None
+    nsteps = 3
+    for _ in range(nsteps):
+        inc, stats, snaps, key = step(params, x, key)
+        assert int(np.asarray(stats["flag"]).max()) == 0
+        accum = inc if accum is None else jax.tree.map(
+            lambda a, b: a + b, accum, inc)
+    res = process_bin(ops, mspec, accum, bin_size=nsteps)
+
+    got = np.asarray(res["onsite_corr"]["Greens"]["position"])[0][:, :, 0, :Lt]
+    # the measured Greens is the spin average (G↑+G↓)/2 = Re G↑ of the TRS
+    # ensemble — and the twist moves it measurably off the untwisted value
+    err = np.max(np.abs(got - exact_up.real))
+    assert err < 0.02, err
+    assert np.max(np.abs(exact_up.imag)) > 0.01
+    dens_mean = float(res["global"]["density"])
+    assert abs(dens_mean - density_exact) < 0.02, (dens_mean, density_exact)
