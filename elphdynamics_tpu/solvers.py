@@ -38,6 +38,9 @@ from jax import lax
 
 from elphdynamics_tpu.utils.dtypes import fdot, fdot_fast
 
+# module default for cg(unroll=None): iterations per while_loop trip
+CG_UNROLL = 1
+
 
 def _dot(a, b):
     """Batched real inner product over the trailing two axes (accurate
@@ -84,6 +87,7 @@ def cg(
     kappa_max: float = 1e12,
     active0=None,
     deflate=None,
+    unroll: int | None = None,
 ):
     """Preconditioned conjugate gradient (IterativeSolvers.jl:153-234).
 
@@ -177,7 +181,19 @@ def cg(
         active0,
         (eps0 < tol),
     )
-    _, x, r, _, _, _, _, iters, _, conv = lax.while_loop(cond, body, state0)
+    # optional loop unrolling: run `unroll` masked iterations per
+    # while_loop trip, trading ≤ unroll−1 wasted (fully-masked) iterations
+    # at the tail for fewer condition evaluations / state round-trips —
+    # a latency knob for the small-N regime (see BASELINE.md; CG_UNROLL
+    # is the module default the solve paths inherit)
+    n_unroll = CG_UNROLL if unroll is None else unroll
+    body_n = body
+    if n_unroll > 1:
+        def body_n(state):
+            for _ in range(n_unroll):
+                state = body(state)
+            return state
+    _, x, r, _, _, _, _, iters, _, conv = lax.while_loop(cond, body_n, state0)
     return CGResult(x=x, iters=iters, converged=conv)
 
 

@@ -42,6 +42,18 @@ def test_cg_preconditioned_fewer_iters():
     assert int(pre.iters) <= int(plain.iters) + 2
 
 
+def test_cg_unrolled_matches_reference():
+    """unroll>1 runs masked extra iterations — solutions must agree."""
+    A, b = spd_problem(batch=(4,), cond=200.0)
+    ref = solvers.cg(lambda v: A @ v, b, tol=1e-10, maxiter=500)
+    for n in (2, 3):
+        res = solvers.cg(lambda v: A @ v, b, tol=1e-10, maxiter=500, unroll=n)
+        assert np.allclose(np.asarray(res.x), np.asarray(ref.x), atol=1e-6)
+        assert np.all(np.asarray(res.converged))
+        # masked tail iterations never count: per-element iters identical
+        assert np.array_equal(np.asarray(res.iters), np.asarray(ref.iters))
+
+
 def test_solve_checked_flags_ok():
     A, b = spd_problem()
     res = solvers.solve_checked(lambda v: A @ v, b, apply_P=lambda v: v, tol=1e-8, maxiter=500)
