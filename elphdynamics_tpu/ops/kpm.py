@@ -168,9 +168,13 @@ def _mulA(st: "KPMState", spec_ckb, v):
 
 
 def _mulA_T(st: "KPMState", spec_ckb, v):
-    """Āᵀ·v (KPMPreconditioners.jl:737-752)."""
+    """Āᵀ·v (KPMPreconditioners.jl:737-752) — the ADJOINT Āᴴ·v on the
+    complex-hopping path (expnV̄ is real, so only the hopping factor needs
+    the conjugate; the checkerboard reversed-order fold is already the
+    adjoint for complex coefficients, ops/checkerboard.py:_group_coeffs)."""
     if st.expK is not None:
-        w = jnp.einsum("ji,...jk->...ik", st.expK.astype(v.dtype), v, precision=_PRECOND_PRECISION)
+        K = jnp.conj(st.expK) if jnp.iscomplexobj(st.expK) else st.expK
+        w = jnp.einsum("ji,...jk->...ik", K.astype(v.dtype), v, precision=_PRECOND_PRECISION)
     else:
         w = ckb.ckb_transpose_mul(spec_ckb, st.cosh_bar, st.sinh_bar, v)
     return st.expnV_bar[:, None] * w
@@ -350,6 +354,14 @@ def _lowfreq_apply_sym_halves(st: "KPMState", ur_, ui_):
     return wr, wi
 
 
+def _state_is_complex(st: "KPMState") -> bool:
+    """Trace-time: is this a complex-hopping (Peierls/twist) state?
+    expnV̄ is always real; the hopping factor carries the phases."""
+    if st.expK is not None:
+        return jnp.iscomplexobj(st.expK)
+    return jnp.iscomplexobj(st.sinh_bar)
+
+
 def _spectral_radius(apply_fn, n_site, n_iter, key, dtype):
     """Power-iteration estimate of the dominant |eigenvalue|."""
     v = jax.random.normal(key, (n_site, 1), dtype=dtype)
@@ -362,7 +374,8 @@ def _spectral_radius(apply_fn, n_site, n_iter, key, dtype):
         safe = jnp.where(nw > 0, nw, 1.0)
         return w / safe, nw
 
-    v, lam = jax.lax.fori_loop(0, n_iter, body, (v, jnp.asarray(1.0, dtype)))
+    rdtype = jnp.zeros((), dtype).real.dtype  # norm is real even for complex v
+    v, lam = jax.lax.fori_loop(0, n_iter, body, (v, jnp.asarray(1.0, rdtype)))
     return lam
 
 
@@ -384,13 +397,22 @@ def setup(ops: ModelOps, params, x, cfg: KPMConfig, key) -> KPMState:
                    lam_avg=jnp.asarray(1.0, dtype), lam_mag=jnp.asarray(1.0, dtype),
                    coeff=jnp.zeros((1, 1)), active=jnp.asarray(True),
                    expK=expK, expK_inv=expK_inv)
+    # complex hopping (Peierls phases / twist): Ā is complex (Hermitian bond
+    # blocks times a real positive diagonal — near-real positive spectrum,
+    # same interval assumption as the real path); the power iteration must
+    # run on complex vectors and the expansion covers the FULL Lτ spectrum
+    # (complex fields have no conjugate symmetry to fold onto a half)
+    cplx = _state_is_complex(st0)
+    pdtype = dtype
+    if cplx:
+        pdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
 
     k1, k2 = jax.random.split(key)
     e_max = _spectral_radius(
-        lambda v: _mulA(st0, sc, v), ops.Nsites, cfg.n_power, k1, dtype
+        lambda v: _mulA(st0, sc, v), ops.Nsites, cfg.n_power, k1, pdtype
     )
     e_min = 1.0 / _spectral_radius(
-        lambda v: _mulA_inv(st0, sc, v), ops.Nsites, cfg.n_power, k2, dtype
+        lambda v: _mulA_inv(st0, sc, v), ops.Nsites, cfg.n_power, k2, pdtype
     )
     active = (e_min > 0.0) & (e_min < 1.0) & (e_max > 1.0) & ((e_max - e_min) < 2.0)
 
@@ -399,9 +421,11 @@ def setup(ops: ModelOps, params, x, cfg: KPMConfig, key) -> KPMState:
     lam_avg = (lam_hi + lam_lo) / 2
     lam_mag = (lam_hi - lam_lo) / 2
 
-    # Chebyshev coefficients for every frequency at once.
+    # Chebyshev coefficients for every frequency at once. Real fields use the
+    # lower half spectrum (conjugate symmetry supplies the rest); complex
+    # fields need all Lτ frequencies.
     Ltau = ops.Ltau
-    Lw = (Ltau + 1) // 2
+    Lw = Ltau if cplx else (Ltau + 1) // 2
     phis = jnp.asarray(2.0 * np.pi / Ltau * (np.arange(Lw) + 0.5), dtype)
     M = cfg.max_order
     NM = 2 * M
@@ -413,8 +437,11 @@ def setup(ops: ModelOps, params, x, cfg: KPMConfig, key) -> KPMState:
     scale = jnp.asarray(np.where(np.arange(M) == 0, 1.0, 2.0), dtype)[:, None] / NM
     coeff = scale * (cosmat @ f)                             # [M, Lw]
 
-    # zero-mask beyond each ω's dynamic order (:301-307)
-    order = jnp.floor((lam_hi - lam_lo) * (cfg.c1 / phis + cfg.c2))
+    # zero-mask beyond each ω's dynamic order (:301-307); on the full
+    # spectrum the hard frequencies sit at BOTH ends (e^{−iφ} → 1 as φ → 0
+    # or 2π), so the order criterion uses the distance to the nearer pole
+    phis_eff = jnp.minimum(phis, 2.0 * np.pi - phis) if cplx else phis
+    order = jnp.floor((lam_hi - lam_lo) * (cfg.c1 / phis_eff + cfg.c2))
     order = jnp.clip(order, 1, M)
     morder = jnp.arange(M)[:, None] < order[None, :]
     coeff = jnp.where(morder, coeff, 0.0)
@@ -430,10 +457,14 @@ def setup(ops: ModelOps, params, x, cfg: KPMConfig, key) -> KPMState:
         expK=expK,
         expK_inv=expK_inv,
     )
-    if cfg.stacked and expK is not None:
+    # the stacked-real flattened apply and the [[R,−I],[I,R]] low-frequency
+    # LU both assume a REAL Ā — the complex path uses the plain complex
+    # recurrence instead (correctness first; the complex einsum already
+    # advances real+imag with fused real matmuls)
+    if cfg.stacked and expK is not None and not cplx:
         S_fwd, S_tr = _build_stack(st, cfg.max_order)
         st = st._replace(S_fwd=S_fwd, S_tr=S_tr)
-    if cfg.exact_lowfreq > 0 and expK is not None:
+    if cfg.exact_lowfreq > 0 and expK is not None and not cplx:
         k = min(cfg.exact_lowfreq, Lw)
         G_re, G_im = _lowfreq_blocks(st, k, Ltau)
         # the exact blocks replace those columns: zero their Chebyshev
@@ -529,6 +560,20 @@ def _chebyshev_apply_stacked(ops: ModelOps, st: KPMState, w, coeff,
     return out
 
 
+def _apply_complex(ops: ModelOps, st: KPMState, v, passes):
+    """Complex-hopping preconditioner pipeline: τ→ω on the FULL spectrum
+    (complex fields — the CG vectors of the Hermitian-M†M solves — have no
+    conjugate symmetry), one complex Chebyshev recurrence per ``pass``
+    (coeff, adjoint?) on the [.., N, Lτ] block, ω→τ without the real
+    projection. ``st.coeff`` is [max_order, Lτ] here (setup builds the full
+    spectrum when the state is complex)."""
+    u = tau_to_omega(v)
+    for coeff, adjoint in passes:
+        u = _chebyshev_apply(ops, st, u, coeff, transposed=adjoint)
+    out = omega_to_tau(u, real=False).astype(v.dtype)
+    return jnp.where(st.active, out, v)
+
+
 def apply_symmetric(ops: ModelOps, st: KPMState, v, cfg: KPMConfig | None = None):
     """Apply the symmetric preconditioner P⁻¹ ≈ (MᵀM)⁻¹ to a real [.., N, Lτ]
     field (the CG path, KPMPreconditioners.jl:426-481,606-679):
@@ -538,7 +583,15 @@ def apply_symmetric(ops: ModelOps, st: KPMState, v, cfg: KPMConfig | None = None
     The whole pipeline runs on the stacked-real layout [.., N, 2Lω] (real
     columns then imaginary columns): the DFT-matmul transforms natively
     produce/consume it, and the recurrence then advances both halves with
-    one matmul per T_m (see :func:`_chebyshev_apply_stacked`)."""
+    one matmul per T_m (see :func:`_chebyshev_apply_stacked`).
+
+    Complex-hopping states route through :func:`_apply_complex` instead:
+    P⁻¹ ≈ (M†M)⁻¹ = M⁻¹·M⁻ᴴ — the adjoint polynomial (conj coefficients,
+    Āᴴ) then the forward one, per-ω Hermitian-PSD so CG under the real
+    embedding (utils/dtypes.fdot) stays SPD-preconditioned."""
+    if _state_is_complex(st):
+        return _apply_complex(ops, st, v,
+                              [(jnp.conj(st.coeff), True), (st.coeff, False)])
     Ltau = ops.Ltau
     use_dft = cfg is not None and cfg.use_dft(Ltau)
     Lw = (Ltau + 1) // 2
@@ -566,7 +619,8 @@ def dense_Abar(ops: ModelOps, st: KPMState) -> np.ndarray:
     """Densify the averaged single-slice operator Ā column by column — the
     debugging hook of the reference (``construct_Bbar``,
     KPMPreconditioners.jl:956-991)."""
-    eye = jnp.eye(ops.Nsites, dtype=st.expnV_bar.dtype)
+    dt = st.expK.dtype if st.expK is not None else st.sinh_bar.dtype
+    eye = jnp.eye(ops.Nsites, dtype=dt)
     return np.asarray(_mulA(st, ops.spec.ckb, eye))
 
 
@@ -614,7 +668,10 @@ def make_precond(ops: ModelOps, cfg: KPMConfig, seed: int = 1234):
 def apply_left(ops: ModelOps, st: KPMState, v, cfg: KPMConfig | None = None):
     """P⁻¹ ≈ M⁻¹ (GMRES/BiCGStab preconditioner,
     KPMPreconditioners.jl:514-554). Stacked-real pipeline like
-    :func:`apply_symmetric`."""
+    :func:`apply_symmetric`; complex-hopping states use the full-spectrum
+    complex recurrence."""
+    if _state_is_complex(st):
+        return _apply_complex(ops, st, v, [(st.coeff, False)])
     Ltau = ops.Ltau
     use_dft = cfg is not None and cfg.use_dft(Ltau)
     w = _to_half_stacked(v, Ltau, use_dft)
@@ -628,7 +685,10 @@ def apply_left(ops: ModelOps, st: KPMState, v, cfg: KPMConfig | None = None):
 
 
 def apply_right(ops: ModelOps, st: KPMState, v, cfg: KPMConfig | None = None):
-    """P⁻¹ ≈ M⁻ᵀ (KPMPreconditioners.jl:560-600)."""
+    """P⁻¹ ≈ M⁻ᵀ (KPMPreconditioners.jl:560-600) — M⁻ᴴ on the
+    complex-hopping path (the model's mulMT is M† there)."""
+    if _state_is_complex(st):
+        return _apply_complex(ops, st, v, [(jnp.conj(st.coeff), True)])
     Ltau = ops.Ltau
     use_dft = cfg is not None and cfg.use_dft(Ltau)
     w = _to_half_stacked(v, Ltau, use_dft)

@@ -267,15 +267,11 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
             "instead")
     precond = None
     if setup.kpm_cfg is not None:
-        if model_cplx:
-            # the KPM averaged-operator Chebyshev stack is real-only
-            # (stacked-real recurrence, ops/kpm.py) — fall back to
-            # unpreconditioned CG rather than precondition wrongly
-            logger.warning(
-                "[solver.preconditioner] is not yet supported with complex "
-                "hopping (twist) — running unpreconditioned CG")
-        else:
-            precond = kpm.make_precond(ops, setup.kpm_cfg)
+        # complex hopping (twist / Peierls) included: kpm.setup detects the
+        # complex operator and builds the full-spectrum complex pipeline
+        # (ops/kpm.py:_apply_complex); stacked/exact_lowfreq degrade to the
+        # plain complex recurrence there
+        precond = kpm.make_precond(ops, setup.kpm_cfg)
 
     # ---- step functions
     combined = site_devices > 1 and n_chains > 1

@@ -132,3 +132,129 @@ def test_exact_lowfreq_blocks_match_dense_inverse():
     it_hyb, fl2 = iters_with(kpm.KPMConfig(max_order=6, exact_lowfreq=8))
     assert fl1 == 0 and fl2 == 0
     assert it_hyb < it_plain, (it_hyb, it_plain)
+
+
+# ---------------------------------------------------------------------------
+# complex hopping (Peierls phases / twisted BC): the preconditioner builds a
+# full-spectrum complex pipeline (ops/kpm.py:_apply_complex) because complex
+# CG fields have no conjugate symmetry to fold onto the half spectrum
+# ---------------------------------------------------------------------------
+
+
+def make_twisted_model(L=4, beta=2.0, lam=0.6, seed=0, x_scale=0.3,
+                       twist=(0.7, 0.3), dense_threshold=4096):
+    uc = UnitCell.create(2, 1, [[1.0, 0.0], [0.0, 1.0]], [[0.0, 0.0]])
+    lat = Lattice.create(uc, L)
+    spec, params = H.build_holstein(
+        lat, beta=beta, dtau=0.1,
+        t_assignments=[(1.0, 0.0, 0, 0, (1, 0, 0)), (1.0, 0.0, 0, 0, (0, 1, 0))],
+        omega=1.0, lam=lam, mu=-lam ** 2, twist=twist,
+        dense_threshold=dense_threshold)
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(x_scale * rng.standard_normal((spec.Nph, spec.Ltau)))
+    return make_model_ops(spec), params, x
+
+
+def _crandn(rng, shape):
+    return rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+
+
+@pytest.mark.parametrize("dense", [True, False])
+def test_kpm_complex_left_matches_dense_polynomial(dense):
+    """apply_left on a twisted model must equal the per-ω Chebyshev
+    polynomial of the dense averaged operator, built independently in numpy
+    from the state's own (coeff, λavg, λmag) — an exact plumbing check of
+    the full-spectrum complex pipeline on both the dense-expK and
+    checkerboard-fold operator paths."""
+    ops, params, x = make_twisted_model(dense_threshold=4096 if dense else 0)
+    st = kpm.setup(ops, params, x, kpm.KPMConfig(max_order=24),
+                   jax.random.PRNGKey(0))
+    N, Ltau = ops.Nsites, ops.Ltau
+    assert st.coeff.shape[1] == Ltau  # FULL spectrum for complex states
+    A = kpm.dense_Abar(ops, st)
+    assert np.abs(A.imag).max() > 1e-6
+    Ap = (A - float(st.lam_avg) * np.eye(N)) / float(st.lam_mag)
+    coeff = np.asarray(st.coeff)                      # [M, Ltau]
+
+    rng = np.random.default_rng(1)
+    v = _crandn(rng, (N, Ltau))
+    u = np.asarray(tau_to_omega(jnp.asarray(v)))      # [N, Ltau]
+    # per-ω recurrence: y(ω) = Σ_m c_m(ω)·T_m(Ap)·u(ω)
+    t_nm1, t_n = u, Ap @ u
+    y = coeff[0][None, :] * u + coeff[1][None, :] * t_n
+    for m in range(2, coeff.shape[0]):
+        t_nm1, t_n = t_n, 2.0 * (Ap @ t_n) - t_nm1
+        y = y + coeff[m][None, :] * t_n
+    want = np.asarray(omega_to_tau(jnp.asarray(y), real=False))
+
+    got = np.asarray(kpm.apply_left(ops, st, jnp.asarray(v)))
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_kpm_complex_exact_for_time_independent_field():
+    """With x ≡ 0 every B(τ) equals Ā, so the block-diagonal KPM inverse is
+    exact: apply_left ≈ M⁻¹ of the dense twisted fermion matrix."""
+    ops, params, _ = make_twisted_model(x_scale=0.0)
+    x = jnp.zeros((ops.Nph, ops.Ltau))
+    st = kpm.setup(ops, params, x, kpm.KPMConfig(max_order=96, c1=8.0, c2=8.0),
+                   jax.random.PRNGKey(0))
+    assert bool(st.active)
+    env = H.expnV(ops.spec, params, x)
+    expK = dense_expK(ops.Nsites, ops.spec.ckb.neighbor_table,
+                      ops.spec.ckb.groups,
+                      np.asarray(params.cosht), np.asarray(params.sinht))
+    M = dense_M([expK @ np.diag(np.asarray(env)[:, t])
+                 for t in range(ops.Ltau)])
+    rng = np.random.default_rng(1)
+    v = _crandn(rng, (ops.Nsites, ops.Ltau))
+    got = np.asarray(kpm.apply_left(ops, st, jnp.asarray(v))).reshape(-1)
+    want = np.linalg.solve(M, v.reshape(-1))
+    assert np.max(np.abs(got - want)) < 1e-4, np.max(np.abs(got - want))
+
+
+def test_kpm_complex_symmetric_reduces_cg_iterations():
+    """Twisted-model M†M CG with the complex symmetric preconditioner must
+    reach the same solution in meaningfully fewer iterations — this is the
+    path the driver now takes for twisted runs (simulation.py, previously an
+    unpreconditioned fallback)."""
+    ops, params, x = make_twisted_model()
+    env = ops.derived(params, x)
+    st = kpm.setup(ops, params, x, kpm.KPMConfig(), jax.random.PRNGKey(0))
+    assert bool(st.active)
+    rng = np.random.default_rng(2)
+    b = jnp.asarray(_crandn(rng, (ops.Nsites, ops.Ltau)))
+    rhs = ops.mulMT(params, env, b)
+    A = lambda v: ops.mulMTM(params, env, v)
+    plain = solvers.cg(A, rhs, tol=1e-8, maxiter=4000)
+    pre = solvers.cg(A, rhs, apply_P=lambda v: kpm.apply_symmetric(ops, st, v),
+                     tol=1e-8, maxiter=4000)
+    assert np.allclose(np.asarray(plain.x), np.asarray(pre.x), atol=1e-4)
+    assert int(pre.iters) <= int(plain.iters) * 0.7, \
+        (int(pre.iters), int(plain.iters))
+
+
+def test_kpm_complex_applies_are_mutually_adjoint_and_symmetric_is_psd():
+    """apply_right must be the ⟨·,·⟩-adjoint of apply_left (M⁻ᴴ vs M⁻¹ roles
+    for BiCGStab/GMRES), and apply_symmetric must be Hermitian PSD — the
+    property that keeps CG under the real-embedding inner product
+    (utils/dtypes.fdot) a genuine SPD-preconditioned CG."""
+    ops, params, x = make_twisted_model()
+    st = kpm.setup(ops, params, x, kpm.KPMConfig(), jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(_crandn(rng, (ops.Nsites, ops.Ltau)))
+    w = jnp.asarray(_crandn(rng, (ops.Nsites, ops.Ltau)))
+    Lu = np.asarray(kpm.apply_left(ops, st, u))
+    Rw = np.asarray(kpm.apply_right(ops, st, w))
+    # ⟨w, L u⟩ = ⟨R w, u⟩  (R = L†)
+    lhs = np.vdot(np.asarray(w), Lu)
+    rhs = np.vdot(Rw, np.asarray(u))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-10, atol=1e-10)
+    # symmetric apply: Hermitian, positive on a random vector
+    Su = np.asarray(kpm.apply_symmetric(ops, st, u))
+    Sw = np.asarray(kpm.apply_symmetric(ops, st, w))
+    np.testing.assert_allclose(np.vdot(np.asarray(w), Su),
+                               np.conj(np.vdot(np.asarray(u), Sw)),
+                               rtol=1e-10, atol=1e-10)
+    quad = np.vdot(np.asarray(u), Su)
+    assert abs(quad.imag) < 1e-10 * abs(quad.real)
+    assert quad.real > 0.0
