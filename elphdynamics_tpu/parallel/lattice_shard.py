@@ -51,7 +51,11 @@ class ShardPlan:
     * ``send_prev[g]``: [D, Hn_g] offsets sent to the previous neighbour;
     * ``partner_local[g]``: [D, B] gather indices into the extended block
       ``[local B | prev halo Hp_g | next halo Hn_g]``;
-    * ``bond_of_site[g]`` / ``mask[g]``: [D, B] per-shard coefficient tables.
+    * ``bond_of_site[g]`` / ``mask[g]``: [D, B] per-shard coefficient tables;
+    * ``is_lo[g]``: [D, B] first-endpoint marks — the complex-hopping
+      (Peierls-phase / twisted-BC) fold applies ``conj(s)`` on the second
+      endpoint of each Hermitian 2×2 bond block
+      (ops/checkerboard.py:_group_coeffs; Checkerboard.jl:78,116,137).
     """
 
     D: int
@@ -65,6 +69,7 @@ class ShardPlan:
     partner_local: tuple
     bond_of_site: tuple
     mask: tuple
+    is_lo: tuple
 
     def __hash__(self):
         return hash((self.D, self.B, self.axis, self.ngroups, self.hp, self.hn))
@@ -79,6 +84,7 @@ def build_shard_plan(spec: CheckerboardSpec, D: int, axis: str = "site") -> Shar
 
     hp, hn = [], []
     send_next, send_prev, partner_local, bos_l, mask_l = [], [], [], [], []
+    is_lo_l = []
     for g in range(spec.ngroups):
         prev_need = [[] for _ in range(D)]
         next_need = [[] for _ in range(D)]
@@ -129,12 +135,14 @@ def build_shard_plan(spec: CheckerboardSpec, D: int, axis: str = "site") -> Shar
         partner_local.append(pl)
         bos_l.append(spec.bond_of_site[g].reshape(D, B).copy())
         mask_l.append(spec.mask[g].reshape(D, B).copy())
+        is_lo_l.append(spec.is_lo[g].reshape(D, B).copy())
 
     return ShardPlan(D=D, B=B, axis=axis, ngroups=spec.ngroups,
                      hp=tuple(hp), hn=tuple(hn),
                      send_next=tuple(send_next), send_prev=tuple(send_prev),
                      partner_local=tuple(partner_local),
-                     bond_of_site=tuple(bos_l), mask=tuple(mask_l))
+                     bond_of_site=tuple(bos_l), mask=tuple(mask_l),
+                     is_lo=tuple(is_lo_l))
 
 
 def site_mesh(D: int, devices=None) -> Mesh:
@@ -353,6 +361,13 @@ def _group_coeffs(plan: ShardPlan, g: int, cosh_b, sinh_b, dtype):
     if c.ndim == 1:
         c = c[:, None]
         s = s[:, None]
+    if jnp.iscomplexobj(s):
+        # complex hopping (Peierls phase / twisted BC): the 2×2 bond block is
+        # the Hermitian [c, s; s̄, c] — the second endpoint receives conj(s)
+        # (ops/checkerboard.py:_group_coeffs; Checkerboard.jl:78,116,137);
+        # the reversed-order fold is then exactly the adjoint exp(−Δτ·K)†
+        lo = jnp.take(jnp.asarray(plan.is_lo[g]), d, axis=0)[:, None]
+        s = jnp.where(lo, s, jnp.conj(s))
     c = jnp.where(m, c, jnp.ones((), c.dtype))
     s = jnp.where(m, s, jnp.zeros((), s.dtype))
     return c, s
@@ -483,7 +498,10 @@ def make_sharded_holstein_solver(model_spec, plan: ShardPlan, mesh: Mesh):
         return mulM, mulMT
 
     def pdot(a, b):
-        return lax.psum(jnp.sum(a * b), plan.axis)
+        # Re(a†·b) on the complex-hopping path (utils/dtypes.fdot_fast):
+        # the real Hermitian inner product under which M†M is SPD on ℝ²ⁿ
+        from elphdynamics_tpu.utils.dtypes import fdot_fast
+        return lax.psum(jnp.sum(fdot_fast(a, b, axis=(-2, -1))), plan.axis)
 
     def solve_local(params, env_loc, b_loc, tol, maxiter):
         mulM, mulMT = local_ops(params, env_loc)
@@ -532,7 +550,8 @@ def make_sharded_holstein_solver(model_spec, plan: ShardPlan, mesh: Mesh):
 # unaffected); wij phonon dispersion is rejected at build time.
 # ---------------------------------------------------------------------------
 
-def _kpm_local(plan: ShardPlan, kcfg, Ltau, N, dtype, axis, ops_of):
+def _kpm_local(plan: ShardPlan, kcfg, Ltau, N, dtype, axis, ops_of,
+               cplx: bool = False):
     """Sharded symmetric KPM preconditioner (ops/kpm.py math on local blocks).
 
     The τ↔ω transform is shard-local (τ on-chip); the Chebyshev recurrence's
@@ -544,12 +563,19 @@ def _kpm_local(plan: ShardPlan, kcfg, Ltau, N, dtype, axis, ops_of):
     ``setup(env_loc, key)`` runs once per sampler update (bounds +
     coefficients), ``make_apply(state, env_loc)`` binds the per-solve
     averaged-operator refresh.
+
+    ``cplx=True`` is the complex-hopping (Peierls / twisted-BC) pipeline
+    (ops/kpm.py:_apply_complex): the CG vectors have no conjugate symmetry,
+    so the expansion covers the FULL Lτ spectrum and the recurrence runs on
+    complex blocks (the halo ppermutes carry complex data); the power
+    iteration draws complex probes and psums |w|² norms.
     """
     from elphdynamics_tpu.ops.kpm import (_cmul_halves, _from_half_stacked,
                                           _to_half_stacked)
+    from elphdynamics_tpu.ops.timefreqfft import omega_to_tau, tau_to_omega
 
     use_dft = kcfg.use_dft(Ltau) if hasattr(kcfg, "use_dft") else False
-    Lw = (Ltau + 1) // 2
+    Lw = Ltau if cplx else (Ltau + 1) // 2
     M = kcfg.max_order
     phis = jnp.asarray(2.0 * np.pi / Ltau * (np.arange(Lw) + 0.5), dtype)
     NM = 2 * M
@@ -558,20 +584,30 @@ def _kpm_local(plan: ShardPlan, kcfg, Ltau, N, dtype, axis, ops_of):
     cosmat = jnp.asarray(np.cos(np.outer(np.arange(M), theta_n)), dtype)
     scale = jnp.asarray(np.where(np.arange(M) == 0, 1.0, 2.0), dtype)[:, None] / NM
     B = plan.B
+    pdtype = dtype
+    if cplx:
+        pdtype = (jnp.complex128 if jnp.dtype(dtype) == jnp.float64
+                  else jnp.complex64)
 
     def setup(env_loc, key):
         mulA, _, mulA_inv = ops_of(env_loc)
         d = lax.axis_index(axis)
 
+        def n2(w):
+            # |w|² psum — real for complex probes (= kpm._spectral_radius's
+            # jnp.linalg.norm on the full vector)
+            return lax.psum(jnp.sum(jnp.real(w * jnp.conj(w))), axis) \
+                if cplx else lax.psum(jnp.sum(w * w), axis)
+
         def radius(apply_fn, k):
-            v_full = jax.random.normal(k, (N, 1), dtype)
+            v_full = jax.random.normal(k, (N, 1), pdtype)
             v = lax.dynamic_slice_in_dim(v_full, d * B, B, axis=0)
-            v = v / jnp.sqrt(lax.psum(jnp.sum(v * v), axis))
+            v = v / jnp.sqrt(n2(v))
 
             def body(_, carry):
                 v, lam = carry
                 w = apply_fn(v)
-                nw = jnp.sqrt(lax.psum(jnp.sum(w * w), axis))
+                nw = jnp.sqrt(n2(w))
                 return w / jnp.where(nw > 0, nw, 1.0), nw
 
             _, lam = lax.fori_loop(0, kcfg.n_power, body,
@@ -590,8 +626,11 @@ def _kpm_local(plan: ShardPlan, kcfg, Ltau, N, dtype, axis, ops_of):
         xs = lam_mag * nodes + lam_avg
         f = 1.0 / (1.0 - jnp.exp(-1j * phis)[None, :] * xs[:, None])
         coeff = scale * (cosmat @ f)
-        order = jnp.clip(jnp.floor((lam_hi - lam_lo) * (kcfg.c1 / phis + kcfg.c2)),
-                         1, M)
+        # full-spectrum order criterion: the hard frequencies sit at BOTH
+        # ends (e^{−iφ} → 1 as φ → 0 or 2π) — kpm.setup's phis_eff
+        phis_eff = jnp.minimum(phis, 2.0 * np.pi - phis) if cplx else phis
+        order = jnp.clip(jnp.floor((lam_hi - lam_lo)
+                                   * (kcfg.c1 / phis_eff + kcfg.c2)), 1, M)
         coeff = jnp.where(jnp.arange(M)[:, None] < order[None, :], coeff, 0.0)
         return dict(lam_avg=lam_avg, lam_mag=lam_mag, coeff=coeff, active=active)
 
@@ -620,7 +659,33 @@ def _kpm_local(plan: ShardPlan, kcfg, Ltau, N, dtype, axis, ops_of):
             out, _, _ = lax.fori_loop(1, M, body, (out, u_nm1, u_n))
             return out
 
+        def cheb_c(u, coeff, transposed):
+            # plain complex recurrence on the full [.., B, Lτ] spectrum
+            # (ops/kpm.py:_chebyshev_apply — no conjugate symmetry to fold)
+            mul = mulA_T if transposed else mulA
+
+            def Ap(v):
+                return mul(v) / st["lam_mag"] - (st["lam_avg"] / st["lam_mag"]) * v
+
+            out = coeff[0] * u
+            u_nm1 = u
+            u_n = Ap(u)
+
+            def body(m, carry):
+                out, u_nm1, u_n = carry
+                out = out + coeff[m] * u_n
+                return (out, u_n, 2.0 * Ap(u_n) - u_nm1)
+
+            out, _, _ = lax.fori_loop(1, M, body, (out, u_nm1, u_n))
+            return out
+
         def apply_P(v):
+            if cplx:
+                u = tau_to_omega(v)
+                u = cheb_c(u, jnp.conj(st["coeff"]), True)
+                u = cheb_c(u, st["coeff"], False)
+                out = omega_to_tau(u, real=False).astype(v.dtype)
+                return jnp.where(st["active"], out, v)
             w = _to_half_stacked(v, Ltau, use_dft)
             w = cheb(w, jnp.conj(st["coeff"]), True)
             w = cheb(w, st["coeff"], False)
@@ -725,6 +790,11 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
             dd = (-sgn_first) * dtau * (lam + 2.0 * lam2 * x) * env \
                 * jnp.roll(v, 1, axis=-1)
             y = ckb_transpose_mul_local(plan, params.cosht, params.sinht, u)
+            if jnp.iscomplexobj(y) or jnp.iscomplexobj(dd):
+                # complex-hopping force on the REAL field: Re[u†·∂M/∂x·v]
+                # (models/holstein.py:muldMdx — the fold already is the
+                # adjoint, only the elementwise conjugate remains)
+                return jnp.real(jnp.conj(y) * dd)
             return y * dd
 
         def calc_Lam(x):
@@ -737,8 +807,12 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
             return sgn_first * jnp.roll(v, 1, axis=-1) / Lam
 
         def muldLambdadx(x, Lam, vl, vr):
-            return (-sgn_first) * vl * dtau * (lam / 2.0 + lam2 * x) * Lam \
+            base = (-sgn_first) * dtau * (lam / 2.0 + lam2 * x) * Lam \
                 * jnp.roll(vr, 1, axis=-1)
+            if jnp.iscomplexobj(vl) or jnp.iscomplexobj(vr):
+                # complex path: Re[vl†·∂Λ/∂x·vr] (models/holstein.py)
+                return jnp.real(jnp.conj(vl) * base)
+            return vl * base
 
         def calc_Sb(x):
             dx = x - jnp.roll(x, 1, axis=-1)
@@ -759,10 +833,11 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
 
         # --- sharded symmetric KPM preconditioner (optional): full spectral
         # setup once per update, averaged-operator refresh per solve
+        cplx = jnp.iscomplexobj(params.cosht)
         if kpm_cfg is not None:
             kpm_setup, kpm_make_apply = _kpm_local(
                 plan, kpm_cfg, Ltau, N, x_loc.dtype, plan.axis,
-                _holstein_kpm_ops(plan, params))
+                _holstein_kpm_ops(plan, params), cplx=cplx)
         else:
             kpm_setup = kpm_make_apply = None
 
@@ -796,6 +871,11 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
         R = lax.dynamic_slice_in_dim(R_full, d * B, B, axis=0)
         Rpm_full = jax.random.normal(k_p, (2, N, Ltau), dtype=x_loc.dtype)
         Rpm = lax.dynamic_slice_in_dim(Rpm_full, d * B, B, axis=1)
+        if cplx:
+            # both spins pack into ONE complex stack entry — the TRS twist
+            # ensemble (utils/dtypes.pseudofermion_noise); same draws, same
+            # key order as the unsharded step
+            Rpm = (Rpm[0] + 1j * Rpm[1])[None]
 
         v0 = cfg.alpha * v_loc + jnp.sqrt(1.0 - cfg.alpha ** 2) \
             * accelerate(mass, R, -0.5)
@@ -1222,16 +1302,23 @@ def make_sharded_greens_sampler(model_spec, plan: ShardPlan, mesh: Mesh,
             return lax.psum(jnp.sum(fdot(a, b, axis=tuple(range(a.ndim)))),
                             plan.axis)
 
-        # exact key-split order of sample_greens
+        # exact key-split order of sample_greens; complex hopping draws the
+        # circular complex probes of utils.dtypes.trace_noise (E[RR†] = I)
+        cplx = jnp.iscomplexobj(params.cosht)
         key, kr = jax.random.split(key)
-        R_full = jax.random.normal(kr, (nv, N, Ltau), dtype=x_loc.dtype)
+        if cplx:
+            g_full = jax.random.normal(kr, (2, nv, N, Ltau), dtype=x_loc.dtype)
+            half = jnp.asarray(0.5, x_loc.dtype) ** 0.5
+            R_full = (g_full[0] + 1j * g_full[1]) * half
+        else:
+            R_full = jax.random.normal(kr, (nv, N, Ltau), dtype=x_loc.dtype)
         R = lax.dynamic_slice_in_dim(R_full, d * B, B, axis=1)
 
         P_apply = None
         if kpm_cfg is not None:
             kpm_setup, kpm_make_apply = _kpm_local(
                 plan, kpm_cfg, Ltau, N, x_loc.dtype, plan.axis,
-                _holstein_kpm_ops(plan, params))
+                _holstein_kpm_ops(plan, params), cplx=cplx)
             kst = kpm_setup(env, jax.random.PRNGKey(1234))
             P_apply = kpm_make_apply(kst, env)
 
@@ -1769,9 +1856,12 @@ def make_sharded_langevin_step(model_spec, plan: ShardPlan, mesh: Mesh,
         mu = lax.dynamic_slice_in_dim(params.mu, d * B, B)[:, None]
         sgn_first = (-jnp.ones(Ltau, x_loc.dtype)).at[0].set(1.0)
         sgn_last = (-jnp.ones(Ltau, x_loc.dtype)).at[-1].set(1.0)
+        cplx = jnp.iscomplexobj(params.cosht)
 
         def pdot(a, b):
-            return lax.psum(jnp.sum(a * b), plan.axis)
+            from elphdynamics_tpu.utils.dtypes import fdot_fast
+            return lax.psum(jnp.sum(fdot_fast(a, b, axis=(-2, -1))),
+                            plan.axis)
 
         def env_of(x):
             return jnp.exp(-dtau * (lam * x + lam2 * x * x - mu))
@@ -1790,6 +1880,9 @@ def make_sharded_langevin_step(model_spec, plan: ShardPlan, mesh: Mesh,
             dd = (-sgn_first) * dtau * (lam + 2.0 * lam2 * x) * env \
                 * jnp.roll(v, 1, axis=-1)
             y = ckb_transpose_mul_local(plan, params.cosht, params.sinht, u)
+            if jnp.iscomplexobj(y) or jnp.iscomplexobj(dd):
+                # complex-hopping force: Re[u†·∂M/∂x·v] (models/holstein.py)
+                return jnp.real(jnp.conj(y) * dd)
             return y * dd
 
         def calc_dSbdx(x):
@@ -1804,16 +1897,23 @@ def make_sharded_langevin_step(model_spec, plan: ShardPlan, mesh: Mesh,
         if kpm_cfg is not None:
             kpm_setup, kpm_make_apply = _kpm_local(
                 plan, kpm_cfg, Ltau, N, x_loc.dtype, plan.axis,
-                _holstein_kpm_ops(plan, params))
+                _holstein_kpm_ops(plan, params), cplx=cplx)
         else:
             kpm_setup = kpm_make_apply = None
 
         def force(x, key, kst):
             """One stochastic force evaluation (fresh g), exact unsharded
-            key-split order (total_force: key, kg = split(key))."""
+            key-split order (total_force: key, kg = split(key)). Complex
+            hopping draws the circular complex probe of
+            utils.dtypes.trace_noise (E[gg†] = I)."""
             env = env_of(x)
             key, kg = jax.random.split(key)
-            g_full = jax.random.normal(kg, (N, Ltau), dtype=x.dtype)
+            if cplx:
+                gg = jax.random.normal(kg, (2, N, Ltau), dtype=x.dtype)
+                half = jnp.asarray(0.5, x.dtype) ** 0.5
+                g_full = (gg[0] + 1j * gg[1]) * half
+            else:
+                g_full = jax.random.normal(kg, (N, Ltau), dtype=x.dtype)
             g = lax.dynamic_slice_in_dim(g_full, d * B, B, axis=0)
 
             def A(v):
@@ -2086,19 +2186,25 @@ def _holstein_special_ctx(model_spec, plan: ShardPlan, params, wplan,
                 wplan, plan.axis, params.wij, wij_sign, 1.0, x)
         return dtau * psum(total)
 
+    cplx = jnp.iscomplexobj(params.cosht)
     if kpm_cfg is not None:
         kpm_setup, kpm_make_apply = _kpm_local(
             plan, kpm_cfg, Ltau, N, dtype, plan.axis,
-            _holstein_kpm_ops(plan, params))
+            _holstein_kpm_ops(plan, params), cplx=cplx)
     else:
         kpm_setup = kpm_make_apply = None
 
     def refresh_phi(x_loc, key):
         """φ± = Λ⁻¹MᵀR± and exact S₀ (HMC.jl:666-692); R is drawn full and
-        sliced so every shard sees the unsharded key stream."""
+        sliced so every shard sees the unsharded key stream. Complex hopping
+        packs both spins into one complex stack entry
+        (utils/dtypes.pseudofermion_noise) — S₀ = Re(R†R)/2 is the identical
+        two-spin real sum either way."""
         key, kp = jax.random.split(key)
         R_full = jax.random.normal(kp, (2, N, Ltau), dtype=dtype)
         R = lax.dynamic_slice_in_dim(R_full, d * B, B, axis=1)
+        if cplx:
+            R = (R[0] + 1j * R[1])[None]
         env = env_of(x_loc)
         MtR = mulMT(env, R)
         phi = mulLambdaInv(calc_Lam(x_loc), MtR)

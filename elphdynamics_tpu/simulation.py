@@ -95,10 +95,12 @@ def simulate(config, run_id: int | None = None, n_chains: int = 1,
     mesh (SURVEY §5's context-parallel analog) — for problems whose
     ``N·Lτ`` footprint outgrows a single chip. Both may be combined:
     a 2-D ``(chain × site)`` mesh of ``n_devices · site_devices`` chips
-    (HMC and Langevin; ``tune_dt``, ``[solver.deflation]``, ``[tempering]``
-    and ``--multihost`` all compose with the site axis — under multihost
-    the site mesh spans the global device set and the off-hot-loop gathers
-    become XLA all-gathers to a replicated sharding).
+    (HMC and Langevin; ``tune_dt``, ``[solver.deflation]``, ``[tempering]``,
+    ``--multihost`` and complex hopping (``twist``) all compose with the
+    site axis — under multihost the site mesh spans the global device set
+    and the off-hot-loop gathers become XLA all-gathers to a replicated
+    sharding. The one remaining carve-out: ``[solver.deflation]`` with
+    complex hopping, gated in either sharding mode).
 
     ``multihost=True`` initializes ``jax.distributed`` (one process per
     host; see parallel/multihost.py for the contract): every process runs
@@ -259,12 +261,13 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
     # ---- preconditioner
     from elphdynamics_tpu.utils.dtypes import params_are_complex
     model_cplx = params_are_complex(setup.params)
-    if model_cplx and site_devices > 1:
+    if (model_cplx and setup.dynamics_type == "hmc"
+            and setup.hmc_cfg is not None and setup.hmc_cfg.deflate_k > 0):
         raise NotImplementedError(
-            "--site-devices with complex hopping (twist / Peierls phases): "
-            "the ppermute-halo checkerboard fold is real-only "
-            "(parallel/lattice_shard.py) — run chain-parallel (--devices) "
-            "instead")
+            "[solver.deflation] with complex hopping (twist / Peierls "
+            "phases): the deflation Gram/projection einsums are real-only "
+            "(ops/deflation.py) — the measured-default-off knob is gated "
+            "rather than silently wrong. Run without deflation.")
     precond = None
     if setup.kpm_cfg is not None:
         # complex hopping (twist / Peierls) included: kpm.setup detects the

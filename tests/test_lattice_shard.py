@@ -1384,3 +1384,196 @@ def test_sharded_ssh_hmc_deflation_matches_unsharded():
     Ws = np.asarray(defl_s.W).reshape(k, -1)
     s = np.linalg.svd(Wr @ Ws.T, compute_uv=False)
     assert s.min() > 0.99, s
+
+
+# ---------------------------------------------------------------------------
+# Complex hopping (Peierls phases / twisted BCs) under site sharding: the
+# halo fold applies conj(s) on the second bond endpoint (ShardPlan.is_lo),
+# the psum CG runs under the Re-Hermitian inner product, and the sharded
+# KPM uses the full-spectrum complex pipeline (parallel/lattice_shard.py)
+# ---------------------------------------------------------------------------
+
+def _build_twisted(L=8, beta=1.0, dtau=0.1, lam=0.8, twist=(0.7, 0.3)):
+    uc = UnitCell.create(2, 1, [[1.0, 0.0], [0.0, 1.0]], [[0.0, 0.0]])
+    lat = Lattice.create(uc, L)
+    spec, params = H.build_holstein(
+        lat, beta=beta, dtau=dtau,
+        t_assignments=[(1.0, 0.0, 0, 0, (1, 0, 0)), (1.0, 0.0, 0, 0, (0, 1, 0))],
+        omega=1.0, lam=lam, mu=0.0, twist=twist, dense_threshold=0)
+    return spec, params, make_model_ops(spec)
+
+
+@pytest.mark.slow
+def test_sharded_complex_matvecs_and_cg():
+    """Twisted-BC fold + psum CG against the unsharded complex operators."""
+    D = 8
+    assert jax.device_count() >= D
+    spec, params, ops = _build_twisted()
+    assert np.iscomplexobj(np.asarray(params.cosht))
+    plan = build_shard_plan(spec.ckb, D)
+    mesh = site_mesh(D)
+    solve, mulM_s, mulMT_s = make_sharded_holstein_solver(spec, plan, mesh)
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    x = 0.3 * jax.random.normal(k1, (spec.Nph, spec.Ltau))
+    v = (jax.random.normal(k2, (spec.Nsites, spec.Ltau))
+         + 1j * jax.random.normal(k3, (spec.Nsites, spec.Ltau)))
+    env = ops.derived(params, x)
+
+    np.testing.assert_allclose(np.asarray(mulM_s(params, env, v)),
+                               np.asarray(H.mulM(spec, params, env, v)),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(mulMT_s(params, env, v)),
+                               np.asarray(H.mulMT(spec, params, env, v)),
+                               atol=1e-12)
+
+    sol, iters = jax.jit(lambda p, e, b: solve(p, e, b, tol=1e-9,
+                                               maxiter=3000))(params, env, v)
+    rhs = H.mulMT(spec, params, env, v)
+    r = H.mulMTM(spec, params, env, sol) - rhs
+    rel = float(jnp.linalg.norm(r) / jnp.linalg.norm(rhs))
+    assert rel < 1e-7, (rel, int(iters))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("use_kpm", [False, True])
+def test_sharded_complex_hmc_matches_unsharded(use_kpm):
+    """Twisted-BC sharded HMC (incl. the full-spectrum complex sharded KPM)
+    reproduces the unsharded complex trajectory: same accept, ΔH, iters."""
+    from elphdynamics_tpu.dynamics.hmc import HMCConfig, HMCState, make_hmc_step
+    from elphdynamics_tpu.ops import kpm
+    from elphdynamics_tpu.ops.fourier_accel import build_mass
+    from elphdynamics_tpu.parallel.lattice_shard import make_sharded_hmc_step
+
+    D = 8
+    assert jax.device_count() >= D
+    spec, params, ops = _build_twisted()
+    plan = build_shard_plan(spec.ckb, D)
+    mesh = site_mesh(D)
+    mass = build_mass(np.asarray(params.omega), spec.dtau, spec.Ltau,
+                      [dict(omega_min=0.0, omega_max=10.0, mass=0.5)])
+    cfg = HMCConfig(dt=0.1, trajectory_time=0.4, Nb=1, tol=1e-10, maxiter=3000)
+    kcfg = kpm.KPMConfig(max_order=8) if use_kpm else None
+    precond = kpm.make_symmetric_precond(ops, kcfg) if use_kpm else None
+
+    ref_step = jax.jit(make_hmc_step(ops, mass, cfg, precond=precond))
+    sh_step = make_sharded_hmc_step(spec, plan, mesh, mass, cfg, kpm_cfg=kcfg)
+
+    key = jax.random.PRNGKey(7)
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (spec.Nph, spec.Ltau))
+    v = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (spec.Nph, spec.Ltau))
+
+    ref_state, ref_stats, _ = ref_step(params, HMCState(x=x, v=v), key)
+    xs, vs, stats, _ = sh_step(params, x, v, key)
+
+    assert bool(stats["accepted"]) == bool(ref_stats.accepted)
+    assert abs(float(stats["delta_H"]) - float(ref_stats.delta_H)) < 1e-6
+    assert int(stats["iters"]) == int(ref_stats.iters)
+    if use_kpm:
+        # the sharded complex KPM must actually precondition, not no-op
+        assert int(stats["iters"]) < 40
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(ref_state.x),
+                               rtol=1e-6, atol=1e-8)
+
+
+@pytest.mark.slow
+def test_sharded_complex_langevin_matches_unsharded():
+    """Twisted-BC sharded Langevin: the circular complex probe draws follow
+    the unsharded key stream; trajectories agree to psum rounding."""
+    from elphdynamics_tpu.dynamics.langevin import make_langevin_step
+    from elphdynamics_tpu.dynamics.solve import SolverConfig
+    from elphdynamics_tpu.ops.fourier_accel import build_Q
+    from elphdynamics_tpu.parallel.lattice_shard import make_sharded_langevin_step
+
+    D = 8
+    assert jax.device_count() >= D
+    spec, params, ops = _build_twisted()
+    plan = build_shard_plan(spec.ckb, D)
+    mesh = site_mesh(D)
+    Q = build_Q(np.asarray(params.omega), spec.dtau, spec.Ltau,
+                [dict(omega_min=0.0, omega_max=10.0, mass=0.5)])
+    scfg = SolverConfig(tol=1e-10, maxiter=3000)
+
+    ref_step = jax.jit(make_langevin_step(ops, Q, 0.01, "rk", scfg, None))
+    sh_step = make_sharded_langevin_step(spec, plan, mesh, Q, 0.01, "rk", scfg)
+
+    key = jax.random.PRNGKey(51)
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(16), (spec.Nph, spec.Ltau))
+
+    x_ref, _, _ = ref_step(params, x, key)
+    x_sh, stats_sh, _ = sh_step(params, x, key)
+
+    np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref),
+                               rtol=1e-7, atol=1e-9)
+    assert int(stats_sh["flag"]) == 0
+
+
+@pytest.mark.slow
+def test_sharded_complex_greens_matches_unsharded():
+    """Twisted-BC sharded estimator sampler: identical complex probes R
+    (trace_noise key parity) and M⁻¹R within the solver tolerance ball."""
+    from elphdynamics_tpu.dynamics.solve import SolverConfig
+    from elphdynamics_tpu.measure.greens import sample_greens
+    from elphdynamics_tpu.parallel.lattice_shard import (
+        make_sharded_greens_sampler)
+
+    D = 8
+    assert jax.device_count() >= D
+    spec, params, ops = _build_twisted()
+    plan = build_shard_plan(spec.ckb, D)
+    mesh = site_mesh(D)
+    scfg = SolverConfig(tol=1e-10, maxiter=3000)
+    nv = 3
+    sampler = make_sharded_greens_sampler(spec, plan, mesh, nv, scfg)
+
+    key = jax.random.PRNGKey(5)
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(3), (spec.Nph, spec.Ltau))
+
+    gd, _ = sample_greens(ops, params, x, key, nv, scfg, None)
+    R, MinvR, iters, flag, _ = sampler(params, x, key)
+
+    assert np.iscomplexobj(np.asarray(R))
+    np.testing.assert_allclose(np.asarray(R), np.asarray(gd.R), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(MinvR), np.asarray(gd.MinvR),
+                               rtol=1e-6, atol=1e-8)
+    assert int(flag) == 0
+
+
+@pytest.mark.slow
+def test_site_sharded_twisted_driver_matches_unsharded(tmp_path):
+    """`--site-devices` on a twisted-BC config: full driver bin parity
+    (HMC + sharded special updates + sharded complex measurement solves)."""
+    import copy
+    import os
+
+    from elphdynamics_tpu.simulation import simulate
+    from test_simulation_driver import BASE_CFG
+
+    cfg = copy.deepcopy(BASE_CFG)
+    cfg["holstein"]["twist"] = [0.3, 0.15]
+    cfg["hmc"]["burnin_updates"] = 2
+    cfg["hmc"]["simulation_updates"] = 4
+    cfg["hmc"]["reflection_update"] = {"freq": 2, "nsites": 2}
+    cfg["hmc"].pop("swap_update")
+    cfg["lattice"]["L"] = 4
+    cfg["simulation"]["num_bins"] = 2
+    cfg["simulation"]["write_M_matrix"] = False
+
+    folders = {}
+    for sub, sd in (("one", 1), ("site", 4)):
+        cfg["simulation"]["filepath"] = str(tmp_path / sub)
+        os.makedirs(str(tmp_path / sub), exist_ok=True)
+        stats = simulate(cfg, site_devices=sd)
+        assert 0.0 <= stats["acceptance_rate"] <= 1.0
+        folders[sub] = os.path.join(str(tmp_path / sub), "testrun-1")
+
+    for b in (1, 2):
+        f1 = os.path.join(folders["one"], "global_measurements_f",
+                          f"global_measurements_{b:05d}.out")
+        f8 = os.path.join(folders["site"], "global_measurements_f",
+                          f"global_measurements_{b:05d}.out")
+        g1 = {l.split()[0]: float(l.split()[1]) for l in open(f1)}
+        g8 = {l.split()[0]: float(l.split()[1]) for l in open(f8)}
+        for k in g1:
+            assert abs(g1[k] - g8[k]) < 1e-5 * (1.0 + abs(g1[k])), \
+                (b, k, g1[k], g8[k])
