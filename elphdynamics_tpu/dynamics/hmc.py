@@ -262,6 +262,14 @@ def make_hmc_step(
                 raise ValueError(
                     "cfg.deflate_k > 0 requires HMCState.defl "
                     "(initialize with dynamics.hmc.init_deflation)")
+            if jnp.iscomplexobj(params.cosht):
+                # mirror the driver gate (simulation.py): the deflation
+                # Gram/projection einsums are real-only; run unconjugated
+                # on complex CG vectors they would silently corrupt the
+                # basis (convergence degrades while solves stay verified)
+                raise NotImplementedError(
+                    "deflation (deflate_k > 0) does not support complex "
+                    "hopping parameters")
             pa0 = precond_applies(precond, pstate)
             apP = pa0.symmetric if pa0 is not None else (lambda v: v)
             defl = deflation.refresh(

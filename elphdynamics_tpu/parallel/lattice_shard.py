@@ -38,6 +38,7 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from elphdynamics_tpu.ops.checkerboard import CheckerboardSpec
+from elphdynamics_tpu.utils.dtypes import fdot_fast
 
 
 @dataclass(frozen=True)
@@ -500,7 +501,6 @@ def make_sharded_holstein_solver(model_spec, plan: ShardPlan, mesh: Mesh):
     def pdot(a, b):
         # Re(a†·b) on the complex-hopping path (utils/dtypes.fdot_fast):
         # the real Hermitian inner product under which M†M is SPD on ℝ²ⁿ
-        from elphdynamics_tpu.utils.dtypes import fdot_fast
         return lax.psum(jnp.sum(fdot_fast(a, b, axis=(-2, -1))), plan.axis)
 
     def solve_local(params, env_loc, b_loc, tol, maxiter):
@@ -894,6 +894,14 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
         # the basis rows W[:, local, :] live on this shard; psum reduces
         # the power-iteration norms and the k×k Grams
         if use_defl:
+            if jnp.iscomplexobj(params.cosht):
+                # same gate as the driver (simulation.py) and the unsharded
+                # make_hmc_step: the deflation Gram/projection einsums are
+                # real-only and would silently corrupt the basis on complex
+                # CG vectors
+                raise NotImplementedError(
+                    "deflation (deflate_k > 0) does not support complex "
+                    "hopping parameters")
             from elphdynamics_tpu.ops import deflation as _defl_mod
             apP0 = (kpm_make_apply(kst, env0) if kst is not None
                     else (lambda v: v))
@@ -1859,7 +1867,6 @@ def make_sharded_langevin_step(model_spec, plan: ShardPlan, mesh: Mesh,
         cplx = jnp.iscomplexobj(params.cosht)
 
         def pdot(a, b):
-            from elphdynamics_tpu.utils.dtypes import fdot_fast
             return lax.psum(jnp.sum(fdot_fast(a, b, axis=(-2, -1))),
                             plan.axis)
 
