@@ -2237,13 +2237,16 @@ def _holstein_special_ctx(model_spec, plan: ShardPlan, params, wplan,
 
 def make_sharded_reflection_update(model_spec, plan: ShardPlan, mesh: Mesh,
                                    cfg, kpm_cfg=None,
-                                   chains_axis: str | None = None):
+                                   chains_axis: str | None = None,
+                                   params_axis: int | None = None):
     """Site-sharded Holstein reflection update ``(params, x, key) ->
     (x', acc_rate, key)`` with x partitioned P('site', None)
     (SpecialUpdates.jl:97-160; unsharded analog
     :func:`~elphdynamics_tpu.dynamics.special_updates.make_reflection_update`).
     With ``chains_axis`` the update vmaps over the local chain block of a
-    2-D chain × site mesh (per-chain keys ⇒ per-chain sites/decisions)."""
+    2-D chain × site mesh (per-chain keys ⇒ per-chain sites/decisions);
+    ``params_axis=0`` additionally maps stacked per-chain params (the
+    tempering ladder) over that chain axis, as in make_sharded_hmc_step."""
     N = model_spec.Nsites
     nmoves = min(cfg.n_moves, N)
     wplan = build_wij_plan(model_spec.wij_table, N, plan.D)
@@ -2275,6 +2278,8 @@ def make_sharded_reflection_update(model_spec, plan: ShardPlan, mesh: Mesh,
         return x_loc, accepted / jnp.maximum(nmoves, 1), key
 
     if chains_axis is None:
+        if params_axis is not None:
+            raise ValueError("params_axis requires a chains_axis (2-D mesh)")
         sharded = jax.shard_map(
             update_local, mesh=mesh,
             in_specs=(P(), P(plan.axis, None), P()),
@@ -2283,9 +2288,10 @@ def make_sharded_reflection_update(model_spec, plan: ShardPlan, mesh: Mesh,
         )
     else:
         ca = chains_axis
+        p_spec = P(ca) if params_axis == 0 else P()
         sharded = jax.shard_map(
-            jax.vmap(update_local, in_axes=(None, 0, 0)), mesh=mesh,
-            in_specs=(P(), P(ca, plan.axis, None), P(ca)),
+            jax.vmap(update_local, in_axes=(params_axis, 0, 0)), mesh=mesh,
+            in_specs=(p_spec, P(ca, plan.axis, None), P(ca)),
             out_specs=(P(ca, plan.axis, None), P(ca), P(ca)),
             check_vma=False,
         )
@@ -2294,12 +2300,13 @@ def make_sharded_reflection_update(model_spec, plan: ShardPlan, mesh: Mesh,
 
 def make_sharded_swap_update(model_spec, plan: ShardPlan, mesh: Mesh,
                              cfg, kpm_cfg=None, is_holstein=True,
-                             chains_axis: str | None = None):
+                             chains_axis: str | None = None,
+                             params_axis: int | None = None):
     """Site-sharded swap update (SpecialUpdates.jl:233-366). Holstein
     exchanges the two site worldlines of a random checkerboard bond (the
     rows are psum-gathered across shards — one [Lτ] vector each); SSH swaps
     two random bond-phonon worldlines on the replicated field and runs only
-    the Metropolis solves sharded. ``chains_axis`` as in
+    the Metropolis solves sharded. ``chains_axis``/``params_axis`` as in
     :func:`make_sharded_reflection_update`."""
     nmoves = cfg.n_moves
 
@@ -2352,18 +2359,26 @@ def make_sharded_swap_update(model_spec, plan: ShardPlan, mesh: Mesh,
                 length=nmoves)
             return x_loc, accepted / jnp.maximum(nmoves, 1), key
 
-        sharded = jax.shard_map(
-            update_local, mesh=mesh,
-            in_specs=(P(), P(plan.axis, None), P()),
-            out_specs=(P(plan.axis, None), P(), P()),
-            check_vma=False,
-        ) if chains_axis is None else jax.shard_map(
-            jax.vmap(update_local, in_axes=(None, 0, 0)), mesh=mesh,
-            in_specs=(P(), P(chains_axis, plan.axis, None), P(chains_axis)),
-            out_specs=(P(chains_axis, plan.axis, None), P(chains_axis),
-                       P(chains_axis)),
-            check_vma=False,
-        )
+        if chains_axis is None:
+            if params_axis is not None:
+                raise ValueError(
+                    "params_axis requires a chains_axis (2-D mesh)")
+            sharded = jax.shard_map(
+                update_local, mesh=mesh,
+                in_specs=(P(), P(plan.axis, None), P()),
+                out_specs=(P(plan.axis, None), P(), P()),
+                check_vma=False,
+            )
+        else:
+            ca = chains_axis
+            p_spec = P(ca) if params_axis == 0 else P()
+            sharded = jax.shard_map(
+                jax.vmap(update_local, in_axes=(params_axis, 0, 0)),
+                mesh=mesh,
+                in_specs=(p_spec, P(ca, plan.axis, None), P(ca)),
+                out_specs=(P(ca, plan.axis, None), P(ca), P(ca)),
+                check_vma=False,
+            )
         return jax.jit(sharded)
 
     # --- SSH: replicated bond-phonon field, sharded electron solves
@@ -2437,6 +2452,8 @@ def make_sharded_swap_update(model_spec, plan: ShardPlan, mesh: Mesh,
         return x, accepted / jnp.maximum(nmoves, 1), key
 
     if chains_axis is None:
+        if params_axis is not None:
+            raise ValueError("params_axis requires a chains_axis (2-D mesh)")
         sharded = jax.shard_map(
             update_local, mesh=mesh,
             in_specs=(P(), P(), P()),
@@ -2445,9 +2462,10 @@ def make_sharded_swap_update(model_spec, plan: ShardPlan, mesh: Mesh,
         )
     else:
         ca = chains_axis
+        p_spec = P(ca) if params_axis == 0 else P()
         sharded = jax.shard_map(
-            jax.vmap(update_local, in_axes=(None, 0, 0)), mesh=mesh,
-            in_specs=(P(), P(ca), P(ca)),
+            jax.vmap(update_local, in_axes=(params_axis, 0, 0)), mesh=mesh,
+            in_specs=(p_spec, P(ca), P(ca)),
             out_specs=(P(ca), P(ca), P(ca)),
             check_vma=False,
         )

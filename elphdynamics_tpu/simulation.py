@@ -450,19 +450,20 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
         from elphdynamics_tpu.parallel.lattice_shard import (
             make_sharded_reflection_update, make_sharded_swap_update)
         _sca = "chain" if combined else None
-        # under tempering the params carry the per-rung chain axis the
-        # sharded special updates do not thread — the chain-vmapped
-        # (gathering) fallback below handles p_ax instead
+        # under tempering the stacked per-rung params map over the chain
+        # axis inside the sharded update (params_axis=0, same threading as
+        # make_sharded_hmc_step); tempering requires n_chains > 1 so the
+        # site-sharded tempering case is always the combined 2-D mesh
         if (ops.is_holstein and setup.reflect_cfg.n_moves
-                and setup.reflect_cfg.freq and not tempering):
+                and setup.reflect_cfg.freq):
             sharded_reflect = make_sharded_reflection_update(
                 ops.spec, plan, smesh, setup.reflect_cfg,
-                kpm_cfg=setup.kpm_cfg, chains_axis=_sca)
-        if setup.swap_cfg.n_moves and setup.swap_cfg.freq and not tempering:
+                kpm_cfg=setup.kpm_cfg, chains_axis=_sca, params_axis=p_ax)
+        if setup.swap_cfg.n_moves and setup.swap_cfg.freq:
             sharded_swap = make_sharded_swap_update(
                 ops.spec, plan, smesh, setup.swap_cfg,
                 kpm_cfg=setup.kpm_cfg, is_holstein=ops.is_holstein,
-                chains_axis=_sca)
+                chains_axis=_sca, params_axis=p_ax)
 
     def _stats_of(s):
         if isinstance(s, dict):
