@@ -114,15 +114,29 @@ def measure_bondbond(ops, pt, bf: BondFields, bond_pairs, time_dependent):
 
 def measure_currentcurrent(ops, params, x, pt, bf: BondFields, bond_pairs,
                            time_dependent):
-    """Measurements.jl:1790-2384 (Holstein uses bare t per bond, SSH the
-    modulated t'(τ, bond))."""
-    if bf.cplx:
-        raise NotImplementedError(
-            "CurrentCurrent under complex hopping: the current operator "
-            "itself changes definition (J ~ i·(t·c†c − t*·c†c)), so the "
-            "8+4-term contraction table must be re-derived with conj(t) "
-            "placements — not yet implemented (the reference is real-only "
-            "here too: Measurements.jl:1790 assumes real t weights)")
+    """⟨J′(τ,r)·J″(0,0)⟩ with J = i·Σσ(tσ·c†c − tσ*·c†c) per bond
+    (Measurements.jl:1790-2384; complex hopping beyond reference scope).
+
+    Derived from operator-level Wick contractions (exact-tested against the
+    dense propagator, real and twisted: tests/test_intersite_corr.py,
+    tests/test_complex_measurements.py) rather than transcribed verbatim:
+    the reference CODE disagrees with its own comments in three places, and
+    the comments are what Wick gives —
+
+    * term (4) accumulates −4 at Measurements.jl:1929 under a ``J += 4``
+      comment; +4 is correct (the four direct terms must assemble to the
+      per-configuration ⟨J′⟩⟨J″⟩ product −4t′t″(Gab−Gba)(Gcd−Gdc));
+    * the a==d / b==c / a==c contact terms (:2317-2352) reuse the
+      *placement* index l as the circshift of G₁, pairing b(i+r′) instead
+      of the comment's b(i−r′) (wrong whenever the bond displacement ≠ 0);
+    * the b==c contact (:2343) reads orbital b where the comment (and the
+      δ(b,c) Wick contraction) require orbital a.
+
+    Complex hopping (TRS twist ensemble, spin-↓ = conjugate phases): each
+    term belongs to one of the four operator groups (t′A−t′*Ā)(t″B−t″*B̄),
+    fixing its conj placements; spin sums make direct terms Re-per-weighted-
+    factor and exchange/contact terms Re-of-the-whole-product (identities
+    on the real path, where G↓ = G↑ and per-spin values are real)."""
     spec = ops.spec
     Lt = ops.Ltau
     lat = spec.lattice
@@ -130,84 +144,141 @@ def measure_currentcurrent(ops, params, x, pt, bf: BondFields, bond_pairs,
     ndefs = len(defs)
     ncells = lat.ncells
 
-    # hopping weights per definition in cell layout
+    # hopping weights per definition in cell layout. Bonds are one-per-base-
+    # cell in cell-linear order but DEDUPED (lattice.calc_neighbor_table
+    # drops the second copy of a pair the periodic wrap duplicates, e.g. at
+    # L = 2), so scatter per-bond values onto base cells rather than
+    # reshaping — a dropped duplicate's cell correctly carries weight 0
+    # (that cell hosts no bond in the deduped Hamiltonian).
     if ops.is_holstein:
-        t = jnp.asarray(params.t).reshape(ndefs, lat.L3, lat.L2, lat.L1)
-        t = jnp.transpose(t, (0, 3, 2, 1))[..., None]        # [def, L1,L2,L3, 1]
+        tvals = jnp.asarray(params.t)                        # [Nbonds]
+        tail = ()
     else:
         from elphdynamics_tpu.models import ssh as Sm
-        tp = Sm.hopping_t_prime(spec, params, x)             # [Nbonds, Lt]
-        t = tp.reshape(ndefs, lat.L3, lat.L2, lat.L1, Lt)
+        tvals = Sm.hopping_t_prime(spec, params, x)          # [Nbonds, Lt]
+        tail = (Lt,)
+    norb = lat.unit_cell.norbits
+    grids = []
+    n0 = 0
+    for dfn in defs:
+        tb = lat.calc_neighbor_table(dfn[0], dfn[1], dfn[2])
+        nnew = tb.shape[1]
+        base_cells = jnp.asarray(tb[0] // norb)
+        g = jnp.zeros((ncells,) + tail, dtype=tvals.dtype)
+        g = g.at[base_cells].set(tvals[n0:n0 + nnew])
+        n0 += nnew
+        grids.append(g)
+    t = jnp.stack(grids).reshape((ndefs, lat.L3, lat.L2, lat.L1) + tail)
+    if ops.is_holstein:
+        t = jnp.transpose(t, (0, 3, 2, 1))[..., None]        # [def, L1,L2,L3, 1]
+    else:
         t = jnp.transpose(t, (0, 3, 2, 1, 4))                # [def, L1,L2,L3, Lt]
     t = t.astype(jnp.complex128)
 
+    cplx = bf.cplx
     out = []
     for (n2, n1) in bond_pairs:
         d, c, r2v = defs[n2][0], defs[n2][1], defs[n2][2]
         b, a, r1v = defs[n1][0], defs[n1][1], defs[n1][2]
         t1 = t[n1]   # t′ weights (bond n′)
         t2 = t[n2]   # t″ weights (bond n″)
+        t1c = jnp.conj(t1)
+        t2c = jnp.conj(t2)
 
         cc = jnp.zeros(bf.r1.shape[2:], dtype=jnp.complex128)
 
-        def term(G1, G2, coeff):
-            return coeff * jnp.sum(_ta(t1 * G1, t2 * G2), axis=0)
+        def direct(G1, G2, w1, w2, coeff):
+            # spin-summed trace product: each factor is Σσ (tσ-weighted Gσ)
+            # = 2·Re(w·G↑) under TRS; on the real path plain w·G
+            f1, f2 = w1 * G1, w2 * G2
+            if cplx:
+                f1 = jnp.real(f1).astype(jnp.complex128)
+                f2 = jnp.real(f2).astype(jnp.complex128)
+            return coeff * jnp.sum(_ta(f1, f2), axis=0)
 
-        # (1) +4: G₁=M₁[b]·sh(r₁[a],r′), G₂=sh(M₂[c],r″)·r₂[d]
-        cc = cc + term(bf.f("M1", b) * _cshift(bf.f("r1", a), r1v),
-                       _cshift(bf.f("M2", c), r2v) * bf.f("r2", d), 4.0)
-        # (2) −4: G₁=M₁[b]·sh(r₁[a],r′), G₂=M₂[d]·sh(r₂[c],r″)
-        cc = cc + term(bf.f("M1", b) * _cshift(bf.f("r1", a), r1v),
-                       bf.f("M2", d) * _cshift(bf.f("r2", c), r2v), -4.0)
-        # (3) −4: G₁=sh(M₁[a],r′)·r₁[b], G₂=sh(M₂[c],r″)·r₂[d]
-        cc = cc + term(_cshift(bf.f("M1", a), r1v) * bf.f("r1", b),
-                       _cshift(bf.f("M2", c), r2v) * bf.f("r2", d), -4.0)
-        # (4) −4 (reference accumulates −4 despite its +4 comment, :1929):
-        #     G₁=sh(M₁[a],r′)·r₁[b], G₂=M₂[d]·sh(r₂[c],r″)
-        cc = cc + term(_cshift(bf.f("M1", a), r1v) * bf.f("r1", b),
-                       bf.f("M2", d) * _cshift(bf.f("r2", c), r2v), -4.0)
-        # (5) −2: G₁=M₁[b]·sh(r₂[a],r′), G₂=sh(M₂[c],r″)·r₁[d]
-        cc = cc + term(bf.f("M1", b) * _cshift(bf.f("r2", a), r1v),
-                       _cshift(bf.f("M2", c), r2v) * bf.f("r1", d), -2.0)
-        # (6) +2: G₁=sh(r₁[c],r″)·M₂[d], G₂=M₁[b]·sh(r₂[a],r′)
+        def exch(G1, G2, w1, w2, coeff):
+            # same-spin contraction: Σσ = 2·Re(w′w″·G↑G↑) under TRS
+            v = jnp.sum(_ta(w1 * G1, w2 * G2), axis=0)
+            if cplx:
+                v = jnp.real(v).astype(jnp.complex128)
+            return coeff * v
+
+        # direct terms — the per-configuration ⟨J′⟩⟨J″⟩ product; group
+        # (conj placement) after each coefficient
+        # (1) +4 [A·B̄]: G₁=M₁[b]·sh(r₁[a],r′), G₂=sh(M₂[c],r″)·r₂[d]
+        cc = cc + direct(bf.f("M1", b) * _cshift(bf.f("r1", a), r1v),
+                         _cshift(bf.f("M2", c), r2v) * bf.f("r2", d),
+                         t1, t2c, 4.0)
+        # (2) −4 [A·B]: G₂=M₂[d]·sh(r₂[c],r″)
+        cc = cc + direct(bf.f("M1", b) * _cshift(bf.f("r1", a), r1v),
+                         bf.f("M2", d) * _cshift(bf.f("r2", c), r2v),
+                         t1, t2, -4.0)
+        # (3) −4 [Ā·B̄]: G₁=sh(M₁[a],r′)·r₁[b]
+        cc = cc + direct(_cshift(bf.f("M1", a), r1v) * bf.f("r1", b),
+                         _cshift(bf.f("M2", c), r2v) * bf.f("r2", d),
+                         t1c, t2c, -4.0)
+        # (4) +4 [Ā·B]: the reference code's −4 at :1929 is a sign bug —
+        #     its own comment and the Wick product both give +4 (docstring)
+        cc = cc + direct(_cshift(bf.f("M1", a), r1v) * bf.f("r1", b),
+                         bf.f("M2", d) * _cshift(bf.f("r2", c), r2v),
+                         t1c, t2, 4.0)
+        # exchange terms
+        # (5) −2 [A·B̄]: G₁=M₁[b]·sh(r₂[a],r′), G₂=sh(M₂[c],r″)·r₁[d]
+        cc = cc + exch(bf.f("M1", b) * _cshift(bf.f("r2", a), r1v),
+                       _cshift(bf.f("M2", c), r2v) * bf.f("r1", d),
+                       t1, t2c, -2.0)
+        # (6) +2 [A·B]: G₁=sh(r₁[c],r″)·M₂[d], G₂=M₁[b]·sh(r₂[a],r′)
         #     with weights t″ on G₁ and t′ on G₂ (:2254-2263)
-        cc = cc + 2.0 * jnp.sum(_ta(t2 * (_cshift(bf.f("r1", c), r2v) * bf.f("M2", d)),
-                                    t1 * (bf.f("M1", b) * _cshift(bf.f("r2", a), r1v))),
-                                axis=0)
-        # (7) +2: G₁=sh(M₁[a],r′)·r₂[b], G₂=r₁[d]·sh(M₂[c],r″)
-        cc = cc + term(_cshift(bf.f("M1", a), r1v) * bf.f("r2", b),
-                       bf.f("r1", d) * _cshift(bf.f("M2", c), r2v), 2.0)
-        # (8) −2: G₁=sh(M₁[a],r′)·r₂[b], G₂=sh(r₁[c],r″)·M₂[d]
-        cc = cc + term(_cshift(bf.f("M1", a), r1v) * bf.f("r2", b),
-                       _cshift(bf.f("r1", c), r2v) * bf.f("M2", d), -2.0)
+        cc = cc + exch(_cshift(bf.f("r1", c), r2v) * bf.f("M2", d),
+                       bf.f("M1", b) * _cshift(bf.f("r2", a), r1v),
+                       t2, t1, 2.0)
+        # (7) +2 [Ā·B̄]: G₁=sh(M₁[a],r′)·r₂[b], G₂=r₁[d]·sh(M₂[c],r″)
+        cc = cc + exch(_cshift(bf.f("M1", a), r1v) * bf.f("r2", b),
+                       bf.f("r1", d) * _cshift(bf.f("M2", c), r2v),
+                       t1c, t2c, 2.0)
+        # (8) −2 [Ā·B]: G₂=sh(r₁[c],r″)·M₂[d]
+        cc = cc + exch(_cshift(bf.f("M1", a), r1v) * bf.f("r2", b),
+                       _cshift(bf.f("r1", c), r2v) * bf.f("M2", d),
+                       t1c, t2, -2.0)
 
-        # ---- contact (δ(τ)) terms (:2297-2361) — each is a full-lattice
-        # average of a shifted product, placed at one displacement
+        # ---- contact (δ(τ)) terms — the equal-time δ pieces of the four
+        # exchange contractions, each a lattice average placed at one
+        # displacement. The G₁ factor is paired at cell (y + l) against the
+        # G₂ factor at cell y (the reference comments' ⟨...(r+i,0)...(i,0)⟩
+        # with r = l; its code shifts the other way, see docstring).
         norm = ncells * Lt
 
-        def contact(G1, G2, l):
-            # reference: circshift!(G₁G₂, G₁, +l) → G₁(i−l)·G₂(i) (:2310)
-            val = jnp.sum(_cshift(t1 * G1, (-l[0], -l[1], -l[2])) * (t2 * G2),
+        def contact(G1, G2, l, w1, w2):
+            val = jnp.sum(_cshift(w1 * G1, l) * (w2 * G2),
                           axis=(-4, -3, -2, -1))
-            return jnp.sum(val) / norm
+            v = jnp.sum(val) / norm
+            if cplx:
+                v = jnp.real(v).astype(jnp.complex128)
+            return v
 
         if a == c:
+            # δ(a,c): +2·t′(i+l)t″(i)·⟨b(i+l,0)d⁺(i,0)⟩ at l = r″−r′ [A·B̄]
             l = (np.mod(r2v[0] - r1v[0], lat.L1), np.mod(r2v[1] - r1v[1], lat.L2),
                  np.mod(r2v[2] - r1v[2], lat.L3))
-            v = contact(bf.f("M1", b), bf.f("r1", d), l)
+            v = contact(bf.f("M1", b), bf.f("r1", d), l, t1, t2c)
             cc = cc.at[l[0], l[1], l[2], 0].add(2.0 * v)
         if a == d:
+            # δ(a,d): −2·t′(i+l)t″(i)·⟨b(i+l,0)c⁺(r″+i,0)⟩ at l = −r′ [A·B]
             l = (np.mod(-r1v[0], lat.L1), np.mod(-r1v[1], lat.L2),
                  np.mod(-r1v[2], lat.L3))
-            v = contact(bf.f("M1", b), _cshift(bf.f("r1", c), r2v), l)
+            v = contact(bf.f("M1", b), _cshift(bf.f("r1", c), r2v), l, t1, t2)
             cc = cc.at[l[0], l[1], l[2], 0].add(-2.0 * v)
         if b == c:
+            # δ(b,c): −2·t′(i+l)t″(i)·⟨a(r′+i+l,0)d⁺(i,0)⟩ at l = r″ [Ā·B̄]
+            # (orbital a, as the reference's comment has it — its code reads
+            # orbital b, the third bug in the docstring)
             l = (np.mod(r2v[0], lat.L1), np.mod(r2v[1], lat.L2), np.mod(r2v[2], lat.L3))
-            v = contact(_cshift(bf.f("M1", b), r1v), bf.f("r1", d), l)
+            v = contact(_cshift(bf.f("M1", a), r1v), bf.f("r1", d), l, t1c, t2c)
             cc = cc.at[l[0], l[1], l[2], 0].add(-2.0 * v)
         if b == d:
+            # δ(b,d): +2·t′t″·⟨a(r′+i,0)c⁺(r″+i,0)⟩ at l = 0 [Ā·B]
             v = contact(_cshift(bf.f("M1", a), r1v),
-                        _cshift(bf.f("r1", c), r2v), (0, 0, 0))
+                        _cshift(bf.f("r1", c), r2v), (0, 0, 0), t1c, t2)
             cc = cc.at[0, 0, 0, 0].add(2.0 * v)
 
         out.append(_finalize_tau(cc, Lt, time_dependent, beta_negated=True))

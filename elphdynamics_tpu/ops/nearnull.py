@@ -1,0 +1,199 @@
+"""Adaptive two-level near-null preconditioner for the deep-β regime.
+
+P⁻¹ = P⁻¹_KPM + W·G⁻¹·Wᵀ over a τ-chunk-chopped near-null space: k test
+vectors, inverse-iteration smoothed with the KPM-preconditioned CG (or
+cheaply re-smoothed from the previous state at refresh), are restricted to
+τ-chunks of ``c`` slices and per-chunk orthonormalized. The chopped space
+holds the PROPAGATED slow modes z(τ+1) ≈ −B_τ·z(τ) — τ-rough and
+field-dependent — that every field-independent, τ-smooth, or
+once-per-update coarse space measurably cannot (BASELINE.md §deep-β
+routes 1–6; dense ground truth `scripts/study_near_null.py` stages A–F:
+fresh chopped spaces cut 117 → 43 PCG iterations at 4×4 β=16 where the
+best τ-smooth space manages 77, and a 5-iteration re-smoothing restores
+near-fresh quality anywhere along the HMC trajectory).
+
+The Galerkin matrix is assembled EXACTLY from two colored fermion-matrix
+applies: G = (MW)ᵀ(MW), and M spreads one τ slice, so chunks of c ≥ 2
+slices at the same chunk-parity have disjoint images — two ``mulM`` calls
+on parity-masked column sums recover every M·W column. G is
+block-tridiagonal over chunks with the antiperiodic corner, assembled
+dense, jittered, Cholesky-factored, and explicitly inverted once per
+(re)build so the per-CG-iteration coarse solve is a single MXU matmul
+(no sequential triangular scan in the hot loop).
+
+Reference bar being surpassed: KPMPreconditioners.jl:426-481 is the
+reference's only answer to deep-β conditioning and fails in this regime
+identically (its κ-abort exists for that reason). This module is beyond
+reference scope — the lattice-QCD adaptive-aggregation pattern
+(DD-αAMG, arXiv:1303.1377) re-derived for the τ-propagated slow modes
+of MᵀM, with the aggregation in imaginary time instead of space.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from elphdynamics_tpu.ops import kpm
+
+
+@dataclass(frozen=True)
+class NearNullConfig:
+    """Two-level knobs ([solver.nearnull] in the TOML)."""
+
+    k: int = 8              # test vectors
+    c: int = 4              # τ slices per chunk (aggregate)
+    setup_iters: int = 10   # smoothing CG iterations per pass at setup
+    setup_passes: int = 2
+    refresh_iters: int = 5  # re-smoothing iterations per refresh (0 = only
+                            # re-assemble G at the current field)
+    reg: float = 1e-6       # relative jitter on chunk Grams and G
+    seed: int = 777
+
+    def __hash__(self):
+        return hash((self.k, self.c, self.setup_iters, self.setup_passes,
+                     self.refresh_iters, self.reg, self.seed))
+
+
+class NearNullState(NamedTuple):
+    T: jnp.ndarray     # [k, N, Lτ] smoothed test vectors (unit norm)
+    C: jnp.ndarray     # [nt, k, k] per-chunk whitening: B_J = T|_J · C_J
+    Ginv: jnp.ndarray  # [D, D], D = nt·k — inverse Galerkin (MW)ᵀ(MW)
+
+
+def _chunk_counts(Ltau: int, cfg: NearNullConfig):
+    c = cfg.c
+    if Ltau % c or (Ltau // c) % 2 or Ltau // c < 3:
+        # choose the closest viable chunk size: Lτ divisible, even chunk
+        # count ≥ 4 (2-colorability incl. the wrap, distinct off-bands)
+        cands = [cc for cc in range(1, Ltau // 4 + 1)
+                 if Ltau % cc == 0 and (Ltau // cc) % 2 == 0
+                 and Ltau // cc >= 4]
+        if not cands:
+            raise ValueError(f"no viable nearnull chunk size for Lτau={Ltau}")
+        c = min(cands, key=lambda cc: abs(cc - cfg.c))
+    return c, Ltau // c
+
+
+def _smooth(ops, params, derived, kst, kcfg, T, iters):
+    """Inverse-iteration smoothing: T ← normalize(A⁻¹T) by a fixed-length
+    KPM-preconditioned CG (exactly the production solver)."""
+    from elphdynamics_tpu import solvers
+
+    res = solvers.cg(
+        lambda v: ops.mulMTM(params, derived, v), T,
+        apply_P=lambda v: kpm.apply_symmetric(ops, kst, v, kcfg),
+        tol=0.0, maxiter=iters)
+    W = res.x
+    nrm = jnp.sqrt(jnp.sum(W * W, axis=(-2, -1), keepdims=True))
+    return W / jnp.maximum(nrm, 1e-30)
+
+
+def _build(ops, params, derived, T, cfg: NearNullConfig) -> NearNullState:
+    """Per-chunk orthonormalization + exact colored Galerkin assembly."""
+    N, Lt = ops.Nsites, ops.Ltau
+    k = cfg.k
+    c, nt = _chunk_counts(Lt, cfg)
+    dtype = T.dtype
+
+    # --- per-chunk whitening
+    Tc = T.reshape(k, N, nt, c)
+    S = jnp.einsum("knts,lnts->tkl", Tc, Tc)
+    scale = jnp.mean(jnp.trace(S, axis1=-2, axis2=-1)) / k
+    S = S + (cfg.reg * scale) * jnp.eye(k, dtype=dtype)
+    Ls = jnp.linalg.cholesky(S)
+    Linv = jax.scipy.linalg.solve_triangular(
+        Ls, jnp.broadcast_to(jnp.eye(k, dtype=dtype), (nt, k, k)), lower=True)
+    C = jnp.swapaxes(Linv, -1, -2)                      # C_J = L_J⁻ᵀ
+
+    # --- colored M·W columns (chunk-parity coloring; M spreads one slice)
+    Ct = jnp.repeat(C, c, axis=0)                       # [Lt, k, k]
+    W_all = jnp.einsum("mnL,Lmi->inL", T, Ct)           # [k(col i), N, Lt]
+    parity = (jnp.arange(Lt) // c) % 2
+    V = jnp.stack([W_all * (parity == 0), W_all * (parity == 1)])  # [2,k,N,Lt]
+    Y = ops.mulM(params, derived, V)                    # [2, k, N, Lt]
+
+    # --- per-chunk image patches (slices Jc .. Jc+c, wrap at the corner)
+    Jq = np.arange(nt) % 2
+    tau_idx = (np.arange(nt)[:, None] * c + np.arange(c + 1)[None, :]) % Lt
+    Yq = Y[Jq]                                          # [nt, k, N, Lt]
+    idx = jnp.broadcast_to(jnp.asarray(tau_idx)[:, None, None, :],
+                           (nt, k, N, c + 1))
+    P = jnp.take_along_axis(Yq, idx, axis=-1)           # [nt, k, N, c+1]
+
+    # --- block-tridiagonal bands of G = (MW)ᵀ(MW)
+    Gd = jnp.einsum("Jins,Jjns->Jij", P, P)             # diag blocks
+    Pn = jnp.roll(P, -1, axis=0)
+    Go = jnp.einsum("Jin,Jjn->Jij", P[..., -1], Pn[..., 0])  # J → J+1
+
+    JJ = jnp.arange(nt)
+    Z = jnp.zeros((nt, nt, k, k), dtype=dtype)
+    Z = Z.at[JJ, JJ].set(Gd)
+    Z = Z.at[JJ, (JJ + 1) % nt].add(Go)
+    Z = Z.at[(JJ + 1) % nt, JJ].add(jnp.swapaxes(Go, -1, -2))
+    D = nt * k
+    G = jnp.transpose(Z, (0, 2, 1, 3)).reshape(D, D)
+    gscale = jnp.mean(jnp.diagonal(G))
+    G = G + (cfg.reg * gscale) * jnp.eye(D, dtype=dtype)
+    Lg = jnp.linalg.cholesky(G)
+    Ginv = jax.scipy.linalg.cho_solve((Lg, True), jnp.eye(D, dtype=dtype))
+    Ginv = 0.5 * (Ginv + Ginv.T)
+    return NearNullState(T=T, C=C, Ginv=Ginv)
+
+
+def apply_correction(ops, nn: NearNullState, r, cfg: NearNullConfig):
+    """W·G⁻¹·Wᵀ·r — the additive coarse correction (einsum + one matmul)."""
+    N, Lt = ops.Nsites, ops.Ltau
+    k = cfg.k
+    c, nt = _chunk_counts(Lt, cfg)
+    rc = r.reshape(r.shape[:-2] + (N, nt, c))
+    Tc = nn.T.reshape(k, N, nt, c)
+    raw = jnp.einsum("mnts,...nts->...tm", Tc, rc)          # Tᵀ|chunk · r
+    u = jnp.einsum("tmi,...tm->...ti", nn.C, raw)           # whiten
+    y = jnp.einsum("DE,...E->...D", nn.Ginv,
+                   u.reshape(u.shape[:-2] + (nt * k,)))
+    yt = y.reshape(y.shape[:-1] + (nt, k))
+    w = jnp.einsum("tmi,...ti->...tm", nn.C, yt)            # un-whiten
+    out = jnp.einsum("mnts,...tm->...nts", Tc, w)
+    return out.reshape(r.shape)
+
+
+def make_nearnull_precond(ops, kcfg: kpm.KPMConfig, ncfg: NearNullConfig,
+                          seed: int = 1234):
+    """Two-level :class:`~elphdynamics_tpu.ops.kpm.Preconditioner`:
+    state = (KPMState, NearNullState). Setup smooths fresh test vectors and
+    assembles G at the update's starting field; the per-solve refresh
+    re-smooths them at the CURRENT field (``refresh_iters`` CG iterations —
+    the lever the dense drift study shows restores near-fresh quality
+    anywhere along the trajectory) and re-assembles/refactors G."""
+    key = jax.random.PRNGKey(seed)
+    tkey = jax.random.PRNGKey(ncfg.seed)
+
+    def _tv_seed(dtype):
+        return jax.random.normal(tkey, (ncfg.k, ops.Nsites, ops.Ltau), dtype)
+
+    def setup(params, x):
+        kst = kpm.setup(ops, params, x, kcfg, key)
+        derived = ops.derived(params, x)
+        T = _tv_seed(x.dtype)
+        for _ in range(ncfg.setup_passes):
+            T = _smooth(ops, params, derived, kst, kcfg, T, ncfg.setup_iters)
+        return (kst, _build(ops, params, derived, T, ncfg))
+
+    def refresh(st, params, x):
+        kst = kpm.refresh(ops, st[0], params, x)
+        derived = ops.derived(params, x)
+        T = st[1].T
+        if ncfg.refresh_iters > 0:
+            T = _smooth(ops, params, derived, kst, kcfg, T, ncfg.refresh_iters)
+        return (kst, _build(ops, params, derived, T, ncfg))
+
+    def symmetric(st, v):
+        return (kpm.apply_symmetric(ops, st[0], v, kcfg)
+                + apply_correction(ops, st[1], v, ncfg))
+
+    return kpm.Preconditioner(setup=setup, refresh=refresh, symmetric=symmetric)

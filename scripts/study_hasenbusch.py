@@ -23,10 +23,12 @@ Run from the repo root: python scripts/study_hasenbusch.py [beta] [L]
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: axon presets JAX_PLATFORMS
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+jax.config.update("jax_platforms", "cpu")  # sitecustomize pre-imports jax on axon
 import jax.numpy as jnp
 import numpy as np
 

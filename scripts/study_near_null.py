@@ -43,11 +43,13 @@ Run from the repo root:
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: axon presets JAX_PLATFORMS
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+jax.config.update("jax_platforms", "cpu")  # sitecustomize pre-imports jax on axon
 import numpy as np
 
 from study_tau_coarse import pcg_coarse, tau_restriction
@@ -102,9 +104,146 @@ def capacity(Wc, V16):
     return np.linalg.norm(Vs - Q @ (Q.T @ Vs), axis=0)
 
 
+def pcg_coarse_frozen(A, Pinv, b, W, Gi, tol=1e-5, maxiter=3000):
+    """Two-level PCG with a PRE-FACTORED coarse matrix (possibly stale):
+    what the per-update-setup production protocol actually runs."""
+    def prec(r):
+        return Pinv @ r + W @ (Gi @ (W.T @ r))
+
+    x = np.zeros_like(b)
+    r = b.copy()
+    nb = np.linalg.norm(b)
+    z = prec(r)
+    p = z.copy()
+    rz = r @ z
+    for j in range(maxiter):
+        Ap = A @ p
+        al = rz / (p @ Ap)
+        x += al * p
+        r -= al * Ap
+        if np.linalg.norm(r) / nb < tol:
+            return x, j + 1
+        z = prec(r)
+        rz_new = r @ z
+        p = z + (rz_new / rz) * p
+        rz = rz_new
+    return x, maxiter
+
+
+def refresh_vectors(A, Pinv, W0, iters=5):
+    """One cheap smoothing pass of existing test vectors at the CURRENT
+    operator (the mid-update refresh candidate)."""
+    W = W0.copy()
+    for i in range(W.shape[1]):
+        w, _ = pcg(A, Pinv, W[:, i], tol=0.0, maxiter=iters)
+        W[:, i] = w / np.linalg.norm(w)
+    return W
+
+
+def stage_E(ops, params, mass, beta, L, k=8, c=4):
+    """Production-protocol economics: W (and G) built once at x₀, used for
+    solves along the REAL leapfrog trajectory; optional cheap refresh."""
+    N, Lt = ops.Nsites, ops.Ltau
+    path = leapfrog_path(ops, params, mass, beta, L, n_equil=10, capture=True)
+    rng = np.random.default_rng(3)
+    b = rng.standard_normal(N * Lt)
+
+    A0, Pinv0 = dense_AP(ops, params, path[0])
+    Wt0 = smooth_test_vectors(A0, Pinv0, k)
+    W = chop(Wt0, N, Lt, L, L, c)
+    G0i = np.linalg.inv(W.T @ A0 @ W)
+    print(f"\n=== E: production protocol (k={k} bs={L} c={c}, "
+          f"dim {W.shape[1]}; setup ~{2 * 10 * k} smoothing iters/update) ===",
+          flush=True)
+    steps = [s for s in (0, 5, 10, 15, 20) if s < len(path)]
+    for s in steps:
+        As, Ps = dense_AP(ops, params, path[s])
+        _, it_plain = pcg(As, Ps, b)
+        _, it_frozen = pcg_coarse_frozen(As, Ps, b, W, G0i)
+        _, it_rebuilt = pcg_coarse(As, Ps, b, W)
+        Wt_f = smooth_test_vectors(As, Ps, k)
+        _, it_fresh = pcg_coarse(As, Ps, b, chop(Wt_f, N, Lt, L, L, c))
+        Wr = chop(refresh_vectors(As, Ps, Wt0, iters=5), N, Lt, L, L, c)
+        _, it_refresh = pcg_coarse(As, Ps, b, Wr)
+        print(f"step {s:2d}: plain {it_plain:4d}  frozen-WG {it_frozen:4d}  "
+              f"stale-W/rebuilt-G {it_rebuilt:4d}  refresh5 {it_refresh:4d} "
+              f"(+{5 * k} setup iters)  fresh-W {it_fresh:4d}", flush=True)
+
+
+def pcg_harvest(A, Pinv, b, tol=1e-5, maxiter=3000, keep=8):
+    """PCG that snapshots its own slow-mode-rich byproducts: the running
+    iterate x_j at a geometric spread of iterations (errors/partial sums
+    are dominated by the slow modes the solver fights longest). Returns
+    (x, iters, snapshots [n, keep])."""
+    x = np.zeros_like(b)
+    r = b.copy()
+    nb = np.linalg.norm(b)
+    z = Pinv @ r
+    p = z.copy()
+    rz = r @ z
+    snaps = []
+    for j in range(maxiter):
+        Ap = A @ p
+        al = rz / (p @ Ap)
+        x += al * p
+        r -= al * Ap
+        # geometric snapshot schedule: iterates at j = 2, 4, 8, 16, ...
+        if (j + 1) & j == 0 and j > 0:
+            snaps.append(x.copy())
+        if np.linalg.norm(r) / nb < tol:
+            break
+        z = Pinv @ r
+        rz_new = r @ z
+        p = z + (rz_new / rz) * p
+        rz = rz_new
+    snaps.append(x.copy())
+    W = np.stack(snaps[-keep:], axis=1)
+    return x, j + 1, W / np.linalg.norm(W, axis=0, keepdims=True)
+
+
+def stage_F(ops, params, mass, beta, L, k=8, c=4):
+    """FREE harvesting: do CG's own iterate snapshots (zero extra matvecs)
+    give a coarse space competitive with dedicated smoothing? Measured at
+    the equilibrated field and along the trajectory (snapshots from a
+    step-s solve, used at step s — the production cadence)."""
+    N, Lt = ops.Nsites, ops.Ltau
+    path = leapfrog_path(ops, params, mass, beta, L, n_equil=10, capture=True)
+    rng = np.random.default_rng(7)
+    b = rng.standard_normal(N * Lt)
+    b2 = rng.standard_normal(N * Lt)
+
+    print(f"\n=== F: free harvest from CG iterates (k={k} bs={L} c={c}) ===",
+          flush=True)
+    for s in (0, 10, 20):
+        if s >= len(path):
+            continue
+        As, Ps = dense_AP(ops, params, path[s])
+        _, it_plain = pcg(As, Ps, b2)
+        # harvest from ONE ordinary solve at this field (rhs = b)
+        _, it_h, Wt = pcg_harvest(As, Ps, b, keep=k)
+        Wc = chop(Wt, N, Lt, L, L, c)
+        _, it_free = pcg_coarse(As, Ps, b2, Wc)
+        # dedicated smoothing baseline (2x10 extra iters/vector)
+        Wt_s = smooth_test_vectors(As, Ps, k)
+        _, it_smooth = pcg_coarse(As, Ps, b2, chop(Wt_s, N, Lt, L, L, c))
+        print(f"step {s:2d}: plain {it_plain:4d}  free-harvest {it_free:4d} "
+              f"(snapshots of a {it_h}-iter solve)  "
+              f"dedicated-smooth {it_smooth:4d}", flush=True)
+
+
 def main():
     beta = float(sys.argv[1]) if len(sys.argv) > 1 else 16.0
     L = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    if len(sys.argv) > 3 and sys.argv[3] == "E":
+        jax.config.update("jax_enable_x64", True)
+        ops, params, mass = build(L, beta)
+        stage_E(ops, params, mass, beta, L)
+        return
+    if len(sys.argv) > 3 and sys.argv[3] == "F":
+        jax.config.update("jax_enable_x64", True)
+        ops, params, mass = build(L, beta)
+        stage_F(ops, params, mass, beta, L)
+        return
 
     jax.config.update("jax_enable_x64", True)
     ops, params, mass = build(L, beta)

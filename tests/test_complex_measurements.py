@@ -296,10 +296,33 @@ def test_complex_intersite_correlations_match_exact_wick():
     # G_up tensor assertion in test_complex_pair_tensors_unbiased)
 
 
-def test_currentcurrent_complex_is_gated():
+@pytest.mark.slow
+def test_currentcurrent_complex_unbiased_exact_wick():
+    """CurrentCurrent under complex hopping (the last estimator family on
+    the twisted surface, VERDICT r4 item 2): the conj(t)-placed contraction
+    table's EXACT expectation (basis-pair enumeration) matches the
+    operator-level Wick contraction of the dense twisted propagator to
+    machine precision."""
+    from test_intersite_corr import currentcurrent_expectation_vs_wick
+
+    got, want = currentcurrent_expectation_vs_wick(2.4)
+    assert np.max(np.abs(got - want)) < 1e-10, np.max(np.abs(got - want))
+    # the twist must make this a real test: the exact tensor is not the
+    # untwisted one
+    got0, want0 = currentcurrent_expectation_vs_wick(0.0)
+    assert np.max(np.abs(want - want0)) > 1e-3
+
+
+def test_currentcurrent_complex_measurement_step_runs():
+    """The full measurement step measures CurrentCurrent under twist (the
+    NotImplementedError gate is gone) and produces finite values."""
     ops, spec, params, x = make_twisted_model()
     mspec = MeasurementSpec(nv=4, intersite_corr=(("CurrentCurrent", True),))
     step = make_measurement_step(ops, mspec,
                                  SolverConfig(tol=1e-6, maxiter=500))
-    with pytest.raises(NotImplementedError, match="CurrentCurrent"):
-        step(params, x, jax.random.PRNGKey(0))
+    acc = zero_container(ops, mspec)
+    inc, stats, snaps, key = step(params, x, jax.random.PRNGKey(0))
+    acc = jax.tree.map(lambda a, b: a + b, acc, {k: inc[k] for k in acc})
+    res = process_bin(ops, mspec, acc, bin_size=1)
+    cc = np.asarray(res["intersite_corr"]["CurrentCurrent"]["position"])
+    assert np.all(np.isfinite(cc))

@@ -6,6 +6,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from elphdynamics_tpu.lattice import Lattice, UnitCell
 from elphdynamics_tpu.measure import greens as GR
@@ -164,11 +165,15 @@ def ref_currentcurrent(ops, spec, params, R, Minv, bond_pairs, Lt):
                 r1 = cell(R[i], lat, Lt)
                 M2 = cell(Minv[j], lat, Lt)
                 r2 = cell(R[j], lat, Lt)
+                # corrected table (exact-Wick-derived; the reference CODE
+                # diverges in three places where its comments agree with
+                # Wick — term 4's sign (Measurements.jl:1929) and the
+                # contact shifts/orbital below; see intersite_corr.py)
                 terms = [
                     (+4, M1[b] * sh(r1[a], r1v), sh(M2[c], r2v) * r2[d], t1, t2),
                     (-4, M1[b] * sh(r1[a], r1v), M2[d] * sh(r2[c], r2v), t1, t2),
                     (-4, sh(M1[a], r1v) * r1[b], sh(M2[c], r2v) * r2[d], t1, t2),
-                    (-4, sh(M1[a], r1v) * r1[b], M2[d] * sh(r2[c], r2v), t1, t2),
+                    (+4, sh(M1[a], r1v) * r1[b], M2[d] * sh(r2[c], r2v), t1, t2),
                     (-2, M1[b] * sh(r2[a], r1v), sh(M2[c], r2v) * r1[d], t1, t2),
                     (+2, sh(r1[c], r2v) * M2[d], M1[b] * sh(r2[a], r1v), t2, t1),
                     (+2, sh(M1[a], r1v) * r2[b], r1[d] * sh(M2[c], r2v), t1, t2),
@@ -176,12 +181,13 @@ def ref_currentcurrent(ops, spec, params, R, Minv, bond_pairs, Lt):
                 ]
                 for coeff, G1, G2, w1, w2 in terms:
                     acc += coeff * ta_np(w1 * G1, w2 * G2)
-                # contact terms use vector-1 fields only (:2297-2361)
+                # contact terms use vector-1 fields only; the G1 factor is
+                # paired at cell (i + l) against the G2 factor at cell i
                 norm = lat.ncells * Lt
 
                 def contact(G1, G2, l):
-                    return np.sum(np.roll(t1 * G1, shift=l, axis=(0, 1, 2)) *
-                                  (t2 * G2)) / norm
+                    # sh(F, l)(i) = F(i+l)
+                    return np.sum(sh(t1 * G1, l) * (t2 * G2)) / norm
 
                 if a == c:
                     l = tuple(np.mod(np.array(r2v) - np.array(r1v),
@@ -192,7 +198,7 @@ def ref_currentcurrent(ops, spec, params, R, Minv, bond_pairs, Lt):
                     acc[l[0], l[1], l[2], 0] -= 2 * contact(M1[b], sh(r1[c], r2v), l)
                 if b == c:
                     l = tuple(np.mod(np.array(r2v), [lat.L1, lat.L2, lat.L3]))
-                    acc[l[0], l[1], l[2], 0] -= 2 * contact(sh(M1[b], r1v), r1[d], l)
+                    acc[l[0], l[1], l[2], 0] -= 2 * contact(sh(M1[a], r1v), r1[d], l)
                 if b == d:
                     acc[0, 0, 0, 0] += 2 * contact(sh(M1[a], r1v), sh(r1[c], r2v),
                                                    (0, 0, 0))
@@ -213,3 +219,125 @@ def test_currentcurrent_matches_reference_transcription():
                                                bond_pairs, True))
     want = ref_currentcurrent(ops, spec, params, R, Minv, bond_pairs, spec.Ltau)
     assert np.allclose(got, want, atol=1e-9), np.max(np.abs(got - want))
+
+
+# ---------------------------------------------------------------------------
+# CurrentCurrent unbiasedness: exact estimator expectation (basis-vector
+# enumeration) vs operator-level Wick contraction of the dense propagator.
+# This is the check that exposed the three reference-code bugs the
+# transcription above corrects (see measure_currentcurrent's docstring).
+# ---------------------------------------------------------------------------
+
+def currentcurrent_expectation_vs_wick(twist):
+    """Returns (E[estimator], exact Wick) position tensors [L1, Lt] for a
+    4-site single-orbital chain, one n.n. bond def, random phonon field.
+
+    E over the Gaussian probe pairs is computed EXACTLY: every term is
+    bilinear in each probe vector, so E = Σ_{k,l} term(e_k, e_l) over basis
+    pairs; the single-vector contact terms ride along once per pair (their
+    own E = Σ_k contact(e_k)), so one extra zero-partner pass separates
+    them out of the (NL−1)-fold overcount."""
+    import jax
+
+    from elphdynamics_tpu.models import holstein as H
+
+    from test_measurements import dense_Minv
+
+    L, Ltau = 4, 4
+    uc = UnitCell.create(1, 1, [[1.0]], [[0.0]])
+    lat = Lattice.create(uc, L)
+    kw = dict(twist=(twist,)) if twist else {}
+    spec, params = H.build_holstein(
+        lat, beta=Ltau * 0.1, dtau=0.1,
+        t_assignments=[(1.0, 0.0, 0, 0, (1, 0, 0))],
+        omega=1.0, lam=0.5, mu=-0.2, **kw)
+    ops = make_model_ops(spec)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(0.5 * rng.standard_normal((spec.Nph, spec.Ltau)))
+    Minv = np.asarray(dense_Minv(spec, params, x)).astype(complex)
+    if not twist:
+        Minv = np.real(Minv).astype(complex)
+    N, Lt = spec.Nsites, spec.Ltau
+    NL = N * Lt
+    cplx = bool(twist)
+
+    basis = np.eye(NL).reshape(NL, N, Lt)
+    MinvB = Minv.T.reshape(NL, N, Lt)         # M⁻¹e_k = column k
+    Rj = jnp.asarray(basis.astype(complex) if cplx else basis)
+    Mj = jnp.asarray(MinvB if cplx else np.real(MinvB))
+    iu = np.repeat(np.arange(NL), NL)
+    ju = np.tile(np.arange(NL), NL)
+    bond_pairs = [(0, 0)]
+
+    # all NL² ordered pairs in one batch
+    Rcat = jnp.concatenate([Rj[iu], Rj[ju]], axis=0)
+    Mcat = jnp.concatenate([Mj[iu], Mj[ju]], axis=0)
+    n = NL * NL
+    bf = IC.BondFields(lat, Rcat, Mcat, (jnp.arange(n), jnp.arange(n) + n))
+    acc = np.asarray(IC.measure_currentcurrent(ops, params, x, None, bf,
+                                               bond_pairs, True))[0]
+    # contact-only pass: zero j-vectors kill every convolution term
+    Zcat = jnp.concatenate([Rj, jnp.zeros_like(Rj)], axis=0)
+    ZM = jnp.concatenate([Mj, jnp.zeros_like(Mj)], axis=0)
+    bfz = IC.BondFields(lat, Zcat, ZM,
+                        (jnp.arange(NL), jnp.arange(NL) + NL))
+    cacc = np.asarray(IC.measure_currentcurrent(ops, params, x, None, bfz,
+                                                bond_pairs, True))[0]
+    acc = acc - (NL - 1) * cacc
+    got = np.real(acc)[:, 0, 0, :Lt]
+
+    # --- operator-level Wick
+    Minv4 = Minv.reshape(N, Lt, N, Lt)
+    tarr = np.asarray(params.t).astype(complex)
+    _, _, rv = spec.bond_defs[0]
+    t_cell = tarr[:lat.ncells]                # base-cell-linear order
+
+    def site(i, dr):
+        return lat.site_to_site(int(i), tuple(int(v) for v in dr), 0)
+
+    sgn = np.concatenate([np.ones(Lt), -np.ones(Lt)])
+    idx = np.concatenate([np.arange(Lt)] * 2)
+    ext = (sgn[None, :, None, None] * sgn[None, None, None, :]
+           * Minv4[:, idx][:, :, :, idx])
+    Vn = Lt * lat.ncells
+    want = np.zeros((lat.L1, Lt))
+    for i in range(N):
+        d_s, c_s, t2v = i, site(i, rv), t_cell[i]
+        for dl in range(lat.L1):
+            j = site(i, (dl, 0, 0))
+            b_s, a_s, t1v = j, site(j, rv), t_cell[j]
+            for t in range(Lt):
+                for t0 in range(Lt):
+                    ta = (t0 + t) % (2 * Lt)
+                    A1 = (a_s == b_s) - ext[b_s, ta, a_s, ta]
+                    Ab1 = (a_s == b_s) - ext[a_s, ta, b_s, ta]
+                    j1 = 1j * (t1v * A1 - np.conj(t1v) * Ab1)
+                    B2 = (c_s == d_s) - ext[d_s, t0, c_s, t0]
+                    Bb2 = (c_s == d_s) - ext[c_s, t0, d_s, t0]
+                    j2 = 1j * (t2v * B2 - np.conj(t2v) * Bb2)
+                    # spin sum: TRS (complex t) has t↓ = t*, G↓ = conj G↑
+                    # but J's explicit i does NOT conjugate, so
+                    # v↓ = −conj(v↑) and each factor sums to 2i·Im(v↑);
+                    # real t: v↓ = v↑ (the per-config factor is imaginary,
+                    # the product lands real)
+                    J1 = 2j * np.imag(j1) if cplx else 2 * j1
+                    J2 = 2j * np.imag(j2) if cplx else 2 * j2
+
+                    def X(w, xx, y, z):
+                        dwz = 1.0 if (w == z and ta == t0) else 0.0
+                        return (dwz - ext[z, t0, w, ta]) * ext[xx, ta, y, t0]
+
+                    ex_up = -(t1v * t2v * X(a_s, b_s, c_s, d_s)
+                              - t1v * np.conj(t2v) * X(a_s, b_s, d_s, c_s)
+                              - np.conj(t1v) * t2v * X(b_s, a_s, c_s, d_s)
+                              + np.conj(t1v) * np.conj(t2v)
+                              * X(b_s, a_s, d_s, c_s))
+                    ex = 2 * np.real(ex_up) if cplx else 2 * ex_up
+                    want[dl, t] += np.real(J1 * J2 + ex) / Vn
+    return got, want
+
+
+@pytest.mark.slow
+def test_currentcurrent_unbiased_exact_wick_real():
+    got, want = currentcurrent_expectation_vs_wick(0.0)
+    assert np.max(np.abs(got - want)) < 1e-10, np.max(np.abs(got - want))
