@@ -262,7 +262,8 @@ def make_hmc_step(
                 raise ValueError(
                     "cfg.deflate_k > 0 requires HMCState.defl "
                     "(initialize with dynamics.hmc.init_deflation)")
-            if jnp.iscomplexobj(params.cosht):
+            from elphdynamics_tpu.utils.dtypes import params_are_complex
+            if params_are_complex(params):
                 # mirror the driver gate (simulation.py): the deflation
                 # Gram/projection einsums are real-only; run unconjugated
                 # on complex CG vectors they would silently corrupt the

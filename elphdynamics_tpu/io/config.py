@@ -164,8 +164,12 @@ def _build_model(cfg: dict, rng: np.random.Generator, dtype):
         std = d.get("stddev", 0.0)
         for orbit in d["orbit"]:
             mu_assign.append((d["val"], std, orbit - 1))
+    # [ssh] twist = [θ1, θ2(, θ3)] — twisted boundary conditions, exactly as
+    # [holstein] twist: uniform Peierls phases multiply the whole
+    # phonon-modulated bond amplitude (models/ssh.py)
     spec, params = build_ssh(lattice, s["beta"], s["dtau"],
                              hoppings=hoppings, mu_assignments=mu_assign,
+                             twist=s.get("twist", None),
                              rng=rng, dtype=dtype)
     return "ssh", spec, params
 

@@ -214,18 +214,27 @@ def write_K_matrix(ops: ModelOps, params, x, filename: str, tau: int = 0):
     import numpy as np
 
     spec = ops.spec
+    cplx = getattr(params, "t_phase", None) is not None
     with open(filename, "w") as f:
-        f.write("col row val\n")
+        f.write("col row real imag\n" if cplx else "col row val\n")
         mu = np.asarray(params.mu)
         for i in range(spec.Nsites):
-            f.write(f"{i + 1} {i + 1} {-mu[i]}\n")
+            f.write(f"{i + 1} {i + 1} {-mu[i]} 0.0\n" if cplx
+                    else f"{i + 1} {i + 1} {-mu[i]}\n")
         tp = np.asarray(Sm.hopping_t_prime(spec, params, x))
+        if cplx:
+            tp = np.asarray(params.t_phase)[:, None] * tp    # twisted SSH
         for b in range(spec.Nbonds):
             n = spec.bond_to_ckb[b]
             s1, s2 = spec.ckb.neighbor_table[:, n]
             val = -tp[b, tau]
-            f.write(f"{s1 + 1} {s2 + 1} {val}\n")
-            f.write(f"{s2 + 1} {s1 + 1} {val}\n")
+            if np.iscomplexobj(tp):
+                # K is Hermitian: conj on the reversed entry
+                f.write(f"{s1 + 1} {s2 + 1} {val.real} {val.imag}\n")
+                f.write(f"{s2 + 1} {s1 + 1} {val.real} {-val.imag}\n")
+            else:
+                f.write(f"{s1 + 1} {s2 + 1} {val}\n")
+                f.write(f"{s2 + 1} {s1 + 1} {val}\n")
 
 
 def write_M_matrix(ops: ModelOps, params, x, filename: str, threshold=1e-10,

@@ -156,6 +156,8 @@ def measure_currentcurrent(ops, params, x, pt, bf: BondFields, bond_pairs,
     else:
         from elphdynamics_tpu.models import ssh as Sm
         tvals = Sm.hopping_t_prime(spec, params, x)          # [Nbonds, Lt]
+        if getattr(params, "t_phase", None) is not None:
+            tvals = params.t_phase[:, None] * tvals          # twisted SSH
         tail = (Lt,)
     norb = lat.unit_cell.norbits
     grids = []

@@ -288,7 +288,16 @@ def make_measurement_step(ops: ModelOps, mspec: MeasurementSpec,
                 Vb = jnp.asarray(np.maximum(def_counts, 1) * Lt,
                                  dtype=x.dtype)               # [ndefs]
                 tp = Sm.hopping_t_prime(spec, params, x)      # [Nbonds, Lt]
-                ke_b = -tp * h
+                if cplx:
+                    # twisted SSH: the full amplitude is t_phase·t′ per
+                    # (bond, τ); same Hermitian-pair Re structure as the
+                    # Holstein complex branch above
+                    tf = params.t_phase[:, None] * tp
+                    ke_pair = jnp.real(tf * est_12c
+                                       + jnp.conj(tf) * est_21c)
+                    ke_b = (nv - 1) * jnp.sum(ke_pair, axis=0)
+                else:
+                    ke_b = -tp * h
                 out["intersite"]["el_ke"] = (
                     jnp.zeros(ndefs).at[bdef].add(jnp.sum(ke_b, axis=-1)) / Vb)
                 # phonon-carrying bonds (:1127-1148)

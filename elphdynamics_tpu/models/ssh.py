@@ -41,11 +41,19 @@ class SSHParams(NamedTuple):
     """Dynamic model parameters (pytree)."""
 
     mu: jnp.ndarray      # [N] chemical potential
-    t: jnp.ndarray       # [Nbonds] bare hopping (original bond order)
+    t: jnp.ndarray       # [Nbonds] bare hopping MAGNITUDE (original bond
+                         # order; signed real — the phonon modulates this)
     omega: jnp.ndarray   # [Nph] phonon frequency
     omega4: jnp.ndarray  # [Nph] anharmonic coefficient
     alpha: jnp.ndarray   # [Nph] linear el-ph coupling
     alpha2: jnp.ndarray  # [Nph] quadratic el-ph coupling
+    # complex Peierls phases per bond (twisted BCs; None = real hopping).
+    # The physical hopping is t_phase·t′(x): the gauge field multiplies the
+    # whole modulated amplitude (Peierls substitution), the lattice
+    # distortion modulates its magnitude. A complex leaf here routes the
+    # whole dynamics stack onto the TRS |det M(θ)|² ensemble
+    # (utils.dtypes.params_are_complex), exactly as Holstein's complex t.
+    t_phase: jnp.ndarray | None = None
 
 
 @dataclass(frozen=True)
@@ -101,16 +109,32 @@ def build_ssh(
                   #                    alpha, alpha_std, alpha2, alpha2_std,
                   #                    o1, o2, dL, name
     mu_assignments=(),  # iterable of (mu, std, orbit or None-for-all)
+    twist=None,         # (θ1, θ2[, θ3]) twisted-BC flux angles, radians
     rng: np.random.Generator | None = None,
     dtype=None,
 ) -> tuple[SSHSpec, SSHParams]:
-    """Construct the SSH model (mirrors ``initialize_model!``, SSHModels.jl:348-505)."""
+    """Construct the SSH model (mirrors ``initialize_model!``, SSHModels.jl:348-505).
+
+    ``twist`` threads uniform Peierls phases exp(i·Σ θ_d·dL_d/L_d) through
+    the bonds (the SSH side of Models.jl:20's complex type surface, beyond
+    the reference's real-only stock examples): the phases multiply the
+    whole phonon-modulated amplitude t_phase·(t − αx − sign(x)α₂x²), the
+    checkerboard runs the Hermitian conj(s) convention, mulMT becomes the
+    adjoint M†, and the samplers run the sign-problem-free TRS ensemble
+    |det M(θ)|² with spin-↓ on conjugate phases."""
     rng = rng or np.random.default_rng(0)
     N = lattice.nsites
     if dtype is None:
         from elphdynamics_tpu.utils.dtypes import default_real_dtype
         dtype = default_real_dtype()
     Ltau = int(round(beta / dtau))
+
+    if twist is not None and np.any(np.asarray(twist)):
+        tw3 = np.zeros(3)
+        tw3[: len(tuple(twist))] = twist
+        Ls = np.array([lattice.L1, lattice.L2, lattice.L3], dtype=float)
+    else:
+        twist = None
 
     mu_v = np.zeros(N)
     for (mu0, std, orbit) in mu_assignments:
@@ -119,6 +143,7 @@ def build_ssh(
                 mu_v[i] = mu0 + (std * rng.standard_normal() if std else 0.0)
 
     tables, tvals, bond_defs = [], [], []
+    phases = []
     om, om4, al, al2 = [], [], [], []
     phonon_to_bond, bond_to_phonon = [], []
     names = []
@@ -132,6 +157,11 @@ def build_ssh(
         tv = phase * (abs(tval) + (tstd * rng.standard_normal(nnew) if tstd else np.zeros(nnew)))
         tables.append(tb)
         tvals.append(tv)
+        if twist is not None:
+            dL3 = np.zeros(3)
+            dL3[: len(h["dL"])] = h["dL"]
+            phases.append(np.full(
+                nnew, np.exp(1j * float(np.sum(tw3 * dL3 / Ls)))))
         bond_defs.extend([idef] * nnew)
         has_phonon = (h.get("omega", 0.0) != 0.0) or (h.get("omega_std", 0.0) != 0.0)
         name = h.get("name") or f"__anon{idef}"
@@ -221,6 +251,8 @@ def build_ssh(
             for h in hoppings
         ),
     )
+    cdtype = (jnp.complex64 if jnp.dtype(dtype) == jnp.float32
+              else jnp.complex128)
     params = SSHParams(
         mu=jnp.asarray(mu_v, dtype),
         t=jnp.asarray(t, dtype),
@@ -228,6 +260,9 @@ def build_ssh(
         omega4=jnp.asarray(np.concatenate(om4) if om4 else np.zeros(0), dtype),
         alpha=jnp.asarray(np.concatenate(al) if al else np.zeros(0), dtype),
         alpha2=jnp.asarray(np.concatenate(al2) if al2 else np.zeros(0), dtype),
+        t_phase=(jnp.asarray(np.concatenate(phases)
+                             if phases else np.zeros(0), cdtype)
+                 if twist is not None else None),
     )
     return spec, params
 
@@ -284,11 +319,26 @@ def dense_K(spec: SSHSpec, cosh_b, sinh_b):
 
 def ckb_coeffs(spec: SSHSpec, p: SSHParams, x):
     """Derived state: (cosh, sinh) of Δτ·t' in checkerboard order, shape
-    [Nbonds, Lτ], plus the dense per-τ matrices in dense mode."""
+    [Nbonds, Lτ], plus the dense per-τ matrices in dense mode.
+
+    Complex hopping (``p.t_phase``): the physical amplitude is
+    t_phase·t′(x) with t′ real, so the bond exponential's Hermitian form is
+    c = cosh(Δτ·t′) (real) and s = t_phase·sinh(Δτ·t′) with conj(s) on the
+    second endpoint — exactly Holstein's convention (Checkerboard.jl:78),
+    handled downstream by ckb_mul/ckb_transpose_mul (the transpose fold is
+    then the adjoint)."""
     tp = hopping_t_prime(spec, p, x)
     tp_ckb = jnp.take(tp, jnp.asarray(spec.ckb_to_bond), axis=-2)
     arg = spec.dtau * tp_ckb
     cosh_b, sinh_b = jnp.cosh(arg), jnp.sinh(arg)
+    if p.t_phase is not None:
+        ph_ckb = jnp.take(p.t_phase, jnp.asarray(spec.ckb_to_bond), axis=-1)
+        sinh_b = ph_ckb[:, None] * sinh_b
+        cosh_b = cosh_b.astype(sinh_b.dtype)
+        if spec.dense_ckb:
+            raise NotImplementedError(
+                "dense_ckb with complex SSH hopping (the dense fold lacks "
+                "the adjoint convention; dense mode is measured-off anyway)")
     Kd = dense_K(spec, cosh_b, sinh_b) if spec.dense_ckb else None
     return SSHDerived(cosh=cosh_b, sinh=sinh_b, Kd=Kd)
 
@@ -366,7 +416,10 @@ def muldMdx(spec: SSHSpec, p: SSHParams, coeffs, x, u, v):
     quadratic-coupling derivative uses the reference's own expression
     ``α + 2α₂x`` (SSHModels.jl:809) verbatim.
     """
+    from elphdynamics_tpu.ops.checkerboard import _group_coeffs
+
     cosh_b, sinh_b = coeffs
+    cplx = jnp.iscomplexobj(sinh_b)
     x = jnp.asarray(x)
     u = jnp.asarray(u)
     v = jnp.asarray(v)
@@ -378,12 +431,12 @@ def muldMdx(spec: SSHSpec, p: SSHParams, coeffs, x, u, v):
     sgn = -_tau_sign_first(spec.Ltau, x.dtype)
     ckb = spec.ckb
     for g in range(ckb.ngroups):
-        # apply group g to b, inverse of group g to c
+        # apply group g to b, inverse of group g to c. The bond blocks are
+        # HERMITIAN on the complex path ([c, s; s̄, c]) so the u-side chain
+        # needs the same coefficients with the endpoint-conj placement —
+        # _group_coeffs handles both paths (flip s's sign for the inverse)
         in_g = np.nonzero(ckb.groups == g)[0]
-        cg = jnp.where(jnp.asarray(ckb.mask[g])[:, None], cosh_b[ckb.bond_of_site[g]],
-                       jnp.ones((), dtype=cosh_b.dtype))
-        sg = jnp.where(jnp.asarray(ckb.mask[g])[:, None], sinh_b[ckb.bond_of_site[g]],
-                       jnp.zeros((), dtype=sinh_b.dtype))
+        cg, sg = _group_coeffs(ckb, g, cosh_b, sinh_b)
         prt = jnp.asarray(ckb.partner[g])
         b = cg * b + sg * jnp.take(b, prt, axis=-2)
         c = cg * c - sg * jnp.take(c, prt, axis=-2)
@@ -402,7 +455,17 @@ def muldMdx(spec: SSHSpec, p: SSHParams, coeffs, x, u, v):
         bj = jnp.take(b, jnp.asarray(j_s), axis=-2)
         ci = jnp.take(c, jnp.asarray(i_s), axis=-2)
         cj = jnp.take(c, jnp.asarray(j_s), axis=-2)
-        dmdx = sgn * spec.dtau * dKdx * (cj * bi + ci * bj)
+        if cplx:
+            # u†·Γ_ph·v per bond with Γ_ph = [0, ph; p̄h, 0] (the phase sits
+            # on the i←j entry, the conj on j←i — the checkerboard's conj(s)
+            # convention): the force on the REAL bond field is the Re part
+            # (pseudofermion pairs pack as Re/Im, utils.dtypes)
+            phb = jnp.take(p.t_phase, jnp.asarray(bonds_orig[sel]),
+                           axis=-1)[:, None]
+            dmdx = sgn * spec.dtau * dKdx * jnp.real(
+                phb * jnp.conj(ci) * bj + jnp.conj(phb) * jnp.conj(cj) * bi)
+        else:
+            dmdx = sgn * spec.dtau * dKdx * (cj * bi + ci * bj)
         out = out.at[..., jnp.asarray(ph_s), :].add(dmdx)
 
     # primary-field accumulation + broadcast (SSHModels.jl:820-827)

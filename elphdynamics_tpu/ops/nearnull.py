@@ -49,14 +49,19 @@ class NearNullConfig:
     c: int = 4              # τ slices per chunk (aggregate)
     setup_iters: int = 10   # smoothing CG iterations per pass at setup
     setup_passes: int = 2
-    refresh_iters: int = 5  # re-smoothing iterations per refresh (0 = only
-                            # re-assemble G at the current field)
+    refresh_iters: int = 5  # re-smoothing iterations per refresh
+    # per-solve refresh mode: "smooth" re-smooths T at the current field and
+    # re-assembles G (the dense study's full-recovery lever); "assemble"
+    # keeps T stale but rebuilds G at the current operator; "freeze" keeps
+    # the whole setup-time state (stage-E frozen-WG decay)
+    refresh_mode: str = "smooth"
     reg: float = 1e-6       # relative jitter on chunk Grams and G
     seed: int = 777
 
     def __hash__(self):
         return hash((self.k, self.c, self.setup_iters, self.setup_passes,
-                     self.refresh_iters, self.reg, self.seed))
+                     self.refresh_iters, self.refresh_mode, self.reg,
+                     self.seed))
 
 
 class NearNullState(NamedTuple):
@@ -186,9 +191,11 @@ def make_nearnull_precond(ops, kcfg: kpm.KPMConfig, ncfg: NearNullConfig,
 
     def refresh(st, params, x):
         kst = kpm.refresh(ops, st[0], params, x)
+        if ncfg.refresh_mode == "freeze":
+            return (kst, st[1])
         derived = ops.derived(params, x)
         T = st[1].T
-        if ncfg.refresh_iters > 0:
+        if ncfg.refresh_mode == "smooth" and ncfg.refresh_iters > 0:
             T = _smooth(ops, params, derived, kst, kcfg, T, ncfg.refresh_iters)
         return (kst, _build(ops, params, derived, T, ncfg))
 

@@ -20,7 +20,7 @@ cd "$(dirname "$0")/.."
 
 declare -a CHUNKS=(
   # 1: solvers / kpm / samplers statistics (~10 min)
-  "tests/test_solvers.py tests/test_kpm.py tests/test_samplers.py tests/test_hmc_solver_kinds.py tests/test_deflation.py"
+  "tests/test_solvers.py tests/test_kpm.py tests/test_samplers.py tests/test_hmc_solver_kinds.py tests/test_deflation.py tests/test_nearnull.py"
   # 2: measurement + physics statistics (~12 min)
   "tests/test_measurements.py tests/test_intersite_corr.py tests/test_physics_integration.py tests/test_free_fermion_anchor.py"
   # 3: lattice sharding unit + parity (~15 min)
