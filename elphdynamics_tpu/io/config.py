@@ -80,6 +80,9 @@ class SimulationSetup:
     # [tempering] parallel-tempering ladder (beyond reference scope,
     # dynamics/tempering.py); None = off
     tempering_cfg: Any = None
+    # [solver.nearnull] two-level near-null preconditioner (ops/nearnull.py,
+    # beyond reference scope); None = KPM only
+    nearnull_cfg: Any = None
 
 
 def load_toml(path: str) -> dict:
@@ -294,6 +297,24 @@ def build_setup(cfg: dict, datafolder: str, dtype=None) -> SimulationSetup:
     deflate_power = int(dfl.get("power_iters", 4))
     deflate_cutoff = float(dfl.get("cutoff", 1 / 16))
 
+    # [solver.nearnull]: adaptive two-level near-null preconditioner
+    # (ops/nearnull.py, beyond reference scope — the deep-β conditioning
+    # lever; BASELINE.md §deep-β route 7 for the measured A/B)
+    nearnull_cfg = None
+    if "nearnull" in sol:
+        from elphdynamics_tpu.ops.nearnull import NearNullConfig
+        nn = sol["nearnull"]
+        nearnull_cfg = NearNullConfig(
+            k=int(nn.get("k", 16)), c=int(nn.get("c", 4)),
+            setup_iters=int(nn.get("setup_iters", 10)),
+            setup_passes=int(nn.get("setup_passes", 2)),
+            refresh_iters=int(nn.get("refresh_iters", 3)),
+            refresh_mode=str(nn.get("refresh_mode", "smooth")),
+            reg=float(nn.get("reg", 1e-6)))
+        if solver_cfg.kind != "cg":
+            raise ValueError("[solver.nearnull] requires the CG solver "
+                             "(it provides the symmetric preconditioner)")
+
     # Fourier acceleration tables
     fa_blocks = cfg.get("fourier_acceleration", [])
     omega = np.asarray(params.omega) if spec.Nph > 0 else np.zeros(0)
@@ -383,6 +404,7 @@ def build_setup(cfg: dict, datafolder: str, dtype=None) -> SimulationSetup:
         dynamics_type=dynamics_type, hmc_cfg=hmc_cfg, hmc_burnin_cfg=hmc_burnin_cfg,
         langevin_dt=langevin_dt, langevin_method=langevin_method,
         fa_Q=fa_Q, fa_mass=fa_mass, solver_cfg=solver_cfg, kpm_cfg=kpm_cfg,
+        nearnull_cfg=nearnull_cfg,
         mspec=mspec, reflect_cfg=reflect_cfg, swap_cfg=swap_cfg,
         tune_density=tune, snapshots=snapshots, read_phonon_config=read_phonons,
         config=cfg, tempering_cfg=tempering_cfg,

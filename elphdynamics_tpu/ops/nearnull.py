@@ -17,9 +17,10 @@ applies: G = (MW)ᵀ(MW), and M spreads one τ slice, so chunks of c ≥ 2
 slices at the same chunk-parity have disjoint images — two ``mulM`` calls
 on parity-masked column sums recover every M·W column. G is
 block-tridiagonal over chunks with the antiperiodic corner, assembled
-dense, jittered, Cholesky-factored, and explicitly inverted once per
-(re)build so the per-CG-iteration coarse solve is a single MXU matmul
-(no sequential triangular scan in the hot loop).
+dense and explicitly inverted by a Jacobi-scaled Newton–Schulz sweep
+(pure MXU matmuls — TPU's cholesky/triangular-solve kernels are
+row-sequential) once per (re)build, so the per-CG-iteration coarse solve
+is a single MXU matmul.
 
 Reference bar being surpassed: KPMPreconditioners.jl:426-481 is the
 reference's only answer to deep-β conditioning and fails in this regime
@@ -40,16 +41,24 @@ import numpy as np
 
 from elphdynamics_tpu.ops import kpm
 
+# every Gram/inverse/projection contraction runs at HIGHEST: the default
+# bf16 dot_general precision corrupts near-null Gram matrices exactly as it
+# corrupted the block-CG shared Grams (BASELINE.md §block CG, the bf16-Gram
+# defect) — measured on-chip as flags/NaN dH in the first A/B
+_PREC = jax.lax.Precision.HIGHEST
+
 
 @dataclass(frozen=True)
 class NearNullConfig:
     """Two-level knobs ([solver.nearnull] in the TOML)."""
 
-    k: int = 8              # test vectors
+    k: int = 16             # test vectors (capacity scales with k: at 8×8
+                            # β=16 f64, k=8/16/32 cut a 219-iter solve to
+                            # 149/92/42 — /tmp-study + BASELINE.md route 7)
     c: int = 4              # τ slices per chunk (aggregate)
     setup_iters: int = 10   # smoothing CG iterations per pass at setup
     setup_passes: int = 2
-    refresh_iters: int = 5  # re-smoothing iterations per refresh
+    refresh_iters: int = 3  # re-smoothing iterations per refresh
     # per-solve refresh mode: "smooth" re-smooths T at the current field and
     # re-assembles G (the dense study's full-recovery lever); "assemble"
     # keeps T stale but rebuilds G at the current operator; "freeze" keeps
@@ -98,8 +107,11 @@ def _smooth(ops, params, derived, kst, kcfg, T, iters):
     return W / jnp.maximum(nrm, 1e-30)
 
 
-def _build(ops, params, derived, T, cfg: NearNullConfig) -> NearNullState:
-    """Per-chunk orthonormalization + exact colored Galerkin assembly."""
+def _build(ops, params, derived, T, cfg: NearNullConfig,
+           X_prev=None) -> NearNullState:
+    """Per-chunk orthonormalization + exact colored Galerkin assembly.
+    ``X_prev`` warm-starts the Newton–Schulz inverse from the previous
+    refresh's Ginv (the field drifts little between solves)."""
     N, Lt = ops.Nsites, ops.Ltau
     k = cfg.k
     c, nt = _chunk_counts(Lt, cfg)
@@ -107,7 +119,7 @@ def _build(ops, params, derived, T, cfg: NearNullConfig) -> NearNullState:
 
     # --- per-chunk whitening
     Tc = T.reshape(k, N, nt, c)
-    S = jnp.einsum("knts,lnts->tkl", Tc, Tc)
+    S = jnp.einsum("knts,lnts->tkl", Tc, Tc, precision=_PREC)
     scale = jnp.mean(jnp.trace(S, axis1=-2, axis2=-1)) / k
     S = S + (cfg.reg * scale) * jnp.eye(k, dtype=dtype)
     Ls = jnp.linalg.cholesky(S)
@@ -117,7 +129,7 @@ def _build(ops, params, derived, T, cfg: NearNullConfig) -> NearNullState:
 
     # --- colored M·W columns (chunk-parity coloring; M spreads one slice)
     Ct = jnp.repeat(C, c, axis=0)                       # [Lt, k, k]
-    W_all = jnp.einsum("mnL,Lmi->inL", T, Ct)           # [k(col i), N, Lt]
+    W_all = jnp.einsum("mnL,Lmi->inL", T, Ct, precision=_PREC)           # [k(col i), N, Lt]
     parity = (jnp.arange(Lt) // c) % 2
     V = jnp.stack([W_all * (parity == 0), W_all * (parity == 1)])  # [2,k,N,Lt]
     Y = ops.mulM(params, derived, V)                    # [2, k, N, Lt]
@@ -131,9 +143,10 @@ def _build(ops, params, derived, T, cfg: NearNullConfig) -> NearNullState:
     P = jnp.take_along_axis(Yq, idx, axis=-1)           # [nt, k, N, c+1]
 
     # --- block-tridiagonal bands of G = (MW)ᵀ(MW)
-    Gd = jnp.einsum("Jins,Jjns->Jij", P, P)             # diag blocks
+    Gd = jnp.einsum("Jins,Jjns->Jij", P, P, precision=_PREC)             # diag blocks
     Pn = jnp.roll(P, -1, axis=0)
-    Go = jnp.einsum("Jin,Jjn->Jij", P[..., -1], Pn[..., 0])  # J → J+1
+    Go = jnp.einsum("Jin,Jjn->Jij", P[..., -1], Pn[..., 0],
+                    precision=_PREC)  # J → J+1
 
     JJ = jnp.arange(nt)
     Z = jnp.zeros((nt, nt, k, k), dtype=dtype)
@@ -142,12 +155,44 @@ def _build(ops, params, derived, T, cfg: NearNullConfig) -> NearNullState:
     Z = Z.at[(JJ + 1) % nt, JJ].add(jnp.swapaxes(Go, -1, -2))
     D = nt * k
     G = jnp.transpose(Z, (0, 2, 1, 3)).reshape(D, D)
-    gscale = jnp.mean(jnp.diagonal(G))
-    G = G + (cfg.reg * gscale) * jnp.eye(D, dtype=dtype)
-    Lg = jnp.linalg.cholesky(G)
-    Ginv = jax.scipy.linalg.cho_solve((Lg, True), jnp.eye(D, dtype=dtype))
-    Ginv = 0.5 * (Ginv + Ginv.T)
+    Ginv = _spd_inverse(G, cfg, X_prev=X_prev)
     return NearNullState(T=T, C=C, Ginv=Ginv)
+
+
+def _spd_inverse(G, cfg: NearNullConfig, X_prev=None):
+    """Jacobi-scaled Newton–Schulz SPD inverse — pure matmuls (TPU's
+    cholesky/triangular-solve kernels are row-sequential and dominate the
+    refresh wall). Cold start: 20 sweeps (converges modes down to
+    λ̃ ~ 1e-5 of the scaled spectrum). Warm start from the previous
+    refresh's inverse: 6 sweeps with a contraction safeguard — NS diverges
+    iff ||I − X₀G̃|| ≥ 1, so one extra matmul checks the row-sum bound and
+    falls back to the cold initializer on the (rare) oversized field move.
+    The jitter bounds the scaled condition number so f32 stays safe even
+    when a stale basis leaves near-dead directions in G."""
+    D = G.shape[-1]
+    dtype = G.dtype
+    eye = jnp.eye(D, dtype=dtype)
+    d = jnp.clip(jnp.diagonal(G, axis1=-2, axis2=-1), 1e-30, None)
+    s = jax.lax.rsqrt(d)
+    Gs = G * s[..., :, None] * s[..., None, :] + cfg.reg * eye
+    # ||G̃||₂ ≤ max row sum; X₀ = I/bound guarantees NS convergence
+    bound = jnp.max(jnp.sum(jnp.abs(Gs), axis=-1), axis=-1)
+    X_cold = eye / bound[..., None, None]
+    if X_prev is None:
+        X = X_cold
+        iters = 20
+    else:
+        # map the previous UNSCALED inverse into the new scaling
+        X0 = X_prev / (s[..., :, None] * s[..., None, :])
+        R = eye - jnp.matmul(X0, Gs, precision=_PREC)
+        rho = jnp.max(jnp.sum(jnp.abs(R), axis=-1), axis=-1)
+        X = jnp.where((rho < 0.9)[..., None, None], X0, X_cold)
+        iters = 6
+    for _ in range(iters):
+        GX = jnp.matmul(Gs, X, precision=_PREC)
+        X = jnp.matmul(X, 2.0 * eye - GX, precision=_PREC)
+        X = 0.5 * (X + jnp.swapaxes(X, -1, -2))
+    return X * s[..., :, None] * s[..., None, :]
 
 
 def apply_correction(ops, nn: NearNullState, r, cfg: NearNullConfig):
@@ -157,13 +202,13 @@ def apply_correction(ops, nn: NearNullState, r, cfg: NearNullConfig):
     c, nt = _chunk_counts(Lt, cfg)
     rc = r.reshape(r.shape[:-2] + (N, nt, c))
     Tc = nn.T.reshape(k, N, nt, c)
-    raw = jnp.einsum("mnts,...nts->...tm", Tc, rc)          # Tᵀ|chunk · r
-    u = jnp.einsum("tmi,...tm->...ti", nn.C, raw)           # whiten
+    raw = jnp.einsum("mnts,...nts->...tm", Tc, rc, precision=_PREC)          # Tᵀ|chunk · r
+    u = jnp.einsum("tmi,...tm->...ti", nn.C, raw, precision=_PREC)           # whiten
     y = jnp.einsum("DE,...E->...D", nn.Ginv,
-                   u.reshape(u.shape[:-2] + (nt * k,)))
+                   u.reshape(u.shape[:-2] + (nt * k,)), precision=_PREC)
     yt = y.reshape(y.shape[:-1] + (nt, k))
-    w = jnp.einsum("tmi,...ti->...tm", nn.C, yt)            # un-whiten
-    out = jnp.einsum("mnts,...tm->...nts", Tc, w)
+    w = jnp.einsum("tmi,...ti->...tm", nn.C, yt, precision=_PREC)            # un-whiten
+    out = jnp.einsum("mnts,...tm->...nts", Tc, w, precision=_PREC)
     return out.reshape(r.shape)
 
 
@@ -197,7 +242,8 @@ def make_nearnull_precond(ops, kcfg: kpm.KPMConfig, ncfg: NearNullConfig,
         T = st[1].T
         if ncfg.refresh_mode == "smooth" and ncfg.refresh_iters > 0:
             T = _smooth(ops, params, derived, kst, kcfg, T, ncfg.refresh_iters)
-        return (kst, _build(ops, params, derived, T, ncfg))
+        return (kst, _build(ops, params, derived, T, ncfg,
+                            X_prev=st[1].Ginv))
 
     def symmetric(st, v):
         return (kpm.apply_symmetric(ops, st[0], v, kcfg)

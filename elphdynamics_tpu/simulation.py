@@ -275,6 +275,21 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
         # (ops/kpm.py:_apply_complex); stacked/exact_lowfreq degrade to the
         # plain complex recurrence there
         precond = kpm.make_precond(ops, setup.kpm_cfg)
+    if setup.nearnull_cfg is not None:
+        if setup.kpm_cfg is None:
+            raise ValueError("[solver.nearnull] needs [solver.preconditioner]"
+                             " (the KPM smoother it augments)")
+        if model_cplx:
+            raise NotImplementedError(
+                "[solver.nearnull] with complex hopping: the near-null "
+                "chop/Galerkin einsums are real-only (ops/nearnull.py)")
+        if site_devices > 1:
+            raise NotImplementedError(
+                "[solver.nearnull] with --site-devices: the sharded step "
+                "closures build their own preconditioner applies; the "
+                "two-level state is not yet threaded through them")
+        from elphdynamics_tpu.ops.nearnull import make_nearnull_precond
+        precond = make_nearnull_precond(ops, setup.kpm_cfg, setup.nearnull_cfg)
 
     # ---- step functions
     combined = site_devices > 1 and n_chains > 1

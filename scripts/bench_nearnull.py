@@ -58,13 +58,13 @@ def main():
 
     ARMS = {
         "kpm": None,
-        "nn": NearNullConfig(),
+        "nn": NearNullConfig(),                      # k=16, refresh 3
         "nn-assemble": NearNullConfig(refresh_mode="assemble"),
         "nn-freeze": NearNullConfig(refresh_mode="freeze"),
-        "nn-r2": NearNullConfig(refresh_iters=2),
-        "nn-k16": NearNullConfig(k=16),
-        "nn-k4": NearNullConfig(k=4),
-        "nn-c8": NearNullConfig(c=8),
+        "nn-r5": NearNullConfig(refresh_iters=5),
+        "nn-k8": NearNullConfig(k=8),
+        "nn-k32": NearNullConfig(k=32),
+        "nn-c2": NearNullConfig(c=2),
     }
 
     def make_vstep(ncfg):

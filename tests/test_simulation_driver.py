@@ -376,3 +376,19 @@ def test_simulate_twisted_boundary_conditions(tmp_path):
     # complex M: imag column of the dump is genuinely nonzero
     m = _np.loadtxt(os.path.join(folder, "M_matrix.out"), skiprows=1)
     assert _np.max(_np.abs(m[:, 3])) > 1e-3
+
+
+def test_simulate_nearnull_precond(tmp_path):
+    """[solver.nearnull] drives the two-level preconditioner through the
+    full driver (setup per update, per-solve smooth refresh)."""
+    cfg = copy.deepcopy(BASE_CFG)
+    cfg["simulation"]["filepath"] = str(tmp_path)
+    cfg["hmc"]["burnin_updates"] = 2
+    cfg["hmc"]["simulation_updates"] = 4
+    cfg["simulation"]["num_bins"] = 2
+    cfg["solver"]["nearnull"] = {"k": 4, "setup_iters": 3, "setup_passes": 1,
+                                 "refresh_iters": 2}
+    stats = simulate(cfg, n_chains=2)
+    folder = os.path.join(str(tmp_path), "testrun-1")
+    assert os.path.isfile(os.path.join(folder, "testrun_summary.out"))
+    assert 0.0 < stats["acceptance_rate"] <= 1.0
