@@ -92,12 +92,26 @@ def main():
               f"pair-tensor builds/s ({run_s:.2f}s)", flush=True)
     GR.DFT_MATMUL = None
 
-    print(f"{'block':>6} {'meas/s':>8} {'iters/solve':>12} {'run_s':>7}")
-    for block in (False, True):
+    # near-null two-level arms (ops/nearnull.py): the estimator solves are
+    # FROM-ZERO (no warm start to pre-remove the slow modes), the regime the
+    # dense studies show the coarse correction cuts hardest; the per-x setup
+    # amortizes over all nv solves
+    from elphdynamics_tpu.ops.nearnull import NearNullConfig, make_nearnull_precond
+
+    ARMS = [("kpm", False, None), ("kpm+blk", True, None),
+            ("nn", False, NearNullConfig(refresh_iters=0,
+                                         refresh_mode="assemble")),
+            ("nn+blk", True, NearNullConfig(refresh_iters=0,
+                                            refresh_mode="assemble"))]
+    print(f"{'arm':>8} {'meas/s':>8} {'iters/solve':>12} {'run_s':>7}")
+    for label, block, ncfg in ARMS:
         scfg = SolverConfig(tol=1e-5, maxiter=1000, kind="cg", block=block)
+        parm = (precond if ncfg is None
+                else make_nearnull_precond(ops, kpm.KPMConfig(
+                    max_order=args.max_order), ncfg))
 
         def meas(x, key):
-            gd, key = sample_greens(ops, params, x, key, args.nv, scfg, precond)
+            gd, key = sample_greens(ops, params, x, key, args.nv, scfg, parm)
             return gd.iters, gd.flag, key
 
         vmeas = jax.jit(jax.vmap(meas))
@@ -111,7 +125,7 @@ def main():
         run_s = time.time() - tb
         iters = float(jnp.mean(it.astype(jnp.float32)))
         rate = args.steps * args.chains / run_s
-        print(f"{str(block):>6} {rate:>8.1f} {iters:>12.1f} {run_s:>7.2f} "
+        print(f"{label:>8} {rate:>8.1f} {iters:>12.1f} {run_s:>7.2f} "
               f"maxflag={int(jnp.max(fl))}", flush=True)
 
 

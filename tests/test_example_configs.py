@@ -22,6 +22,7 @@ def test_examples_present():
         "holstein_langevin_square.toml", "ssh_hmc_square.toml",
         "ssh_hmc_two_site.toml", "ssh_langevin_square.toml",
         "holstein_hmc_deep_beta.toml", "holstein_hmc_twisted.toml",
+        "ssh_hmc_twisted.toml",
     }
 
 
