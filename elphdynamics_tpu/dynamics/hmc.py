@@ -128,6 +128,70 @@ def _spin_stack(a, b):
     return jnp.stack([a, b], axis=0)
 
 
+# --- warm-start history ring buffer -----------------------------------------
+#
+# The trajectory scan needs the previous `guess_order` solutions for the
+# polynomial warm-start extrapolation. Carrying them as separate scan
+# buffers and rotating with masked `jnp.where` copies makes XLA materialise
+# every rotation (while-loop carries alias positionally, so a permutation is
+# real HBM copies — at 64×64 that is ~4×21 MB of writes per leapfrog step,
+# the top self-time bucket of the round-5 op profile). A [H, ...] ring
+# written with one dynamic_update_slice keeps one write per step; the
+# extrapolation reads are dynamic slices that XLA fuses into the arithmetic.
+# The guess expressions are kept literally identical to the unrolled forms
+# so healthy-run trajectories are bit-exact with the rotation code.
+
+def _zhist_size(order: int) -> int:
+    return max(1, min(int(order), 4))
+
+
+def zhist_init(z0, order: int):
+    """Ring of H = clamp(order, 1, 4) slots, all seeded with ``z0`` (the
+    update's endpoint solution), plus the int32 position counter."""
+    H = _zhist_size(order)
+    return jnp.stack([z0] * H, axis=0), jnp.asarray(0, jnp.int32)
+
+
+def zhist_last(hist, idx):
+    """Most recent solution (the plain ``z_prev`` warm start)."""
+    H = hist.shape[0]
+    return lax.dynamic_index_in_dim(hist, idx % H, axis=0, keepdims=False)
+
+
+def zhist_guess(hist, idx, order: int):
+    """Polynomial forward extrapolation (binomial coefficients of Δ^k
+    applied at the next node) over the ring's newest ``order`` entries."""
+    H = hist.shape[0]
+    p = idx % H
+    zp = lax.dynamic_index_in_dim(hist, p, axis=0, keepdims=False)
+    if order <= 1:
+        return zp
+    zp2 = lax.dynamic_index_in_dim(hist, (p + H - 1) % H, axis=0,
+                                   keepdims=False)
+    if order == 2:
+        return 2.0 * zp - zp2
+    zp3 = lax.dynamic_index_in_dim(hist, (p + H - 2) % H, axis=0,
+                                   keepdims=False)
+    if order == 3:
+        return 3.0 * zp - 3.0 * zp2 + zp3
+    zp4 = lax.dynamic_index_in_dim(hist, (p + H - 3) % H, axis=0,
+                                   keepdims=False)
+    return 4.0 * zp - 6.0 * zp2 + 4.0 * zp3 - zp4
+
+
+def zhist_push(hist, idx, z, ok):
+    """Append ``z`` (masked by the per-chain liveness scalar ``ok``:
+    failed trajectories keep the slot's stale content, matching the old
+    frozen-rotation semantics in the only way that matters — finite guesses
+    on dead chains). The counter advances unconditionally so it stays a
+    trace-level scalar under chain vmap."""
+    H = hist.shape[0]
+    slot = (idx + 1) % H
+    old = lax.dynamic_index_in_dim(hist, slot, axis=0, keepdims=True)
+    new = jnp.where(ok, z[None], old)
+    return lax.dynamic_update_slice_in_dim(hist, new, slot, axis=0), idx + 1
+
+
 def make_hmc_step(
     ops: ModelOps,
     mass_table,
@@ -229,6 +293,11 @@ def make_hmc_step(
 
     tol1 = cfg.tol
     tol2 = cfg.tol ** 2
+    # effective warm-start order: the history ring is only consumed when
+    # construct_guess is on and the solver is CG (solve_O gates x0 the same
+    # way), so it collapses to one slot otherwise
+    use_g = cfg.construct_guess and cfg.solver_kind == "cg"
+    g_ord = cfg.guess_order if use_g else 1
 
     def _step(params, state: HMCState, key, dt):
         x0, v_in = state.x, state.v
@@ -329,7 +398,7 @@ def make_hmc_step(
             return qf(dS), z, it, fl, Lphi_x
 
         def body(carry, _):
-            x, v, QdSdx, z_prev, z_prev2, z_prev3, z_prev4, iters, flag = carry
+            x, v, QdSdx, hist, hidx, iters, flag = carry
             ok = flag == 0
             v1 = v - dt / 2 * QdSdx
             if cfg.Nb == 1:
@@ -338,17 +407,7 @@ def make_hmc_step(
                 x1, v1 = boson_substeps(x, v1)
             d1 = ops.derived(params, x1)
             Lphi1, _ = lam_phi(params, x1, phi)
-            # polynomial forward extrapolation (binomial coefficients of
-            # Δ^k applied at the next node)
-            if cfg.guess_order >= 4:
-                guess = (4.0 * z_prev - 6.0 * z_prev2 + 4.0 * z_prev3
-                         - z_prev4)
-            elif cfg.guess_order == 3:
-                guess = 3.0 * z_prev - 3.0 * z_prev2 + z_prev3
-            elif cfg.guess_order == 2:
-                guess = 2.0 * z_prev - z_prev2
-            else:
-                guess = z_prev
+            guess = zhist_guess(hist, hidx, g_ord)
             z1, it1, fl1 = solve_O(params, x1, d1, Lphi1, tol1, pstate,
                                    z_guess=guess, defl=defl)
             dS1 = forces(params, x1, d1, phi, z1)
@@ -358,10 +417,7 @@ def make_hmc_step(
             x = jnp.where(ok, x1, x)
             v = jnp.where(ok, v1, v)
             QdSdx = jnp.where(ok, Qd1, QdSdx)
-            z_prev4 = jnp.where(ok, z_prev3, z_prev4)
-            z_prev3 = jnp.where(ok, z_prev2, z_prev3)
-            z_prev2 = jnp.where(ok, z_prev, z_prev2)
-            z_prev = jnp.where(ok, z1, z_prev)
+            hist, hidx = zhist_push(hist, hidx, z1, ok)
             iters = iters + jnp.where(ok, it1, 0)
             flag = jnp.maximum(flag, jnp.where(ok, fl1, 0))
             if cfg.log_verbose:
@@ -372,17 +428,7 @@ def make_hmc_step(
                 ys = (S_t + K_t, S_t, K_t, it1)
             else:
                 ys = None
-            return (x, v, QdSdx, z_prev, z_prev2, z_prev3, z_prev4,
-                    iters, flag), ys
-
-        def guess_from(z_prev, z_prev2, z_prev3, z_prev4):
-            if cfg.guess_order >= 4:
-                return 4.0 * z_prev - 6.0 * z_prev2 + 4.0 * z_prev3 - z_prev4
-            if cfg.guess_order == 3:
-                return 3.0 * z_prev - 3.0 * z_prev2 + z_prev3
-            if cfg.guess_order == 2:
-                return 2.0 * z_prev - z_prev2
-            return z_prev
+            return (x, v, QdSdx, hist, hidx, iters, flag), ys
 
         # Omelyan 2nd-order minimum-norm coefficient (hep-lat/0506011 §2)
         LAM_2MN = 0.1931833275037836
@@ -393,29 +439,24 @@ def make_hmc_step(
             dt/2 spacing, so the polynomial warm-start chain applies
             unchanged; boundary λ-kicks of adjacent steps use the same
             carried force, exactly as the leapfrog body carries QdSdx."""
-            x, v, QdSdx, z_prev, z_prev2, z_prev3, z_prev4, iters, flag = carry
+            x, v, QdSdx, hist, hidx, iters, flag = carry
             ok = flag == 0
             v1 = v - LAM_2MN * dt * QdSdx
             x1, v1 = drift(x, v1, dt / 2)
             Qd_m, z_m, it_m, fl_m, _ = force_at(
-                x1, guess_from(z_prev, z_prev2, z_prev3, z_prev4))
-            z_prev4m = z_prev3
-            z_prev3m = z_prev2
-            z_prev2m = z_prev
+                x1, zhist_guess(hist, hidx, g_ord))
+            hist, hidx = zhist_push(hist, hidx, z_m, ok)
             v1 = v1 - (1.0 - 2.0 * LAM_2MN) * dt * Qd_m
             x1, v1 = drift(x1, v1, dt / 2)
             Qd_e, z_e, it_e, fl_e, Lphi_e = force_at(
-                x1, guess_from(z_m, z_prev2m, z_prev3m, z_prev4m))
+                x1, zhist_guess(hist, hidx, g_ord))
+            hist, hidx = zhist_push(hist, hidx, z_e, ok)
             v1 = v1 - LAM_2MN * dt * Qd_e
             it1 = it_m + it_e
             fl1 = jnp.maximum(fl_m, fl_e)
             x = jnp.where(ok, x1, x)
             v = jnp.where(ok, v1, v)
             QdSdx = jnp.where(ok, Qd_e, QdSdx)
-            z_prev4 = jnp.where(ok, z_prev3m, z_prev4)
-            z_prev3 = jnp.where(ok, z_prev2m, z_prev3)
-            z_prev2 = jnp.where(ok, z_m, z_prev2)
-            z_prev = jnp.where(ok, z_e, z_prev)
             iters = iters + jnp.where(ok, it1, 0)
             flag = jnp.maximum(flag, jnp.where(ok, fl1, 0))
             if cfg.log_verbose:
@@ -424,8 +465,7 @@ def make_hmc_step(
                 ys = (S_t + K_t, S_t, K_t, it1)
             else:
                 ys = None
-            return (x, v, QdSdx, z_prev, z_prev2, z_prev3, z_prev4,
-                    iters, flag), ys
+            return (x, v, QdSdx, hist, hidx, iters, flag), ys
 
         if cfg.integrator == "leapfrog":
             traj_body = body
@@ -435,10 +475,12 @@ def make_hmc_step(
             raise ValueError(f"unknown integrator {cfg.integrator!r} "
                              "(expected 'leapfrog' or '2mn')")
 
-        (x1, v1, _, z_last, _, _, _, iters, flag), traj = lax.scan(
-            traj_body, (x0, v0, QdSdx0, z0, z0, z0, z0, it0, flag0), None,
+        hist0, hidx0 = zhist_init(z0, g_ord)
+        (x1, v1, _, hist1, hidx1, iters, flag), traj = lax.scan(
+            traj_body, (x0, v0, QdSdx0, hist0, hidx0, it0, flag0), None,
             length=cfg.Nt
         )
+        z_last = zhist_last(hist1, hidx1)
 
         # --- final endpoint solve (tol²) + Metropolis (HMC.jl:431-472)
         d1 = ops.derived(params, x1)

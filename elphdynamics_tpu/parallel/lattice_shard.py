@@ -37,6 +37,7 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
+from elphdynamics_tpu.dynamics import hmc as _hmc
 from elphdynamics_tpu.ops.checkerboard import CheckerboardSpec
 from elphdynamics_tpu.utils.dtypes import fdot_fast
 
@@ -918,17 +919,6 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
         use_guess = bool(getattr(cfg, "construct_guess", False))
         g_ord = int(getattr(cfg, "guess_order", 1))
 
-        def _guess(zp, zp2, zp3):
-            """Warm-start extrapolation of the previous trajectory solves
-            (hmc.py's construct_guess/guess_order, applied shard-locally)."""
-            if not use_guess:
-                return None
-            if g_ord >= 3:
-                return 3.0 * zp - 3.0 * zp2 + zp3
-            if g_ord == 2:
-                return 2.0 * zp - zp2
-            return zp
-
         def S_and_z(x, env, tol, x0=None):
             Lam = calc_Lam(x)
             Lphi = mulLambda(Lam, phi)
@@ -979,7 +969,7 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
             return x, v
 
         def body(carry, _):
-            x, v, Qd, zp, zp2, zp3, iters, flag = carry
+            x, v, Qd, hist, hidx, iters, flag = carry
             ok = flag == 0
             v1 = v - dt / 2 * Qd
             if cfg.Nb == 1:
@@ -989,16 +979,19 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
             env1 = env_of(x1)
             Lam1 = calc_Lam(x1)
             Lphi1 = mulLambda(Lam1, phi)
-            z1, it1, fl1 = solve_O(env1, Lphi1, tol1, kst,
-                                   x0=_guess(zp, zp2, zp3), defl=defl)
+            # warm-start extrapolation over the ring-buffer history
+            # (hmc.py's zhist_* — one dynamic_update_slice write per step
+            # instead of rotating the z buffers through masked copies)
+            guess = (_hmc.zhist_guess(hist, hidx, g_ord) if use_guess
+                     else None)
+            z1, it1, fl1 = solve_O(env1, Lphi1, tol1, kst, x0=guess,
+                                   defl=defl)
             Qd1 = qf(forces(x1, env1, z1))
             v1 = v1 - dt / 2 * Qd1
             x = jnp.where(ok, x1, x)
             v = jnp.where(ok, v1, v)
             Qd = jnp.where(ok, Qd1, Qd)
-            zp3 = jnp.where(ok, zp2, zp3)
-            zp2 = jnp.where(ok, zp, zp2)
-            zp = jnp.where(ok, z1, zp)
+            hist, hidx = _hmc.zhist_push(hist, hidx, z1, ok)
             iters = iters + jnp.where(ok, it1, 0)
             flag = jnp.maximum(flag, jnp.where(ok, fl1, 0))
             if cfg.log_verbose:
@@ -1009,10 +1002,13 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
                 ys = (S_t + K_t, S_t, K_t, it1)
             else:
                 ys = None
-            return (x, v, Qd, zp, zp2, zp3, iters, flag), ys
+            return (x, v, Qd, hist, hidx, iters, flag), ys
 
-        (x1, v1, _, z_last, _, _, iters, flag), traj = lax.scan(
-            body, (x_loc, v0, Qd0, z0, z0, z0, it0, flag0), None, length=Nt)
+        hist0, hidx0 = _hmc.zhist_init(z0, g_ord if use_guess else 1)
+        (x1, v1, _, hist1, hidx1, iters, flag), traj = lax.scan(
+            body, (x_loc, v0, Qd0, hist0, hidx0, it0, flag0), None,
+            length=Nt)
+        z_last = _hmc.zhist_last(hist1, hidx1)
 
         env1 = env_of(x1)
         Lphi1, z1, S1, it2, fl2 = S_and_z(x1, env1, tol2, x0=z_last)
@@ -1561,15 +1557,6 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
         use_guess = bool(getattr(cfg, "construct_guess", False))
         g_ord = int(getattr(cfg, "guess_order", 1))
 
-        def _guess(zp, zp2, zp3):
-            if not use_guess:
-                return None
-            if g_ord >= 3:
-                return 3.0 * zp - 3.0 * zp2 + zp3
-            if g_ord == 2:
-                return 2.0 * zp - zp2
-            return zp
-
         def S_of(x, coeffs, tol, x0=None):
             z, it, flag = solve_O(coeffs, phi, tol, kst,
                                   x0=x0 if use_guess else None, defl=defl)
@@ -1616,7 +1603,7 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
             return x, v
 
         def body(carry, _):
-            x, v, Qd, zp, zp2, zp3, iters, flag = carry
+            x, v, Qd, hist, hidx, iters, flag = carry
             ok = flag == 0
             v1 = v - dt / 2 * Qd
             if cfg.Nb == 1:
@@ -1624,16 +1611,18 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
             else:
                 x1, v1 = boson_substeps(x, v1)
             coeffs1 = coeffs_of(x1)
-            z1, it1, fl1 = solve_O(coeffs1, phi, tol1, kst,
-                                   x0=_guess(zp, zp2, zp3), defl=defl)
+            # ring-buffer warm-start history (hmc.py zhist_*; one
+            # dynamic_update_slice write per step, no rotation copies)
+            guess = (_hmc.zhist_guess(hist, hidx, g_ord) if use_guess
+                     else None)
+            z1, it1, fl1 = solve_O(coeffs1, phi, tol1, kst, x0=guess,
+                                   defl=defl)
             Qd1 = qf(forces(x1, coeffs1, z1))
             v1 = v1 - dt / 2 * Qd1
             x = jnp.where(ok, x1, x)
             v = jnp.where(ok, v1, v)
             Qd = jnp.where(ok, Qd1, Qd)
-            zp3 = jnp.where(ok, zp2, zp3)
-            zp2 = jnp.where(ok, zp, zp2)
-            zp = jnp.where(ok, z1, zp)
+            hist, hidx = _hmc.zhist_push(hist, hidx, z1, ok)
             iters = iters + jnp.where(ok, it1, 0)
             flag = jnp.maximum(flag, jnp.where(ok, fl1, 0))
             if cfg.log_verbose:
@@ -1642,10 +1631,12 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
                 ys = (S_t + K_t, S_t, K_t, it1)
             else:
                 ys = None
-            return (x, v, Qd, zp, zp2, zp3, iters, flag), ys
+            return (x, v, Qd, hist, hidx, iters, flag), ys
 
-        (x1, v1, _, z_last, _, _, iters, flag), traj = lax.scan(
-            body, (x, v0, Qd0, z0, z0, z0, it0, flag0), None, length=Nt)
+        hist0, hidx0 = _hmc.zhist_init(z0, g_ord if use_guess else 1)
+        (x1, v1, _, hist1, hidx1, iters, flag), traj = lax.scan(
+            body, (x, v0, Qd0, hist0, hidx0, it0, flag0), None, length=Nt)
+        z_last = _hmc.zhist_last(hist1, hidx1)
 
         coeffs1 = coeffs_of(x1)
         z1, S1, it2, fl2 = S_of(x1, coeffs1, tol2, x0=z_last)
