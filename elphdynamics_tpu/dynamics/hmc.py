@@ -332,14 +332,15 @@ def make_hmc_step(
                     "cfg.deflate_k > 0 requires HMCState.defl "
                     "(initialize with dynamics.hmc.init_deflation)")
             from elphdynamics_tpu.utils.dtypes import params_are_complex
-            if params_are_complex(params):
-                # mirror the driver gate (simulation.py): the deflation
-                # Gram/projection einsums are real-only; run unconjugated
-                # on complex CG vectors they would silently corrupt the
-                # basis (convergence degrades while solves stay verified)
-                raise NotImplementedError(
-                    "deflation (deflate_k > 0) does not support complex "
-                    "hopping parameters")
+            if params_are_complex(params) and not jnp.iscomplexobj(
+                    state.defl.W):
+                # complex hopping needs a complex basis so the Hermitian
+                # Grams/projections in ops/deflation.py see conjugated
+                # vectors — init_deflation(..., params=params) provides it
+                raise ValueError(
+                    "complex hopping parameters require a complex "
+                    "deflation basis: initialize with "
+                    "init_deflation(ops, cfg, key, params=params)")
             pa0 = precond_applies(precond, pstate)
             apP = pa0.symmetric if pa0 is not None else (lambda v: v)
             defl = deflation.refresh(
@@ -563,11 +564,19 @@ def dt_tuner_update(t: DtTunerState, accept_prob, target: float,
                       log_dt_avg=log_dt_avg)
 
 
-def init_deflation(ops: ModelOps, cfg: HMCConfig, key):
+def init_deflation(ops: ModelOps, cfg: HMCConfig, key, params=None):
     """Fresh per-chain deflation state for ``HMCState.defl`` (None when
-    deflation is off). vmap it over split keys for chain batches."""
+    deflation is off). vmap it over split keys for chain batches.
+
+    Pass ``params`` so the basis dtype follows the hopping: complex
+    parameters (Peierls phases / twisted BCs) get a circularly-complex
+    basis and the Hermitian projector (see ops/deflation.py)."""
     from elphdynamics_tpu.ops import deflation
+    from elphdynamics_tpu.utils.dtypes import params_are_complex
 
     if cfg.deflate_k <= 0:
         return None
-    return deflation.init(key, cfg.deflate_k, ops.Nsites, ops.Ltau)
+    dtype = (jnp.complex64 if params is not None and
+             params_are_complex(params) else jnp.float32)
+    return deflation.init(key, cfg.deflate_k, ops.Nsites, ops.Ltau,
+                          dtype=dtype)

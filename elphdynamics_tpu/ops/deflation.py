@@ -77,16 +77,31 @@ class DeflationState(NamedTuple):
 
 
 def init(key, k: int, Nsites: int, Ltau: int, dtype=jnp.float32) -> DeflationState:
-    """Random orthonormal basis; becomes useful after the first refreshes."""
+    """Random orthonormal basis; becomes useful after the first refreshes.
+
+    ``dtype`` complex (the complex-hopping / twisted-BC path): the basis is
+    drawn circularly complex and every Gram/projection below runs with the
+    Hermitian inner product — a complex k-dim basis spans a 2k-dim real
+    subspace of the ℝ²ⁿ embedding the Re-Hermitian CG works in, and because
+    M†M is ℂ-linear the complex A-orthogonal projector IS the real one on
+    that span."""
     kW, kp = jax.random.split(key)
-    W0 = jax.random.normal(kW, (k, Nsites, Ltau), dtype=dtype)
+    if jnp.issubdtype(dtype, jnp.complexfloating):
+        rdt = jnp.zeros((), dtype).real.dtype
+        g = jax.random.normal(kW, (2, k, Nsites, Ltau), dtype=rdt)
+        W0 = (g[0] + 1j * g[1]).astype(dtype)
+        gp = jax.random.normal(kp, (2, Nsites, Ltau), dtype=rdt)
+        pvec = (gp[0] + 1j * gp[1]).astype(dtype)
+    else:
+        W0 = jax.random.normal(kW, (k, Nsites, Ltau), dtype=dtype)
+        pvec = jax.random.normal(kp, (Nsites, Ltau), dtype=dtype)
     Q, _ = jnp.linalg.qr(W0.reshape(k, -1).T)          # [N·Lτ, k]
     W = Q.T.reshape(k, Nsites, Ltau).astype(dtype)
-    pvec = jax.random.normal(kp, (Nsites, Ltau), dtype=dtype)
-    pvec = pvec / jnp.sqrt(fdot(pvec, pvec, axis=(-2, -1))).astype(dtype)
+    pvec = (pvec / jnp.sqrt(fdot(pvec, pvec, axis=(-2, -1)))).astype(dtype)
+    lam_dt = jnp.zeros((), dtype).real.dtype
     return DeflationState(
         W=W, chol=jnp.eye(k, dtype=dtype),
-        pvec=pvec, lam_max=jnp.asarray(1.0, dtype),
+        pvec=pvec, lam_max=jnp.asarray(1.0, lam_dt),
     )
 
 
@@ -110,15 +125,17 @@ def _orthonormalize_psum(W, psum):
     and span is shard-decomposition invariant, so the sharded projector
     agrees with the unsharded QR one to rounding."""
     k, B, Lt = W.shape
-    Wf = W.reshape(k, -1).astype(jnp.float32)
+    wf_dt = jnp.complex64 if jnp.iscomplexobj(W) else jnp.float32
+    Wf = W.reshape(k, -1).astype(wf_dt)
     for _ in range(2):
-        G = psum(jnp.matmul(Wf, Wf.T,
+        # Hermitian row Gram W·W† (== W·Wᵀ on the real path)
+        G = psum(jnp.matmul(Wf, jnp.conj(Wf).T,
                             precision=jax.lax.Precision.HIGHEST))
         # jitter scale mirrors refresh(): near-parallel rows (the filter
         # concentrates everything toward the slow tail) stay factorizable;
         # a truly degenerate row has G[i,i]≈jitter and solves to zero —
         # the same outcome as the unsharded QR's degenerate-column zeroing
-        jitter = 1e-6 * (jnp.trace(G) / k) + 1e-30
+        jitter = 1e-6 * (jnp.real(jnp.trace(G)) / k) + 1e-30
         L = jnp.linalg.cholesky(G + jitter * jnp.eye(k, dtype=G.dtype))
         bad = jnp.any(jnp.isnan(L))
         L = jnp.where(bad, jnp.eye(k, dtype=G.dtype), L)
@@ -164,10 +181,11 @@ def refresh(st: DeflationState, apply_A: Callable, apply_P: Callable,
     # recurrence; magnitudes stay O(cosh(d·acosh((b+a)/(b−a)))) ≈ 30,
     # well within f32, and the QR below renormalizes anyway.
     wdt = st.W.dtype
-    b_edge = (1.02 * lam_max).astype(wdt)
-    a_edge = (cfg.cutoff * lam_max).astype(wdt)
+    edt = jnp.zeros((), wdt).real.dtype  # edge arithmetic stays real
+    b_edge = (1.02 * lam_max).astype(edt)
+    a_edge = (cfg.cutoff * lam_max).astype(edt)
     center = (b_edge + a_edge) / 2
-    half = jnp.maximum((b_edge - a_edge) / 2, 1e-30).astype(wdt)
+    half = jnp.maximum((b_edge - a_edge) / 2, 1e-30).astype(edt)
 
     def ell(V):  # ℓ(P⁻¹A)·V = (c·V − P⁻¹A·V)/e  (sign flip is harmless)
         return ((center * V - apply_P(apply_A(V))) / half).astype(wdt)
@@ -184,12 +202,13 @@ def refresh(st: DeflationState, apply_A: Callable, apply_P: Callable,
     # (gigabytes at deep β); f32 HIGHEST keeps the MXU without bf16 loss
     AW = apply_A(W)
     k = W.shape[0]
-    C = jnp.matmul(W.reshape(k, -1), AW.reshape(k, -1).T,
+    # C_ij = w_i†·A·w_j (Hermitian PD; conj is the identity on real W)
+    C = jnp.matmul(jnp.conj(W.reshape(k, -1)), AW.reshape(k, -1).T,
                    precision=jax.lax.Precision.HIGHEST)
     if psum is not None:
         C = psum(C)
-    C = 0.5 * (C + C.T)
-    jitter = 1e-6 * (jnp.trace(C) / C.shape[0]) + 1e-30
+    C = 0.5 * (C + jnp.conj(C).T)
+    jitter = 1e-6 * (jnp.real(jnp.trace(C)) / C.shape[0]) + 1e-30
     chol = jnp.linalg.cholesky(C + jitter * jnp.eye(C.shape[0], dtype=C.dtype))
     # a failed factorization (NaNs) neutralizes the correction (W·0 = 0)
     bad = jnp.any(jnp.isnan(chol))
@@ -221,8 +240,8 @@ def project(st: DeflationState, r0, x0, psum: Callable | None = None):
     # both contractions as HIGHEST-precision matmuls: the default bf16
     # matmul would corrupt the correction, and an fdot broadcast form
     # would materialize a [..., k, N, Lτ] temp
-    c = jnp.matmul(r0.reshape(lead + (-1,)), Wf.T,
-                   precision=jax.lax.Precision.HIGHEST)       # [..., k]
+    c = jnp.matmul(r0.reshape(lead + (-1,)), jnp.conj(Wf).T,
+                   precision=jax.lax.Precision.HIGHEST)       # [..., k]: w_i†·r0
     if psum is not None:
         c = psum(c)
     # cho_solve does not broadcast the factor over RHS batch axes: fold the

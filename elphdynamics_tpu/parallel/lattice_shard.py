@@ -895,14 +895,15 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
         # the basis rows W[:, local, :] live on this shard; psum reduces
         # the power-iteration norms and the k×k Grams
         if use_defl:
-            if jnp.iscomplexobj(params.cosht):
-                # same gate as the driver (simulation.py) and the unsharded
-                # make_hmc_step: the deflation Gram/projection einsums are
-                # real-only and would silently corrupt the basis on complex
-                # CG vectors
-                raise NotImplementedError(
-                    "deflation (deflate_k > 0) does not support complex "
-                    "hopping parameters")
+            if (jnp.iscomplexobj(params.cosht)
+                    and not jnp.iscomplexobj(defl_in.W)):
+                # complex hopping needs a complex basis so the Hermitian
+                # Grams/projections in ops/deflation.py see conjugated
+                # vectors (init_deflation(..., params=params))
+                raise ValueError(
+                    "complex hopping parameters require a complex "
+                    "deflation basis: initialize with "
+                    "init_deflation(ops, cfg, key, params=params)")
             from elphdynamics_tpu.ops import deflation as _defl_mod
             apP0 = (kpm_make_apply(kst, env0) if kst is not None
                     else (lambda v: v))

@@ -261,13 +261,6 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
     # ---- preconditioner
     from elphdynamics_tpu.utils.dtypes import params_are_complex
     model_cplx = params_are_complex(setup.params)
-    if (model_cplx and setup.dynamics_type == "hmc"
-            and setup.hmc_cfg is not None and setup.hmc_cfg.deflate_k > 0):
-        raise NotImplementedError(
-            "[solver.deflation] with complex hopping (twist / Peierls "
-            "phases): the deflation Gram/projection einsums are real-only "
-            "(ops/deflation.py) — the measured-default-off knob is gated "
-            "rather than silently wrong. Run without deflation.")
     precond = None
     if setup.kpm_cfg is not None:
         # complex hopping (twist / Peierls) included: kpm.setup detects the
@@ -820,11 +813,13 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
         # independent seed: keeps the main RNG stream identical with or
         # without deflation, and works on resume (key is per-chain there)
         dkey = jax.random.PRNGKey(sp.random_seed + 7919)
+        _prm = setup.params  # complex hopping → complex deflation basis
         if n_chains > 1:
             dkeys = jax.random.split(dkey, n_chains)
-            defl = jax.vmap(lambda kk: init_deflation(ops, _hcfg, kk))(dkeys)
+            defl = jax.vmap(lambda kk: init_deflation(
+                ops, _hcfg, kk, params=_prm))(dkeys)
         else:
-            defl = init_deflation(ops, _hcfg, dkey)
+            defl = init_deflation(ops, _hcfg, dkey, params=_prm)
 
     state = HMCState(x=x, v=v, defl=defl)
     if n_chains > 1:
@@ -1271,6 +1266,11 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
 
     # ---- finalize (RunSimulation.jl:282-306; SimulationSummary.jl:23-140)
     flush_stats()
+    # final checkpoint BEFORE the rate normalization below: checkpointed
+    # sim_stats are raw accumulating counters everywhere else, and a resume
+    # of a completed run re-enters this normalization — a post-division
+    # checkpoint would hand it already-normalized rates to divide again
+    maybe_checkpoint(sp.burnin, sp.nsteps, force=True)
     total = sp.burnin + sp.nsteps
     sim_stats["iters"] /= max(total, 1)
     sim_stats["acceptance_rate"] /= max(total, 1)
@@ -1284,8 +1284,6 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
         sim_stats["tempering_acceptance_rate"] /= max(nex, 1)
     for k in ("simulation_time", "measurement_time", "write_time"):
         sim_stats[k + "_min"] = sim_stats[k] / 60.0
-
-    maybe_checkpoint(sp.burnin, sp.nsteps, force=True)
 
     xh = fetch(state.x) if mh else state.x
     x_final = xh if n_chains == 1 else xh[0]

@@ -1622,3 +1622,50 @@ def test_site_sharded_twisted_driver_matches_unsharded(tmp_path):
         for k in g1:
             assert abs(g1[k] - g8[k]) < 1e-5 * (1.0 + abs(g1[k])), \
                 (b, k, g1[k], g8[k])
+
+
+@pytest.mark.slow
+def test_sharded_hmc_deflation_complex_matches_unsharded():
+    """[solver.deflation] × complex hopping × --site-devices (the last
+    open composition cell): the Hermitian CholeskyQR2 refresh and complex
+    psum Grams reproduce the unsharded complex-deflated trajectory."""
+    from elphdynamics_tpu.dynamics.hmc import (HMCConfig, HMCState,
+                                               init_deflation, make_hmc_step)
+    from elphdynamics_tpu.ops.fourier_accel import build_mass
+    from elphdynamics_tpu.parallel.lattice_shard import make_sharded_hmc_step
+
+    D = 8
+    assert jax.device_count() >= D
+    spec, params, ops = _build_twisted()
+    plan = build_shard_plan(spec.ckb, D)
+    mesh = site_mesh(D)
+    mass = build_mass(np.asarray(params.omega), spec.dtau, spec.Ltau,
+                      [dict(omega_min=0.0, omega_max=10.0, mass=0.5)])
+    cfg = HMCConfig(dt=0.1, trajectory_time=0.3, Nb=1, tol=1e-10,
+                    maxiter=3000, deflate_k=6, deflate_filter=4,
+                    deflate_power=2)
+
+    ref_step = jax.jit(make_hmc_step(ops, mass, cfg, precond=None))
+    sh_step = make_sharded_hmc_step(spec, plan, mesh, mass, cfg)
+
+    key = jax.random.PRNGKey(7)
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (spec.Nph, spec.Ltau))
+    v = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (spec.Nph, spec.Ltau))
+    defl0 = init_deflation(ops, cfg, jax.random.PRNGKey(99), params=params)
+    assert jnp.iscomplexobj(defl0.W)
+
+    ref_state, ref_stats, _ = ref_step(
+        params, HMCState(x=x, v=v, defl=defl0), key)
+    xs, vs, stats, _, defl_s = sh_step(params, x, v, key, defl0)
+
+    assert bool(stats["accepted"]) == bool(ref_stats.accepted)
+    assert abs(float(stats["delta_H"]) - float(ref_stats.delta_H)) < 1e-5, (
+        float(stats["delta_H"]), float(ref_stats.delta_H))
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(ref_state.x),
+                               rtol=1e-5, atol=1e-7)
+    # same span: singular values of Wr·Ws† ≈ 1 (Hermitian principal angles)
+    k = cfg.deflate_k
+    Wr = np.asarray(ref_state.defl.W).reshape(k, -1)
+    Ws = np.asarray(defl_s.W).reshape(k, -1)
+    s = np.linalg.svd(Wr @ Ws.conj().T, compute_uv=False)
+    assert s.min() > 0.99, s

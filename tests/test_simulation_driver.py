@@ -392,3 +392,39 @@ def test_simulate_nearnull_precond(tmp_path):
     folder = os.path.join(str(tmp_path), "testrun-1")
     assert os.path.isfile(os.path.join(folder, "testrun_summary.out"))
     assert 0.0 < stats["acceptance_rate"] <= 1.0
+
+
+@pytest.mark.slow
+def test_simulate_twisted_with_deflation(tmp_path):
+    """[solver.deflation] × [holstein] twist through the full driver (the
+    former NotImplementedError carve-out): complex-Hermitian basis, runs
+    flag-free, acceptance healthy, finite stats."""
+    cfg = copy.deepcopy(BASE_CFG)
+    cfg["simulation"]["filepath"] = str(tmp_path)
+    cfg["simulation"]["foldername"] = "twistdefl"
+    cfg["holstein"]["twist"] = [1.2, 0.7]
+    cfg["solver"]["deflation"] = {"k": 4, "filter_degree": 4,
+                                  "power_iters": 2}
+    stats = simulate(cfg)
+    assert stats["acceptance_rate"] > 0.5
+    folder = os.path.join(str(tmp_path), "twistdefl-1")
+    txt = open(os.path.join(folder, "twistdefl_summary.out")).read()
+    assert "Acceptance Rate" in txt
+
+
+@pytest.mark.slow
+def test_resume_completed_run_keeps_stats(tmp_path):
+    """Resuming a run whose checkpoint says everything is done must report
+    the same final rates, not re-normalize them (regression: the final
+    checkpoint once stored post-division rates, so a no-op resume divided
+    acceptance and iters by the update count a second time)."""
+    cfg = copy.deepcopy(BASE_CFG)
+    cfg["simulation"]["filepath"] = str(tmp_path)
+    cfg["hmc"]["burnin_updates"] = 2
+    cfg["hmc"]["simulation_updates"] = 4
+    cfg["simulation"]["num_bins"] = 2
+    stats1 = simulate(cfg, run_id=11)
+    stats2 = simulate(cfg, run_id=11)  # resume: nothing left to run
+    assert stats2["acceptance_rate"] == pytest.approx(
+        stats1["acceptance_rate"], abs=1e-9)
+    assert stats2["iters"] == pytest.approx(stats1["iters"], abs=1e-9)
