@@ -1153,10 +1153,12 @@ def _ssh_group_phonons(model_spec, plan: ShardPlan):
     """Per (group, shard) phonon tables for the sharded SSH ``muldMdx``:
     ``ph_of_site[g][d, s]`` = phonon index of the bond at local site s in
     group g (0 when masked), ``ph_mask[g][d, s]`` = site has a
-    phonon-carrying bond in g."""
+    phonon-carrying bond in g, ``bond_orig[g][d, s]`` = the bond's index in
+    ORIGINAL bond order (for the per-bond ``t_phase`` lookup on the
+    complex-hopping path)."""
     ckb = model_spec.ckb
     D, B = plan.D, plan.B
-    ph_of_site, ph_mask = [], []
+    ph_of_site, ph_mask, bond_orig = [], [], []
     for g in range(ckb.ngroups):
         bond_ckb = ckb.bond_of_site[g]              # [N] ckb bond index
         orig = model_spec.ckb_to_bond[bond_ckb]     # original bond order
@@ -1164,7 +1166,8 @@ def _ssh_group_phonons(model_spec, plan: ShardPlan):
         valid = ckb.mask[g] & (ph >= 0)
         ph_of_site.append(np.maximum(ph, 0).reshape(D, B).copy())
         ph_mask.append(valid.reshape(D, B).copy())
-    return tuple(ph_of_site), tuple(ph_mask)
+        bond_orig.append(orig.reshape(D, B).copy())
+    return tuple(ph_of_site), tuple(ph_mask), tuple(bond_orig)
 
 
 def _ssh_local_ops(model_spec, plan: ShardPlan, params):
@@ -1207,7 +1210,9 @@ def make_sharded_ssh_solver(model_spec, plan: ShardPlan, mesh: Mesh):
         coeffs = (cosh_b, sinh_b)
 
         def pdot(a, b):
-            return lax.psum(jnp.sum(a * b), plan.axis)
+            # Re(a†·b) on the complex-hopping path (utils/dtypes.fdot_fast)
+            return lax.psum(jnp.sum(fdot_fast(a, b, axis=(-2, -1))),
+                            plan.axis)
 
         x, j, _ = _cg_local(lambda v: mulMT(coeffs, mulM(coeffs, v)),
                             mulMT(coeffs, b_loc), tol, maxiter, pdot)
@@ -1362,15 +1367,23 @@ def make_sharded_ssh_greens_sampler(model_spec, plan: ShardPlan, mesh: Mesh,
             return lax.psum(jnp.sum(fdot(a, b, axis=tuple(range(a.ndim)))),
                             plan.axis)
 
+        # exact key-split order of sample_greens; complex hopping draws the
+        # circular complex probes of utils.dtypes.trace_noise (E[RR†] = I)
+        cplx = params.t_phase is not None
         key, kr = jax.random.split(key)
-        R_full = jax.random.normal(kr, (nv, N, Ltau), dtype=x.dtype)
+        if cplx:
+            g_full = jax.random.normal(kr, (2, nv, N, Ltau), dtype=x.dtype)
+            half = jnp.asarray(0.5, x.dtype) ** 0.5
+            R_full = (g_full[0] + 1j * g_full[1]) * half
+        else:
+            R_full = jax.random.normal(kr, (nv, N, Ltau), dtype=x.dtype)
         R = lax.dynamic_slice_in_dim(R_full, d * B, B, axis=1)
 
         P_apply = None
         if kpm_cfg is not None:
             kpm_setup, kpm_make_apply = _kpm_local(
                 plan, kpm_cfg, Ltau, N, x.dtype, plan.axis,
-                _ssh_kpm_ops(plan, expmu_loc))
+                _ssh_kpm_ops(plan, expmu_loc), cplx=cplx)
             kst = kpm_setup(coeffs, jax.random.PRNGKey(1234))
             P_apply = kpm_make_apply(kst, coeffs)
 
@@ -1391,19 +1404,26 @@ def make_sharded_ssh_greens_sampler(model_spec, plan: ShardPlan, mesh: Mesh,
 
 
 def _ssh_muldmdx_builder(model_spec, plan: ShardPlan, ph_of_site, ph_mask,
-                         expmu_loc, params):
+                         bond_orig, expmu_loc, params):
     """Shard-local slice of the SSH uᵀ(∂M/∂x)v group-fold walk
     (SSHModels.jl:707-829) scattered onto the FULL [.., Nph, Lτ] array
     (pre-psum). Carries b ← G_g b and c ← G_g⁻¹ c; within a group the
     partner's updated value is locally reconstructible (the 2×2 bond
-    rotation is shared), so no second halo fetch is needed."""
+    rotation is shared), so no second halo fetch is needed.
+
+    Complex hopping (``params.t_phase``): the per-site contribution mirrors
+    models/ssh.py:muldMdx's Re[u†·Γ_ph·v] bond contraction — the bond (i,j)
+    contributes Re(ph·c̄ᵢ·bⱼ) at the j endpoint and Re(p̄h·c̄ⱼ·bᵢ) at i, so
+    each site applies its endpoint-placed phase (conj on the ``is_lo`` first
+    endpoint) to conj(cp_new)·b."""
     Ltau = model_spec.Ltau
     Nph = model_spec.Nph
     dtau = model_spec.dtau
+    cplx = params.t_phase is not None
 
     def muldmdx_partial(coeffs, x_full, u_loc, v_loc):
         d = lax.axis_index(plan.axis)
-        cosh_b, sinh_b = coeffs
+        cosh_b, sinh_b = coeffs[0], coeffs[1]
         b = expmu_loc(v_loc.dtype) * jnp.roll(v_loc, 1, axis=-1)
         c = ckb_transpose_mul_local(plan, cosh_b, sinh_b, u_loc)
         dKdx_full = (params.alpha[:, None]
@@ -1419,13 +1439,24 @@ def _ssh_muldmdx_builder(model_spec, plan: ShardPlan, ph_of_site, ph_mask,
             bp = jnp.take(ext_b, pl, axis=-2)
             cp_old = jnp.take(ext_c, pl, axis=-2)
             b_new = cg * b + sg * bp
-            cp_new = cg * cp_old - sg * c   # partner's updated c
+            # partner's updated c: the partner sits at the OPPOSITE bond
+            # endpoint, so its fold coefficient is conj(sg) on the complex
+            # path (identity on real)
+            cp_new = cg * cp_old - jnp.conj(sg) * c
             c = cg * c - sg * cp_old
             b = b_new
             ph = jnp.take(jnp.asarray(ph_of_site[g]), d, axis=0)
             pm = jnp.take(jnp.asarray(ph_mask[g]), d, axis=0)[:, None]
             dk = jnp.take(dKdx_full, ph, axis=-2)
-            term = sgn * dtau * dk * cp_new * b
+            if cplx:
+                bo = jnp.take(jnp.asarray(bond_orig[g]), d, axis=0)
+                phb = jnp.take(params.t_phase, bo, axis=-1)[:, None]
+                lo = jnp.take(jnp.asarray(plan.is_lo[g]), d, axis=0)[:, None]
+                ph_eff = jnp.where(lo, jnp.conj(phb), phb)
+                term = sgn * dtau * dk * jnp.real(
+                    ph_eff * jnp.conj(cp_new) * b)
+            else:
+                term = sgn * dtau * dk * cp_new * b
             out = out.at[..., ph, :].add(jnp.where(pm, term, 0.0))
         return out
 
@@ -1466,7 +1497,7 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
     prim = jnp.asarray(model_spec.primary_phonon)
     prim_mask_np = (model_spec.primary_phonon
                     == np.arange(model_spec.Nph))
-    ph_of_site, ph_mask = _ssh_group_phonons(model_spec, plan)
+    ph_of_site, ph_mask, bond_orig = _ssh_group_phonons(model_spec, plan)
     use_defl = int(getattr(cfg, "deflate_k", 0)) > 0
 
     def step_local(params, x, v, key, dt, defl_in=None):
@@ -1480,16 +1511,27 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
             return psum(jnp.sum(fdot(a, b, axis=axes or tuple(range(a.ndim)))))
 
         def coeffs_of(x):
+            # (cosh, sinh) of Δτ·t′ with the Peierls phase folded into s —
+            # models/ssh.py:ckb_coeffs without the dense-mode Kd (the sharded
+            # path always runs the halo fold; conj(s) endpoint placement is
+            # applied by _group_coeffs)
             tp = S.hopping_t_prime(model_spec, params, x)
             tp_ckb = jnp.take(tp, jnp.asarray(model_spec.ckb_to_bond), axis=-2)
             arg = dtau * tp_ckb
-            return (jnp.cosh(arg), jnp.sinh(arg))
+            c, sn = jnp.cosh(arg), jnp.sinh(arg)
+            if params.t_phase is not None:
+                ph_ckb = jnp.take(params.t_phase,
+                                  jnp.asarray(model_spec.ckb_to_bond), axis=-1)
+                sn = ph_ckb[:, None] * sn
+                c = c.astype(sn.dtype)
+            return (c, sn)
 
         def tie(a):
             return jnp.take(a, prim, axis=-2)
 
         muldmdx_partial = _ssh_muldmdx_builder(
-            model_spec, plan, ph_of_site, ph_mask, expmu_loc, params)
+            model_spec, plan, ph_of_site, ph_mask, bond_orig, expmu_loc,
+            params)
 
         # --- bosonic action/grad: primary fields only, replicated x
         def calc_Sb(x):
@@ -1498,11 +1540,13 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
         def calc_dSbdx(x):
             return S.calc_dSbdx(model_spec, params, x, False)
 
-        # --- sharded symmetric KPM on the τ-averaged hopping (optional)
+        # --- sharded symmetric KPM on the τ-averaged hopping (optional);
+        # complex hopping runs the full-spectrum complex pipeline
+        cplx = params.t_phase is not None
         if kpm_cfg is not None:
             kpm_setup, kpm_make_apply = _kpm_local(
                 plan, kpm_cfg, Ltau, N, x.dtype, plan.axis,
-                _ssh_kpm_ops(plan, expmu_loc))
+                _ssh_kpm_ops(plan, expmu_loc), cplx=cplx)
         else:
             kpm_setup = kpm_make_apply = None
 
@@ -1532,9 +1576,14 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
             * accelerate(mass_full, R, -0.5)
         Rpm_full = jax.random.normal(k_p, (2, N, Ltau), dtype=x.dtype)
         Rpm = lax.dynamic_slice_in_dim(Rpm_full, d * B, B, axis=1)
+        if cplx:
+            # both spins pack into ONE complex stack entry — the TRS twist
+            # ensemble (utils/dtypes.pseudofermion_noise); same draws, same
+            # key order as the unsharded step
+            Rpm = (Rpm[0] + 1j * Rpm[1])[None]
 
         coeffs0 = coeffs_of(x)
-        phi = mulMT(coeffs0, Rpm)            # [2, B, Lτ] — no Λ for SSH
+        phi = mulMT(coeffs0, Rpm)   # [2, B, Lτ] ([1] complex) — no Λ for SSH
 
         kst = (kpm_setup(coeffs0, jax.random.PRNGKey(1234))
                if kpm_cfg is not None else None)
@@ -1542,6 +1591,13 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
         # deflation-basis refresh at the update's starting field (electron
         # vector space [k, B, Lτ] local blocks; unsharded cadence)
         if use_defl:
+            if cplx and not jnp.iscomplexobj(defl_in.W):
+                # complex hopping needs a complex basis (Hermitian
+                # Grams/projections): init_deflation(..., params=params)
+                raise ValueError(
+                    "complex hopping parameters require a complex "
+                    "deflation basis: initialize with "
+                    "init_deflation(ops, cfg, key, params=params)")
             from elphdynamics_tpu.ops import deflation as _defl_mod
             apP0 = (kpm_make_apply(kst, coeffs0) if kst is not None
                     else (lambda v: v))
@@ -2007,35 +2063,56 @@ def make_sharded_ssh_langevin_step(model_spec, plan: ShardPlan, mesh: Mesh,
     B = plan.B
     Q_full = jnp.asarray(Q_table)
     prim = jnp.asarray(model_spec.primary_phonon)
-    ph_of_site, ph_mask = _ssh_group_phonons(model_spec, plan)
+    ph_of_site, ph_mask, bond_orig = _ssh_group_phonons(model_spec, plan)
 
     def step_local(params, x, key):
         d = lax.axis_index(plan.axis)
         mulM, mulMT, expmu_loc = _ssh_local_ops(model_spec, plan, params)
+        cplx = params.t_phase is not None
 
         def pdot(a, b):
-            return lax.psum(jnp.sum(a * b), plan.axis)
+            # Re(a†·b) on the complex-hopping path (utils/dtypes.fdot_fast)
+            return lax.psum(jnp.sum(fdot_fast(a, b, axis=(-2, -1))),
+                            plan.axis)
 
         def coeffs_of(x):
+            # (cosh, sinh) of Δτ·t′ with the Peierls phase folded into s —
+            # models/ssh.py:ckb_coeffs without the dense-mode Kd (the sharded
+            # path always runs the halo fold; conj(s) endpoint placement is
+            # applied by _group_coeffs)
             tp = S.hopping_t_prime(model_spec, params, x)
             tp_ckb = jnp.take(tp, jnp.asarray(model_spec.ckb_to_bond), axis=-2)
             arg = dtau * tp_ckb
-            return (jnp.cosh(arg), jnp.sinh(arg))
+            c, sn = jnp.cosh(arg), jnp.sinh(arg)
+            if params.t_phase is not None:
+                ph_ckb = jnp.take(params.t_phase,
+                                  jnp.asarray(model_spec.ckb_to_bond), axis=-1)
+                sn = ph_ckb[:, None] * sn
+                c = c.astype(sn.dtype)
+            return (c, sn)
 
         muldmdx_partial = _ssh_muldmdx_builder(
-            model_spec, plan, ph_of_site, ph_mask, expmu_loc, params)
+            model_spec, plan, ph_of_site, ph_mask, bond_orig, expmu_loc,
+            params)
 
         if kpm_cfg is not None:
             kpm_setup, kpm_make_apply = _kpm_local(
                 plan, kpm_cfg, Ltau, N, x.dtype, plan.axis,
-                _ssh_kpm_ops(plan, expmu_loc))
+                _ssh_kpm_ops(plan, expmu_loc), cplx=cplx)
         else:
             kpm_setup = kpm_make_apply = None
 
         def force(x, key, kst):
             coeffs = coeffs_of(x)
             key, kg = jax.random.split(key)
-            g_full = jax.random.normal(kg, (N, Ltau), dtype=x.dtype)
+            if cplx:
+                # circular complex probes, E[gg†] = I — exactly
+                # utils.dtypes.trace_noise's draw with the same key
+                gg = jax.random.normal(kg, (2, N, Ltau), dtype=x.dtype)
+                half = jnp.asarray(0.5, x.dtype) ** 0.5
+                g_full = (gg[0] + 1j * gg[1]) * half
+            else:
+                g_full = jax.random.normal(kg, (N, Ltau), dtype=x.dtype)
             g = lax.dynamic_slice_in_dim(g_full, d * B, B, axis=0)
 
             def A(v):

@@ -287,15 +287,6 @@ def _run(setup: SimulationSetup, n_chains: int, n_devices: int = 1,
     # ---- step functions
     combined = site_devices > 1 and n_chains > 1
     if site_devices > 1:
-        if model_cplx and setup.model_type == "ssh":
-            # the Holstein sharded closures carry the complex conj(s) halo
-            # convention and are parity-tested; the SSH sharded per-(τ,bond)
-            # tables are not yet — gate rather than risk silent wrongness
-            raise NotImplementedError(
-                "--site-devices with twisted SSH ([ssh] twist): the "
-                "site-sharded SSH checkerboard/force closures are not yet "
-                "validated on the complex path. Run unsharded (complex SSH "
-                "works on the chain mesh) or drop the twist.")
         # spatial lattice sharding: each chain's [N, Lτ] field lives
         # partitioned over the site mesh; measurements/special updates run
         # on the (automatically gathered) global field. With n_chains > 1

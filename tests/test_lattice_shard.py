@@ -1669,3 +1669,238 @@ def test_sharded_hmc_deflation_complex_matches_unsharded():
     Ws = np.asarray(defl_s.W).reshape(k, -1)
     s = np.linalg.svd(Wr @ Ws.conj().T, compute_uv=False)
     assert s.min() > 0.99, s
+
+
+# ---- twisted (complex-hopping) SSH under site sharding ---------------------
+# The former NotImplementedError carve-out: the sharded per-(τ,bond)
+# checkerboard/force closures run the same conj(s) Hermitian convention as
+# the unsharded models/ssh.py path and are parity-tested here against it.
+
+
+def _build_ssh_2d_twisted(L=8, Ltau=8, twist=(0.7, 0.3)):
+    from elphdynamics_tpu.models import ssh as S
+
+    uc = UnitCell.create(2, 1, [[1.0, 0.0], [0.0, 1.0]], [[0.0, 0.0]])
+    lat = Lattice.create(uc, L)
+    spec, params = S.build_ssh(
+        lat, beta=Ltau * 0.1, dtau=0.1,
+        hoppings=[dict(t=1.0, omega=1.0, alpha=0.4, alpha2=0.0,
+                       o1=0, o2=0, dL=(1, 0, 0), name="phx"),
+                  dict(t=1.0, omega=1.2, alpha=0.3, alpha2=0.1,
+                       o1=0, o2=0, dL=(0, 1, 0), name="phy")],
+        mu_assignments=[(-0.2, 0.0, None)],
+        twist=twist,
+        rng=np.random.default_rng(3),
+    )
+    assert params.t_phase is not None
+    return spec, params
+
+
+@pytest.mark.slow
+def test_sharded_ssh_complex_matvecs_and_cg():
+    """Twisted SSH fermion-matrix applies (complex per-(τ,bond) halo fold
+    with conj(s) endpoints) + Re-Hermitian psum CG vs the unsharded complex
+    operators."""
+    from elphdynamics_tpu.models import ssh as S
+    from elphdynamics_tpu.parallel.lattice_shard import make_sharded_ssh_solver
+
+    D = 4
+    assert jax.device_count() >= D
+    spec, params = _build_ssh_2d_twisted()
+    plan = build_shard_plan(spec.ckb, D)
+    mesh = site_mesh(D)
+    solve, mulM_s, mulMT_s = make_sharded_ssh_solver(spec, plan, mesh)
+
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (spec.Nph, spec.Ltau))
+    x = S.tie_fields(spec, x)
+    coeffs = S.ckb_coeffs(spec, params, x)
+    co = (coeffs[0], coeffs[1])
+    kv = jax.random.split(jax.random.PRNGKey(2))
+    v = (jax.random.normal(kv[0], (spec.Nsites, spec.Ltau))
+         + 1j * jax.random.normal(kv[1], (spec.Nsites, spec.Ltau)))
+
+    ref_M = np.asarray(S.mulM(spec, params, coeffs, v))
+    ref_MT = np.asarray(S.mulMT(spec, params, coeffs, v))
+    np.testing.assert_allclose(np.asarray(mulM_s(params, co, v)), ref_M,
+                               atol=1e-11)
+    np.testing.assert_allclose(np.asarray(mulMT_s(params, co, v)), ref_MT,
+                               atol=1e-11)
+    # mulMT is the ADJOINT on the complex path: <Mu, v> = <u, M†v>
+    u = (jax.random.normal(jax.random.PRNGKey(5), v.shape)
+         + 1j * jax.random.normal(jax.random.PRNGKey(6), v.shape))
+    lhs = complex(jnp.sum(jnp.conj(S.mulM(spec, params, coeffs, u)) * v))
+    rhs_ = complex(jnp.sum(jnp.conj(u) * S.mulMT(spec, params, coeffs, v)))
+    assert abs(lhs - rhs_) < 1e-8 * abs(lhs)
+
+    sol, iters = jax.jit(lambda p, c, b: solve(p, c, b, tol=1e-9,
+                                               maxiter=3000))(params, co, v)
+    rhs = S.mulMT(spec, params, coeffs, v)
+    r = S.mulMTM(spec, params, coeffs, sol) - rhs
+    rel = float(jnp.linalg.norm(r) / jnp.linalg.norm(rhs))
+    assert rel < 1e-8, (rel, int(iters))
+    assert len(sol.sharding.device_set) == D
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("use_kpm", [False, True])
+def test_sharded_ssh_complex_hmc_matches_unsharded(use_kpm):
+    """FULL sharded twisted-SSH HMC (TRS pseudofermion packing, complex
+    group-fold muldMdx with endpoint-placed phases, complex KPM) reproduces
+    the unsharded make_hmc_step trajectory with the same key."""
+    from elphdynamics_tpu.dynamics.hmc import HMCConfig, HMCState, make_hmc_step
+    from elphdynamics_tpu.models import ssh as S
+    from elphdynamics_tpu.ops import kpm
+    from elphdynamics_tpu.ops.fourier_accel import build_mass
+    from elphdynamics_tpu.parallel.lattice_shard import make_sharded_ssh_hmc_step
+
+    D = 4
+    assert jax.device_count() >= D
+    spec, params = _build_ssh_2d_twisted(L=8, Ltau=8)
+    ops = make_model_ops(spec)
+    plan = build_shard_plan(spec.ckb, D)
+    mesh = site_mesh(D)
+    mass = build_mass(np.asarray(params.omega), spec.dtau, spec.Ltau,
+                      [dict(omega_min=0.0, omega_max=10.0, mass=0.5)])
+    cfg = HMCConfig(dt=0.1, trajectory_time=0.3, Nb=1, tol=1e-10, maxiter=3000)
+    kcfg = kpm.KPMConfig(max_order=16) if use_kpm else None
+    precond = kpm.make_symmetric_precond(ops, kcfg) if use_kpm else None
+
+    ref_step = jax.jit(make_hmc_step(ops, mass, cfg, precond=precond))
+    sh_step = make_sharded_ssh_hmc_step(spec, plan, mesh, mass, cfg,
+                                        kpm_cfg=kcfg)
+
+    key = jax.random.PRNGKey(31)
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(12), (spec.Nph, spec.Ltau))
+    x = S.tie_fields(spec, x)
+    v = 0.1 * jax.random.normal(jax.random.PRNGKey(13), (spec.Nph, spec.Ltau))
+    v = S.tie_fields(spec, v)
+
+    ref_state, ref_stats, _ = ref_step(params, HMCState(x=x, v=v), key)
+    xs, vs, stats, _ = sh_step(params, x, v, key)
+
+    assert bool(stats["accepted"]) == bool(ref_stats.accepted)
+    assert abs(float(stats["delta_H"]) - float(ref_stats.delta_H)) < 1e-5, (
+        float(stats["delta_H"]), float(ref_stats.delta_H))
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(ref_state.x),
+                               rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.slow
+def test_sharded_ssh_complex_langevin_matches_unsharded():
+    """Twisted-SSH Langevin under site sharding: circular complex trace
+    probes, Re-Hermitian psum CG, complex group-fold force."""
+    from elphdynamics_tpu.dynamics.langevin import make_langevin_step
+    from elphdynamics_tpu.dynamics.solve import SolverConfig
+    from elphdynamics_tpu.models import ssh as S
+    from elphdynamics_tpu.ops.fourier_accel import build_Q
+    from elphdynamics_tpu.parallel.lattice_shard import (
+        make_sharded_ssh_langevin_step)
+
+    D = 4
+    assert jax.device_count() >= D
+    spec, params = _build_ssh_2d_twisted(L=8, Ltau=8)
+    ops = make_model_ops(spec)
+    plan = build_shard_plan(spec.ckb, D)
+    mesh = site_mesh(D)
+    Q = build_Q(np.asarray(params.omega), spec.dtau, spec.Ltau,
+                [dict(omega_min=0.0, omega_max=10.0, mass=0.5)])
+    scfg = SolverConfig(tol=1e-10, maxiter=3000)
+
+    ref_step = jax.jit(make_langevin_step(ops, Q, 0.01, "rk", scfg, None))
+    sh_step = make_sharded_ssh_langevin_step(spec, plan, mesh, Q, 0.01, "rk",
+                                             scfg)
+
+    key = jax.random.PRNGKey(61)
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(17), (spec.Nph, spec.Ltau))
+    x = S.tie_fields(spec, x)
+
+    x_ref, stats_ref, _ = ref_step(params, x, key)
+    x_sh, stats_sh, _ = sh_step(params, x, key)
+
+    np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref),
+                               rtol=1e-7, atol=1e-9)
+    assert int(stats_sh["flag"]) == 0
+
+
+@pytest.mark.slow
+def test_sharded_ssh_complex_greens_matches_unsharded():
+    """Twisted-SSH estimator sampling: same circular complex probes (key
+    parity) and tolerance-ball solutions as measure.greens.sample_greens."""
+    from elphdynamics_tpu.dynamics.solve import SolverConfig
+    from elphdynamics_tpu.measure import greens as G
+    from elphdynamics_tpu.models import ssh as S
+    from elphdynamics_tpu.models.adapter import make_model_ops as mmo
+    from elphdynamics_tpu.parallel.lattice_shard import (
+        make_sharded_ssh_greens_sampler)
+
+    D = 4
+    assert jax.device_count() >= D
+    spec, params = _build_ssh_2d_twisted()
+    ops = mmo(spec)
+    plan = build_shard_plan(spec.ckb, D)
+    mesh = site_mesh(D)
+    nv = 3
+    scfg = SolverConfig(tol=1e-7, maxiter=3000)
+    sampler = make_sharded_ssh_greens_sampler(spec, plan, mesh, nv, scfg)
+
+    key = jax.random.PRNGKey(7)
+    x = S.tie_fields(spec, 0.2 * jax.random.normal(
+        jax.random.PRNGKey(8), (spec.Nph, spec.Ltau)))
+    R, MinvR, iters, flag, key_out = sampler(params, x, key)
+    gd, key_ref = G.sample_greens(ops, params, x, key, nv, scfg, None)
+    assert jnp.iscomplexobj(R) and jnp.iscomplexobj(MinvR)
+    np.testing.assert_allclose(np.asarray(R), np.asarray(gd.R), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(key_out), np.asarray(key_ref))
+    assert int(flag) == 0
+    np.testing.assert_allclose(np.asarray(MinvR), np.asarray(gd.MinvR),
+                               atol=2e-5)
+    assert len(MinvR.sharding.device_set) == D
+
+
+@pytest.mark.slow
+def test_site_sharded_twisted_ssh_driver_matches_unsharded(tmp_path):
+    """`--site-devices` with TWISTED SSH ([ssh] twist — the former
+    NotImplementedError carve-out): the production driver reproduces the
+    single-device twisted run's measurement bins."""
+    import copy
+    import os
+
+    from elphdynamics_tpu.simulation import simulate
+    from test_simulation_driver import BASE_CFG
+
+    cfg = copy.deepcopy(BASE_CFG)
+    cfg["lattice"]["L"] = 4  # 16 sites over 4 shards
+    cfg.pop("holstein")
+    cfg["ssh"] = {
+        "beta": 1.0, "dtau": 0.1, "twist": [0.7, 0.3],
+        "hopping": [{"t_avg": 1.0, "alpha_avg": 0.2, "omega_avg": 0.5,
+                     "orbits": [1, 1], "dL": [1, 0, 0], "name": "x"},
+                    {"t_avg": 1.0, "alpha_avg": 0.2, "omega_avg": 0.5,
+                     "orbits": [1, 1], "dL": [0, 1, 0], "name": "y"}],
+        "mu": [{"orbit": [1], "val": 0.0}],
+    }
+    cfg["hmc"]["burnin_updates"] = 2
+    cfg["hmc"]["simulation_updates"] = 4
+    cfg["hmc"].pop("reflection_update")
+    cfg["hmc"].pop("swap_update", None)
+    cfg["simulation"]["num_bins"] = 2
+    cfg["simulation"]["write_M_matrix"] = False
+
+    folders = {}
+    for sub, sd in (("one", 1), ("site", 4)):
+        cfg["simulation"]["filepath"] = str(tmp_path / sub)
+        os.makedirs(str(tmp_path / sub), exist_ok=True)
+        stats = simulate(cfg, site_devices=sd)
+        assert 0.0 <= stats["acceptance_rate"] <= 1.0
+        folders[sub] = os.path.join(str(tmp_path / sub), "testrun-1")
+
+    for b in (1, 2):
+        f1 = os.path.join(folders["one"], "global_measurements_f",
+                          f"global_measurements_{b:05d}.out")
+        f8 = os.path.join(folders["site"], "global_measurements_f",
+                          f"global_measurements_{b:05d}.out")
+        g1 = {l.split()[0]: float(l.split()[1]) for l in open(f1)}
+        g8 = {l.split()[0]: float(l.split()[1]) for l in open(f8)}
+        for k in g1:
+            assert abs(g1[k] - g8[k]) < 1e-5 * (1.0 + abs(g1[k])), \
+                (b, k, g1[k], g8[k])
