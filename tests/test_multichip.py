@@ -132,6 +132,14 @@ def test_sharded_checkpoint_resume(tmp_path):
     st = ckpt.load_checkpoint(folder)
     assert st["counters"]["sim_start"] == 4
     st["counters"]["sim_start"] = 2  # rewind into the middle of bin 2
+    # checkpointed sim_stats are RAW accumulating counters consistent with
+    # (burnin_start, sim_start) — rewinding the counter alone would make the
+    # resume double-count the replayed window, so scale the per-update sums
+    # down to the rewound coverage (4 of 6 updates)
+    for k in ("iters", "acceptance_rate", "reflect_acceptance_rate",
+              "swap_acceptance_rate"):
+        if k in st["sim_stats"]:
+            st["sim_stats"][k] *= 4.0 / 6.0
     setup = build_setup(cfg, folder)
     ckpt.save_checkpoint(
         folder, x=st["x"], v=st["v"], key=st["key"],
