@@ -128,68 +128,54 @@ def _spin_stack(a, b):
     return jnp.stack([a, b], axis=0)
 
 
-# --- warm-start history ring buffer -----------------------------------------
+# --- warm-start history (rotated buffer tuple) ------------------------------
 #
 # The trajectory scan needs the previous `guess_order` solutions for the
-# polynomial warm-start extrapolation. Carrying them as separate scan
-# buffers and rotating with masked `jnp.where` copies makes XLA materialise
-# every rotation (while-loop carries alias positionally, so a permutation is
-# real HBM copies — at 64×64 that is ~4×21 MB of writes per leapfrog step,
-# the top self-time bucket of the round-5 op profile). A [H, ...] ring
-# written with one dynamic_update_slice keeps one write per step; the
-# extrapolation reads are dynamic slices that XLA fuses into the arithmetic.
-# The guess expressions are kept literally identical to the unrolled forms
-# so healthy-run trajectories are bit-exact with the rotation code.
+# polynomial warm-start extrapolation, carried as a tuple of exactly
+# H = clamp(order, 1, 4) buffers rotated with masked `jnp.where` copies each
+# step (newest first). A dynamic_update_slice ring buffer was measured as the
+# alternative (round 5): one write per step instead of H rotation copies, but
+# the 4 dynamic-slice reads it adds cost 4-6% end-to-end in the latency-bound
+# 8×8 regime (4224 → 4079 sweeps/s) while the rotation traffic it saves is
+# noise at 64×64 (9.3 sweeps/s both ways — the copies are ~0.3 ms against a
+# 41 ms trajectory step). The rotation form wins or ties everywhere; what the
+# round-5 pass kept is sizing H to the order actually used (the previous code
+# always carried and rotated 4 buffers, and a single one when warm starts are
+# off).
 
-def _zhist_size(order: int) -> int:
+def zhist_size(order: int) -> int:
     return max(1, min(int(order), 4))
 
 
 def zhist_init(z0, order: int):
-    """Ring of H = clamp(order, 1, 4) slots, all seeded with ``z0`` (the
-    update's endpoint solution), plus the int32 position counter."""
-    H = _zhist_size(order)
-    return jnp.stack([z0] * H, axis=0), jnp.asarray(0, jnp.int32)
+    """History tuple of H = clamp(order, 1, 4) buffers, newest first, all
+    seeded with ``z0`` (the update's endpoint solution)."""
+    return (z0,) * zhist_size(order)
 
 
-def zhist_last(hist, idx):
+def zhist_last(hist):
     """Most recent solution (the plain ``z_prev`` warm start)."""
-    H = hist.shape[0]
-    return lax.dynamic_index_in_dim(hist, idx % H, axis=0, keepdims=False)
+    return hist[0]
 
 
-def zhist_guess(hist, idx, order: int):
+def zhist_guess(hist, order: int):
     """Polynomial forward extrapolation (binomial coefficients of Δ^k
-    applied at the next node) over the ring's newest ``order`` entries."""
-    H = hist.shape[0]
-    p = idx % H
-    zp = lax.dynamic_index_in_dim(hist, p, axis=0, keepdims=False)
+    applied at the next node) over the newest ``order`` entries."""
     if order <= 1:
-        return zp
-    zp2 = lax.dynamic_index_in_dim(hist, (p + H - 1) % H, axis=0,
-                                   keepdims=False)
+        return hist[0]
     if order == 2:
-        return 2.0 * zp - zp2
-    zp3 = lax.dynamic_index_in_dim(hist, (p + H - 2) % H, axis=0,
-                                   keepdims=False)
+        return 2.0 * hist[0] - hist[1]
     if order == 3:
-        return 3.0 * zp - 3.0 * zp2 + zp3
-    zp4 = lax.dynamic_index_in_dim(hist, (p + H - 3) % H, axis=0,
-                                   keepdims=False)
-    return 4.0 * zp - 6.0 * zp2 + 4.0 * zp3 - zp4
+        return 3.0 * hist[0] - 3.0 * hist[1] + hist[2]
+    return 4.0 * hist[0] - 6.0 * hist[1] + 4.0 * hist[2] - hist[3]
 
 
-def zhist_push(hist, idx, z, ok):
-    """Append ``z`` (masked by the per-chain liveness scalar ``ok``:
-    failed trajectories keep the slot's stale content, matching the old
-    frozen-rotation semantics in the only way that matters — finite guesses
-    on dead chains). The counter advances unconditionally so it stays a
-    trace-level scalar under chain vmap."""
-    H = hist.shape[0]
-    slot = (idx + 1) % H
-    old = lax.dynamic_index_in_dim(hist, slot, axis=0, keepdims=True)
-    new = jnp.where(ok, z[None], old)
-    return lax.dynamic_update_slice_in_dim(hist, new, slot, axis=0), idx + 1
+def zhist_push(hist, z, ok):
+    """Masked rotation: live chains shift ``z`` in as the newest entry;
+    failed trajectories (``ok`` False) freeze the whole history — their
+    solves are discarded on auto-reject, only finiteness matters."""
+    return tuple(jnp.where(ok, new, old)
+                 for new, old in zip((z,) + hist[:-1], hist))
 
 
 def make_hmc_step(
@@ -399,7 +385,7 @@ def make_hmc_step(
             return qf(dS), z, it, fl, Lphi_x
 
         def body(carry, _):
-            x, v, QdSdx, hist, hidx, iters, flag = carry
+            x, v, QdSdx, hist, iters, flag = carry
             ok = flag == 0
             v1 = v - dt / 2 * QdSdx
             if cfg.Nb == 1:
@@ -408,7 +394,7 @@ def make_hmc_step(
                 x1, v1 = boson_substeps(x, v1)
             d1 = ops.derived(params, x1)
             Lphi1, _ = lam_phi(params, x1, phi)
-            guess = zhist_guess(hist, hidx, g_ord)
+            guess = zhist_guess(hist, g_ord)
             z1, it1, fl1 = solve_O(params, x1, d1, Lphi1, tol1, pstate,
                                    z_guess=guess, defl=defl)
             dS1 = forces(params, x1, d1, phi, z1)
@@ -418,7 +404,7 @@ def make_hmc_step(
             x = jnp.where(ok, x1, x)
             v = jnp.where(ok, v1, v)
             QdSdx = jnp.where(ok, Qd1, QdSdx)
-            hist, hidx = zhist_push(hist, hidx, z1, ok)
+            hist = zhist_push(hist, z1, ok)
             iters = iters + jnp.where(ok, it1, 0)
             flag = jnp.maximum(flag, jnp.where(ok, fl1, 0))
             if cfg.log_verbose:
@@ -429,7 +415,7 @@ def make_hmc_step(
                 ys = (S_t + K_t, S_t, K_t, it1)
             else:
                 ys = None
-            return (x, v, QdSdx, hist, hidx, iters, flag), ys
+            return (x, v, QdSdx, hist, iters, flag), ys
 
         # Omelyan 2nd-order minimum-norm coefficient (hep-lat/0506011 §2)
         LAM_2MN = 0.1931833275037836
@@ -440,18 +426,18 @@ def make_hmc_step(
             dt/2 spacing, so the polynomial warm-start chain applies
             unchanged; boundary λ-kicks of adjacent steps use the same
             carried force, exactly as the leapfrog body carries QdSdx."""
-            x, v, QdSdx, hist, hidx, iters, flag = carry
+            x, v, QdSdx, hist, iters, flag = carry
             ok = flag == 0
             v1 = v - LAM_2MN * dt * QdSdx
             x1, v1 = drift(x, v1, dt / 2)
             Qd_m, z_m, it_m, fl_m, _ = force_at(
-                x1, zhist_guess(hist, hidx, g_ord))
-            hist, hidx = zhist_push(hist, hidx, z_m, ok)
+                x1, zhist_guess(hist, g_ord))
+            hist = zhist_push(hist, z_m, ok)
             v1 = v1 - (1.0 - 2.0 * LAM_2MN) * dt * Qd_m
             x1, v1 = drift(x1, v1, dt / 2)
             Qd_e, z_e, it_e, fl_e, Lphi_e = force_at(
-                x1, zhist_guess(hist, hidx, g_ord))
-            hist, hidx = zhist_push(hist, hidx, z_e, ok)
+                x1, zhist_guess(hist, g_ord))
+            hist = zhist_push(hist, z_e, ok)
             v1 = v1 - LAM_2MN * dt * Qd_e
             it1 = it_m + it_e
             fl1 = jnp.maximum(fl_m, fl_e)
@@ -466,7 +452,7 @@ def make_hmc_step(
                 ys = (S_t + K_t, S_t, K_t, it1)
             else:
                 ys = None
-            return (x, v, QdSdx, hist, hidx, iters, flag), ys
+            return (x, v, QdSdx, hist, iters, flag), ys
 
         if cfg.integrator == "leapfrog":
             traj_body = body
@@ -476,12 +462,12 @@ def make_hmc_step(
             raise ValueError(f"unknown integrator {cfg.integrator!r} "
                              "(expected 'leapfrog' or '2mn')")
 
-        hist0, hidx0 = zhist_init(z0, g_ord)
-        (x1, v1, _, hist1, hidx1, iters, flag), traj = lax.scan(
-            traj_body, (x0, v0, QdSdx0, hist0, hidx0, it0, flag0), None,
+        hist0 = zhist_init(z0, g_ord)
+        (x1, v1, _, hist1, iters, flag), traj = lax.scan(
+            traj_body, (x0, v0, QdSdx0, hist0, it0, flag0), None,
             length=cfg.Nt
         )
-        z_last = zhist_last(hist1, hidx1)
+        z_last = zhist_last(hist1)
 
         # --- final endpoint solve (tol²) + Metropolis (HMC.jl:431-472)
         d1 = ops.derived(params, x1)

@@ -970,7 +970,7 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
             return x, v
 
         def body(carry, _):
-            x, v, Qd, hist, hidx, iters, flag = carry
+            x, v, Qd, hist, iters, flag = carry
             ok = flag == 0
             v1 = v - dt / 2 * Qd
             if cfg.Nb == 1:
@@ -980,10 +980,9 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
             env1 = env_of(x1)
             Lam1 = calc_Lam(x1)
             Lphi1 = mulLambda(Lam1, phi)
-            # warm-start extrapolation over the ring-buffer history
-            # (hmc.py's zhist_* — one dynamic_update_slice write per step
-            # instead of rotating the z buffers through masked copies)
-            guess = (_hmc.zhist_guess(hist, hidx, g_ord) if use_guess
+            # warm-start extrapolation over the rotated history tuple
+            # (hmc.py's zhist_*)
+            guess = (_hmc.zhist_guess(hist, g_ord) if use_guess
                      else None)
             z1, it1, fl1 = solve_O(env1, Lphi1, tol1, kst, x0=guess,
                                    defl=defl)
@@ -992,7 +991,7 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
             x = jnp.where(ok, x1, x)
             v = jnp.where(ok, v1, v)
             Qd = jnp.where(ok, Qd1, Qd)
-            hist, hidx = _hmc.zhist_push(hist, hidx, z1, ok)
+            hist = _hmc.zhist_push(hist, z1, ok)
             iters = iters + jnp.where(ok, it1, 0)
             flag = jnp.maximum(flag, jnp.where(ok, fl1, 0))
             if cfg.log_verbose:
@@ -1003,13 +1002,13 @@ def make_sharded_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
                 ys = (S_t + K_t, S_t, K_t, it1)
             else:
                 ys = None
-            return (x, v, Qd, hist, hidx, iters, flag), ys
+            return (x, v, Qd, hist, iters, flag), ys
 
-        hist0, hidx0 = _hmc.zhist_init(z0, g_ord if use_guess else 1)
-        (x1, v1, _, hist1, hidx1, iters, flag), traj = lax.scan(
-            body, (x_loc, v0, Qd0, hist0, hidx0, it0, flag0), None,
+        hist0 = _hmc.zhist_init(z0, g_ord if use_guess else 1)
+        (x1, v1, _, hist1, iters, flag), traj = lax.scan(
+            body, (x_loc, v0, Qd0, hist0, it0, flag0), None,
             length=Nt)
-        z_last = _hmc.zhist_last(hist1, hidx1)
+        z_last = _hmc.zhist_last(hist1)
 
         env1 = env_of(x1)
         Lphi1, z1, S1, it2, fl2 = S_and_z(x1, env1, tol2, x0=z_last)
@@ -1660,7 +1659,7 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
             return x, v
 
         def body(carry, _):
-            x, v, Qd, hist, hidx, iters, flag = carry
+            x, v, Qd, hist, iters, flag = carry
             ok = flag == 0
             v1 = v - dt / 2 * Qd
             if cfg.Nb == 1:
@@ -1668,9 +1667,9 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
             else:
                 x1, v1 = boson_substeps(x, v1)
             coeffs1 = coeffs_of(x1)
-            # ring-buffer warm-start history (hmc.py zhist_*; one
-            # dynamic_update_slice write per step, no rotation copies)
-            guess = (_hmc.zhist_guess(hist, hidx, g_ord) if use_guess
+            # warm-start extrapolation over the rotated history tuple
+            # (hmc.py's zhist_*)
+            guess = (_hmc.zhist_guess(hist, g_ord) if use_guess
                      else None)
             z1, it1, fl1 = solve_O(coeffs1, phi, tol1, kst, x0=guess,
                                    defl=defl)
@@ -1679,7 +1678,7 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
             x = jnp.where(ok, x1, x)
             v = jnp.where(ok, v1, v)
             Qd = jnp.where(ok, Qd1, Qd)
-            hist, hidx = _hmc.zhist_push(hist, hidx, z1, ok)
+            hist = _hmc.zhist_push(hist, z1, ok)
             iters = iters + jnp.where(ok, it1, 0)
             flag = jnp.maximum(flag, jnp.where(ok, fl1, 0))
             if cfg.log_verbose:
@@ -1688,12 +1687,12 @@ def make_sharded_ssh_hmc_step(model_spec, plan: ShardPlan, mesh: Mesh,
                 ys = (S_t + K_t, S_t, K_t, it1)
             else:
                 ys = None
-            return (x, v, Qd, hist, hidx, iters, flag), ys
+            return (x, v, Qd, hist, iters, flag), ys
 
-        hist0, hidx0 = _hmc.zhist_init(z0, g_ord if use_guess else 1)
-        (x1, v1, _, hist1, hidx1, iters, flag), traj = lax.scan(
-            body, (x, v0, Qd0, hist0, hidx0, it0, flag0), None, length=Nt)
-        z_last = _hmc.zhist_last(hist1, hidx1)
+        hist0 = _hmc.zhist_init(z0, g_ord if use_guess else 1)
+        (x1, v1, _, hist1, iters, flag), traj = lax.scan(
+            body, (x, v0, Qd0, hist0, it0, flag0), None, length=Nt)
+        z_last = _hmc.zhist_last(hist1)
 
         coeffs1 = coeffs_of(x1)
         z1, S1, it2, fl2 = S_of(x1, coeffs1, tol2, x0=z_last)

@@ -265,15 +265,14 @@ def test_hmc_2mn_single_site_matches_ed():
     assert abs((xh ** 2).mean() - ed["x2"]) < 0.06, ((xh ** 2).mean(), ed["x2"])
 
 
-def test_zhist_ring_matches_rotation_oracle():
-    """The warm-start ring buffer (hmc.zhist_*) must reproduce the
-    unrolled buffer-rotation semantics it replaced: same extrapolated
-    guess at every step for every order, and frozen (finite, stale)
-    slots once the liveness mask drops."""
-    import jax
+def test_zhist_rotation_matches_unrolled_oracle():
+    """The warm-start history tuple (hmc.zhist_*) must reproduce the
+    unrolled buffer-rotation semantics: same extrapolated guess at every
+    step for every order, newest-first ordering, and a fully frozen
+    history once the liveness mask drops."""
     import jax.numpy as jnp
     from elphdynamics_tpu.dynamics.hmc import (
-        zhist_guess, zhist_init, zhist_last, zhist_push)
+        zhist_guess, zhist_init, zhist_last, zhist_push, zhist_size)
 
     rng = np.random.default_rng(7)
     z0 = jnp.asarray(rng.normal(size=(2, 5, 3)).astype(np.float32))
@@ -281,9 +280,9 @@ def test_zhist_ring_matches_rotation_oracle():
           for _ in range(11)]
 
     for order in (1, 2, 3, 4):
-        hist, idx = zhist_init(z0, order)
-        # oracle: explicit buffers, newest first
-        buf = [z0, z0, z0, z0]
+        hist = zhist_init(z0, order)
+        assert len(hist) == zhist_size(order) == max(1, min(order, 4))
+        buf = [z0, z0, z0, z0]  # oracle: explicit buffers, newest first
 
         def oracle_guess():
             zp, zp2, zp3, zp4 = buf
@@ -295,28 +294,13 @@ def test_zhist_ring_matches_rotation_oracle():
                 return 2.0 * zp - zp2
             return zp
 
-        live_entries = None
         for step, z in enumerate(zs):
-            if step <= 5:
-                # live phase: the ring's guess must equal the unrolled
-                # rotation's, bit for bit, and zhist_last is the newest z
-                g_ring = zhist_guess(hist, idx, order)
-                np.testing.assert_array_equal(np.asarray(g_ring),
-                                              np.asarray(oracle_guess()))
-                np.testing.assert_array_equal(
-                    np.asarray(zhist_last(hist, idx)), np.asarray(buf[0]))
-            else:
-                # dead phase: slots must stay frozen (masked pushes write
-                # nothing) so every guess is a finite combination of stale
-                # live-phase entries — dead chains auto-reject, so only
-                # finiteness matters
-                np.testing.assert_array_equal(np.asarray(hist),
-                                              live_entries)
-                assert np.all(np.isfinite(
-                    np.asarray(zhist_guess(hist, idx, order))))
+            np.testing.assert_array_equal(
+                np.asarray(zhist_guess(hist, order)),
+                np.asarray(oracle_guess()))
+            np.testing.assert_array_equal(np.asarray(zhist_last(hist)),
+                                          np.asarray(buf[0]))
             ok = jnp.asarray(step < 5)  # freeze after 5 live steps
-            hist, idx = zhist_push(hist, idx, z, ok)
-            if step < 5:
+            hist = zhist_push(hist, z, ok)
+            if step < 5:  # the oracle freezes identically
                 buf = [z] + buf[:3]
-            if step == 5:
-                live_entries = np.asarray(hist)
