@@ -136,8 +136,38 @@ def _avg_operator(ops: ModelOps, params, derived):
 
 # densify the averaged hopping exponential up to this many sites: ~50
 # Chebyshev steps per solve then run as single MXU matmuls instead of
-# ngroups gather+FMA fold passes
+# ngroups gather+FMA fold passes. On TPU backends with the fused Pallas
+# fold available (real hopping), the dense gate drops to 2048: the
+# round-5 on-chip A/B at 64×64 (N=4096) measured the Chebyshev pair as
+# ~21% of step self-time on dense-bf16 matmuls; the Pallas fold takes
+# the whole step 9.3 → 12.7 sweeps/s (µs/CG-iter 5784 → 4250). The XLA
+# group fold is NOT a usable middle ground — routing the recurrence
+# through it at N=4096 measured 1.7 sweeps/s (gather-lowered folds, the
+# same reason the fermion operator needed ops/ckb_pallas.py) — so
+# complex-hopping and CPU builds keep densifying up to 4096.
 _DENSE_ABAR_MAX_SITES = 4096
+_PALLAS_ABAR_MIN_SITES = 2048
+
+
+def _pallas_fold_available(sinh_bar) -> bool:
+    """True when the KPM Ā fold can run the fused Pallas kernel: TPU
+    backend, kernel importable, real hopping (the complex conj(s) tables
+    are not wired into the Pallas fold)."""
+    from elphdynamics_tpu.ops.ckb_pallas import HAS_PALLAS
+    if not HAS_PALLAS or jnp.iscomplexobj(sinh_bar):
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _dense_abar_gate(nsites: int, sinh_bar) -> bool:
+    """Densify Ā below the gate; above it the Pallas fold carries the
+    Chebyshev recurrence (see _DENSE_ABAR_MAX_SITES comment)."""
+    if _pallas_fold_available(sinh_bar) and nsites > _PALLAS_ABAR_MIN_SITES:
+        return False
+    return nsites <= _DENSE_ABAR_MAX_SITES
 
 
 def _dense_avg(ops: ModelOps, cosh_bar, sinh_bar):
@@ -159,11 +189,18 @@ def _dense_avg(ops: ModelOps, cosh_bar, sinh_bar):
 _PRECOND_PRECISION = jax.lax.Precision.DEFAULT
 
 
+def _use_pallas_fold(st, spec_ckb):
+    return _pallas_fold_available(st.sinh_bar)
+
+
 def _mulA(st: "KPMState", spec_ckb, v):
     """Ā·v = exp(−Δτ·K̄)·exp(−Δτ·V̄)·v on [..., N, K] single-slice blocks."""
     w = st.expnV_bar[:, None] * v
     if st.expK is not None:
         return jnp.einsum("ij,...jk->...ik", st.expK.astype(v.dtype), w, precision=_PRECOND_PRECISION)
+    if _use_pallas_fold(st, spec_ckb):
+        from elphdynamics_tpu.ops import ckb_pallas
+        return ckb_pallas.ckb_mul(spec_ckb, st.cosh_bar, st.sinh_bar, w)
     return ckb.ckb_mul(spec_ckb, st.cosh_bar, st.sinh_bar, w)
 
 
@@ -175,6 +212,9 @@ def _mulA_T(st: "KPMState", spec_ckb, v):
     if st.expK is not None:
         K = jnp.conj(st.expK) if jnp.iscomplexobj(st.expK) else st.expK
         w = jnp.einsum("ji,...jk->...ik", K.astype(v.dtype), v, precision=_PRECOND_PRECISION)
+    elif _use_pallas_fold(st, spec_ckb):
+        from elphdynamics_tpu.ops import ckb_pallas
+        w = ckb_pallas.ckb_transpose_mul(spec_ckb, st.cosh_bar, st.sinh_bar, v)
     else:
         w = ckb.ckb_transpose_mul(spec_ckb, st.cosh_bar, st.sinh_bar, v)
     return st.expnV_bar[:, None] * w
@@ -184,6 +224,9 @@ def _mulA_inv(st: "KPMState", spec_ckb, v):
     """Ā⁻¹·v (KPMPreconditioners.jl:406-420)."""
     if st.expK_inv is not None:
         w = jnp.einsum("ij,...jk->...ik", st.expK_inv.astype(v.dtype), v, precision=_PRECOND_PRECISION)
+    elif _use_pallas_fold(st, spec_ckb):
+        from elphdynamics_tpu.ops import ckb_pallas
+        w = ckb_pallas.ckb_inverse_mul(spec_ckb, st.cosh_bar, st.sinh_bar, v)
     else:
         w = ckb.ckb_inverse_mul(spec_ckb, st.cosh_bar, st.sinh_bar, v)
     return w / st.expnV_bar[:, None]
@@ -389,7 +432,8 @@ def setup(ops: ModelOps, params, x, cfg: KPMConfig, key) -> KPMState:
     dense = ops.is_holstein and getattr(ops.spec, "dense_ckb", False)
     expK = params.expK if dense else None
     expK_inv = params.expK_inv if dense else None
-    if expK is None and 0 < sc.nbonds and ops.Nsites <= _DENSE_ABAR_MAX_SITES:
+    if expK is None and 0 < sc.nbonds and _dense_abar_gate(ops.Nsites,
+                                                            sinh_bar):
         # no constant dense matrix from the model (SSH / fold-mode Holstein):
         # densify the *averaged* hopping exponential on-device
         expK, expK_inv = _dense_avg(ops, cosh_bar, sinh_bar)
