@@ -125,6 +125,95 @@ def fold_2d(spec: CheckerboardSpec, cosh_b, sinh_b, v2d, *,
     return out.T
 
 
+def _fold_fused_kernel(mask_ref, c_ref, s_ref, pre_ref, post_ref, abc_ref,
+                       v_ref, *rest, offsets, use_prev):
+    """Fold + affine epilogue on a ``[tk, N]`` block:
+
+        o = a·(post ⊙ fold(pre ⊙ v)) + b·v + c·prev
+
+    — the Chebyshev recurrence step of the KPM preconditioner in ONE pass
+    (``prev`` optional). XLA cannot fuse elementwise producers/consumers
+    into a pallas_call, so without this every recurrence step materialises
+    the scale/combine as separate HBM passes (measured ~30% of 64×64 HMC
+    step self-time, profile round 5)."""
+    if use_prev:
+        prev_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
+    v_in = v_ref[:]
+    v = v_in * pre_ref[0, :][None, :]
+    G, n_off = offsets.shape
+    N = v.shape[1]
+    for g in range(G):
+        vp = jnp.zeros_like(v)
+        for k in range(n_off):
+            d = int(offsets[g, k])
+            if d == 0:
+                continue
+            vp = vp + mask_ref[g, k, :][None, :] * pltpu.roll(v, (-d) % N, axis=1)
+        v = c_ref[g, :][None, :] * v + s_ref[g, :][None, :] * vp
+    v = v * post_ref[0, :][None, :]
+    a = abc_ref[0, 0]
+    b = abc_ref[0, 1]
+    o = a * v + b * v_in
+    if use_prev:
+        o = o + abc_ref[0, 2] * prev_ref[:]
+    o_ref[:] = o
+
+
+def fold_kn_fused(spec: CheckerboardSpec, cosh_b, sinh_b, vkn, *,
+                  reverse: bool = False, sign: float = 1.0,
+                  pre=None, post=None, a=1.0, b=0.0, c=0.0, prev=None,
+                  tile_k: int = 512, interpret: bool = False):
+    """``a·(post⊙fold(pre⊙v)) + b·v + c·prev`` on a ``[K, N]`` block (sites
+    already on lanes — the caller keeps the whole recurrence in this layout
+    and transposes once at entry/exit instead of per fold). ``pre``/``post``
+    are optional per-site [N] diagonals (the averaged exp(−Δτ·V̄) factor of
+    the KPM Ā); ``a``/``b``/``c`` may be traced scalars."""
+    offsets, mask, cg, sg = _site_tables(spec, cosh_b, sinh_b, reverse, sign)
+    K, N = vkn.shape
+    dt = vkn.dtype
+    ones = jnp.ones((1, N), dt)
+    pre2 = ones if pre is None else jnp.asarray(pre, dt).reshape(1, N)
+    post2 = ones if post is None else jnp.asarray(post, dt).reshape(1, N)
+    abc = jnp.stack([jnp.asarray(a, dt), jnp.asarray(b, dt),
+                     jnp.asarray(c, dt)]).reshape(1, 3)
+    use_prev = prev is not None
+    # per-tile VMEM footprint: in/out (double-buffered ×2 each) + prev (×2)
+    # + the vp/v temporaries — ~9 blocks with prev, ~7 without
+    budget = 12 * 2 ** 20
+    blocks = 9 if use_prev else 7
+    tk_max = max(8, (budget // (blocks * 4 * N)) // 8 * 8)
+    tk = min(tile_k, K, tk_max)
+    grid = (pl.cdiv(K, tk),)
+    G, n_off = offsets.shape
+    in_specs = [
+        pl.BlockSpec((G, n_off, N), lambda k: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, N), lambda k: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, N), lambda k: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, N), lambda k: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, N), lambda k: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3), lambda k: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((tk, N), lambda k: (k, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [jnp.asarray(mask, dt), cg.astype(dt), sg.astype(dt),
+            pre2, post2, abc, vkn]
+    if use_prev:
+        in_specs.append(pl.BlockSpec((tk, N), lambda k: (k, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(prev)
+    return pl.pallas_call(
+        partial(_fold_fused_kernel, offsets=offsets, use_prev=use_prev),
+        out_shape=jax.ShapeDtypeStruct((K, N), dt),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tk, N), lambda k: (k, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*args)
+
+
 def _to_2d(v):
     """[..., N, L] -> ([N, B·L], restore) moving batch axes into lanes."""
     lead = v.shape[:-2]

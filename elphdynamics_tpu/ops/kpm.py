@@ -581,7 +581,13 @@ def _chebyshev_apply_stacked(ops: ModelOps, st: KPMState, w, coeff,
     einsum decomposes into. At large N the Chebyshev matmuls are HBM-bound
     on re-reading Ā (BASELINE.md §profile) — doubling the columns per read
     doubles their arithmetic intensity; only the coefficient combine needs
-    the complex structure, and that is elementwise."""
+    the complex structure, and that is elementwise.
+
+    On the Pallas-fold path (N above the dense gate) each ``mul`` is the
+    fused fold kernel with per-fold layout transposes and the recurrence
+    arithmetic as XLA elementwise — measured FASTER than the fully-fused
+    variant (:func:`_chebyshev_apply_stacked_pallas`, kept as a validated
+    negative: 12.7 vs 10.3-11.5 sweeps/s at 64×64; see BASELINE.md)."""
     sc = ops.spec.ckb
     mul = _mulA_T if transposed else _mulA
 
@@ -602,6 +608,82 @@ def _chebyshev_apply_stacked(ops: ModelOps, st: KPMState, w, coeff,
     M = coeff.shape[0]
     out, _, _ = jax.lax.fori_loop(1, M, body, (out, u_nm1, u_n))
     return out
+
+
+def _chebyshev_apply_stacked_pallas(ops: ModelOps, st: KPMState, w, coeff,
+                                    transposed: bool, interpret: bool = False):
+    """Stacked-real Chebyshev recurrence on the fused Pallas fold
+    (ops/ckb_pallas.py:fold_kn_fused).
+
+    **Measured negative, not wired in** (round 5): on-chip at 64×64 this
+    fully-fused form runs 10.3-11.5 sweeps/s against 12.7 for the per-fold
+    kernel + XLA elementwise — the fold kernel is VPU-bound, not
+    HBM-bound, so the extra operands shrink the pipeline tile and the
+    saved elementwise passes (which XLA overlaps with the next kernel
+    anyway) do not pay for it. Kept interpret-tested for the record; the
+    structural ideas:
+
+    * the whole recurrence lives in the kernel's native [K, N] lanes-on-
+      sites layout — ONE transpose at entry and exit instead of three per
+      fold;
+    * each recurrence step u_{n+1} = 2·Ap(u_n) − u_{n−1} (with Ap's
+      spectral-window affine map and the exp(−Δτ·V̄) diagonal) is ONE
+      kernel launch: the diagonal rides the kernel's pre/post scale and the
+      affine combine its a/b/c epilogue. Only the per-ω coefficient
+      accumulation stays outside (a fused row-sliced elementwise).
+    """
+    from elphdynamics_tpu.ops.ckb_pallas import fold_kn_fused
+
+    sc = ops.spec.ckb
+    lead = w.shape[:-2]
+    N, L = w.shape[-2:]
+    B = int(np.prod(lead)) if lead else 1
+    wkn = w.reshape((B, N, L)).swapaxes(-1, -2).reshape(B * L, N)
+    # Ā = expK̄·diag(expnV̄): the diagonal multiplies BEFORE the fold for Ā,
+    # AFTER the reversed fold for Āᵀ (ops/kpm.py:_mulA/_mulA_T)
+    pre = None if transposed else st.expnV_bar
+    post = st.expnV_bar if transposed else None
+    inv_mag = 1.0 / st.lam_mag
+    shift = st.lam_avg / st.lam_mag
+
+    def Ap_f(u, a_mul, prev, c):
+        # a_mul·Ap(u) (+ c·prev outside): Ap(u) = inv_mag·(post⊙fold(pre⊙u))
+        # − shift·u; the diagonal + affine ride the kernel epilogue, the
+        # prev combine stays an XLA elementwise (measured: fusing prev into
+        # the kernel shrinks the tile and loses more than the saved pass)
+        o = fold_kn_fused(sc, st.cosh_bar, st.sinh_bar, u,
+                          reverse=transposed, pre=pre, post=post,
+                          a=a_mul * inv_mag, b=-a_mul * shift,
+                          interpret=interpret)
+        if prev is None:
+            return o
+        return o + c * prev
+
+    Lw = L // 2
+
+    def cmul_kn(cm, ukn):
+        # per-ω complex coefficient combine on the [K, N] layout: the ω
+        # halves are row blocks [B, 2, Lw, N]
+        u4 = ukn.reshape(B, 2, Lw, N)
+        cr = jnp.real(cm).astype(ukn.dtype)[None, :, None]
+        ci = jnp.imag(cm).astype(ukn.dtype)[None, :, None]
+        wr, wi = u4[:, 0], u4[:, 1]
+        return jnp.stack([cr * wr - ci * wi, cr * wi + ci * wr],
+                         axis=1).reshape(B * L, N)
+
+    out = cmul_kn(coeff[0], wkn)
+    u_nm1 = wkn
+    u_n = Ap_f(wkn, 1.0, None, 0.0)
+
+    def body(m, carry):
+        out, u_nm1, u_n = carry
+        out = out + cmul_kn(coeff[m], u_n)
+        u_np1 = Ap_f(u_n, 2.0, u_nm1, -1.0)
+        return (out, u_n, u_np1)
+
+    M = coeff.shape[0]
+    out, _, _ = jax.lax.fori_loop(1, M, body, (out, u_nm1, u_n))
+    return out.reshape(B, L, N).swapaxes(-1, -2).reshape(lead + (N, L))
 
 
 def _apply_complex(ops: ModelOps, st: KPMState, v, passes):

@@ -258,3 +258,54 @@ def test_kpm_complex_applies_are_mutually_adjoint_and_symmetric_is_psd():
     quad = np.vdot(np.asarray(u), Su)
     assert abs(quad.imag) < 1e-10 * abs(quad.real)
     assert quad.real > 0.0
+
+
+def test_fused_pallas_chebyshev_matches_matmul_path():
+    """The fused-kernel Chebyshev recurrence
+    (kpm._chebyshev_apply_stacked_pallas, interpret mode on CPU) must match
+    the dense-matmul stacked recurrence exactly up to rounding — same
+    spectral window, same exp(−Δτ·V̄) diagonal placement for both the
+    forward and the transposed pass, same per-ω coefficient combine."""
+    ops, params, x = make_model(L=4)
+    st = kpm.setup(ops, params, x, kpm.KPMConfig(max_order=8),
+                   jax.random.PRNGKey(0))
+    assert st.expK is not None  # small N: the reference path is dense
+    st_fold = st._replace(expK=None, expK_inv=None)
+
+    rng = np.random.default_rng(3)
+    Lw = (ops.Ltau + 1) // 2
+    w = jnp.asarray(rng.standard_normal((2, ops.Nsites, 2 * Lw)))
+    for transposed in (False, True):
+        ref = np.asarray(kpm._chebyshev_apply_stacked(
+            ops, st, w, st.coeff, transposed=transposed))
+        got = np.asarray(kpm._chebyshev_apply_stacked_pallas(
+            ops, st_fold, w, st.coeff, transposed=transposed,
+            interpret=True))
+        np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-9)
+
+
+def test_fold_kn_fused_epilogue_matches_composition():
+    """fold_kn_fused's pre/post diagonals and a/b/c affine epilogue equal
+    the explicit composition with the XLA group fold."""
+    from elphdynamics_tpu.ops import checkerboard as ckb_mod
+    from elphdynamics_tpu.ops.ckb_pallas import fold_kn_fused
+
+    ops, params, _ = make_model(L=4)
+    sc = ops.spec.ckb
+    rng = np.random.default_rng(5)
+    K = 16
+    vkn = jnp.asarray(rng.standard_normal((K, ops.Nsites)))
+    prev = jnp.asarray(rng.standard_normal((K, ops.Nsites)))
+    pre = jnp.asarray(rng.uniform(0.5, 1.5, ops.Nsites))
+    post = jnp.asarray(rng.uniform(0.5, 1.5, ops.Nsites))
+    a, b, c = 1.7, -0.3, 0.9
+    for reverse in (False, True):
+        fold = (ckb_mod.ckb_transpose_mul if reverse else ckb_mod.ckb_mul)
+        want = a * (post[None, :] * np.asarray(fold(
+            sc, params.cosht, params.sinht,
+            (vkn * pre[None, :]).T)).T) + b * np.asarray(vkn) \
+            + c * np.asarray(prev)
+        got = np.asarray(fold_kn_fused(
+            sc, params.cosht, params.sinht, vkn, reverse=reverse,
+            pre=pre, post=post, a=a, b=b, c=c, prev=prev, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
