@@ -309,3 +309,28 @@ def test_fold_kn_fused_epilogue_matches_composition():
             sc, params.cosht, params.sinht, vkn, reverse=reverse,
             pre=pre, post=post, a=a, b=b, c=c, prev=prev, interpret=True))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_dense_abar_gate_routing(monkeypatch):
+    """The Ā densification gate: dense up to 4096 sites everywhere EXCEPT
+    when the fused Pallas fold will actually take over (TPU backend, real
+    hopping, N above the Pallas floor) — complex hopping and CPU builds
+    must never fall onto the slow XLA group fold (BASELINE.md §Pallas
+    KPM: 1.7 vs 9.3/12.7 sweeps/s at 64×64)."""
+    real = jnp.ones(4)
+    cplx = jnp.ones(4) + 0j
+
+    # CPU backend (this process): always densify up to the cap
+    for n in (64, 2048, 4096):
+        assert kpm._dense_abar_gate(n, real)
+        assert kpm._dense_abar_gate(n, cplx)
+    assert not kpm._dense_abar_gate(4097, real)
+
+    # pretend-TPU backend: real hopping above the Pallas floor folds,
+    # complex keeps the dense path
+    monkeypatch.setattr(kpm.jax, "default_backend", lambda: "tpu")
+    assert kpm._dense_abar_gate(2048, real)       # at the floor: dense
+    assert not kpm._dense_abar_gate(4096, real)   # above: Pallas fold
+    assert kpm._dense_abar_gate(4096, cplx)       # complex: dense
+    assert kpm._pallas_fold_available(real)
+    assert not kpm._pallas_fold_available(cplx)
